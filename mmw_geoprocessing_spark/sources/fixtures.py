@@ -1,0 +1,221 @@
+"""Deterministic raster-fixture derivation, shared between Spark and DuckDB.
+
+The reference engine's tables are tiled raster layers
+(``TileLayerCollection[SpatialKey]``, reference package.scala:9), AOI masks
+(cells emitted by ``Rasterizer.foreachCellByMultiPolygon``,
+Geoprocessing.scala:356) and rasterized stream lines
+(``foreachCellByMultiLineString``, Geoprocessing.scala:224).
+
+The driver's correctness gate compares our Spark plans against DuckDB SQL
+over the same parquet inputs — so every raster/mask/line fixture here is
+derived from ``lineitem`` with *dialect-neutral SQL* that parses and
+evaluates identically in Spark SQL and DuckDB. One pixel per lineitem row:
+
+    pix      = row_number() over (order by l_orderkey, l_linenumber) - 1
+    cell_col = pix % 8            -- 8x8 tiles (FIXTURES.md convention)
+    cell_row = (pix / 8) % 8
+    key_col  = (pix / 64) % 32    -- SpatialKey grid, 32 tile columns
+    key_row  =  pix / 2048
+
+The decomposition is bijective, so each raster has at most one value per
+pixel key — matching the reference's one-tile-per-SpatialKey model.
+
+Numeric determinism: every DOUBLE raster value sits on a binary-fraction
+grid (multiples of 0.5 / 2^-6 / 2^-7), so SUM/AVG over them is *exact* in
+IEEE double regardless of summation order — Spark and DuckDB aggregate in
+different orders yet produce bit-identical results.
+
+Fixture inventory (mirrors FIXTURES.md):
+- 6 rasters: nlcd, soil, gwn (int) / slope, awc, kfactor (double);
+  each with ~2-3%% NODATA (NULL) cells; ``gwn`` is missing every 4th tile
+  column to exercise the full-outer NODATA-fill layer join
+  (reference Utils.scala:221-232, CHANGELOG.md:51-64).
+- AOIs: huc8_01 (~60%% of pixels), huc12_01..08 (disjoint partition of
+  huc8_01 — the subbasin scenario), huc12_empty (intersects no lines —
+  empty-result contract, CHANGELOG.md:66-79).
+- 12 stream lines with overlapping pixels (pins O5's distinct-pixel dedup,
+  Geoprocessing.scala:225-227).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+NODATA_INT = -2147483648
+
+PIXEL_KEY = ["key_col", "key_row", "cell_col", "cell_row"]
+
+# ---------------------------------------------------------------------------
+# Dialect-neutral CTE bodies. Each parses in Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+
+_CTE_BODIES: dict[str, str] = {
+    "pix_base": (
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS pix "
+        "FROM lineitem"
+    ),
+    "cells": (
+        "SELECT pix, "
+        "CAST(pix % 8 AS INT) AS cell_col, "
+        "CAST(CAST(FLOOR(pix / 8) AS BIGINT) % 8 AS INT) AS cell_row, "
+        "CAST(CAST(FLOOR(pix / 64) AS BIGINT) % 32 AS INT) AS key_col, "
+        "CAST(FLOOR(pix / 2048) AS INT) AS key_row "
+        "FROM pix_base"
+    ),
+}
+
+_CTE_DEPS: dict[str, list[str]] = {"pix_base": [], "cells": ["pix_base"]}
+
+# raster_id -> (value expression over `pix`, extent predicate or None, is_double)
+RASTER_DEFS: dict[str, tuple[str, str | None, bool]] = {
+    "nlcd": (
+        "CASE WHEN pix % 37 = 0 THEN CAST(NULL AS INT) ELSE CAST(21 + (pix * 7) % 15 AS INT) END",
+        None,
+        False,
+    ),
+    "soil": (
+        "CASE WHEN pix % 41 = 0 THEN CAST(NULL AS INT) ELSE CAST(1 + (pix * 3) % 7 AS INT) END",
+        None,
+        False,
+    ),
+    # missing tile columns -> exercises full-outer NODATA fill
+    "gwn": (
+        "CASE WHEN pix % 53 = 0 THEN CAST(NULL AS INT) ELSE CAST((pix * 5) % 50 AS INT) END",
+        "key_col % 4 <> 3",
+        False,
+    ),
+    # doubles on binary-fraction grids: order-independent exact sums
+    "slope": (
+        "CASE WHEN pix % 43 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix % 100) AS DOUBLE) * 0.5 + 0.25 END",
+        None,
+        True,
+    ),
+    "awc": (
+        "CASE WHEN pix % 47 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix * 13) % 200 AS DOUBLE) * 0.015625 END",
+        None,
+        True,
+    ),
+    "kfactor": (
+        "CASE WHEN pix % 59 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix * 11) % 64 AS DOUBLE) * 0.0078125 END",
+        None,
+        True,
+    ),
+}
+
+# aoi_id -> predicate over `pix` (all dialect-neutral)
+AOI_DEFS: dict[str, str] = {
+    "huc8_01": "pix % 10 < 6",
+    **{
+        f"huc12_0{k + 1}": f"pix % 10 < 6 AND CAST(FLOOR(pix / 10) AS BIGINT) % 8 = {k}"
+        for k in range(8)
+    },
+    # pix % 2350 = 13 avoids both line families below (13 ∉ {0..11} mod 50;
+    # 13 ∉ {(j*5)%47 : j<12} mod 47) -> intersects no line pixels.
+    "huc12_empty": "pix % 2350 = 13",
+}
+
+SUBBASIN_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
+
+N_LINES = 12
+
+
+def _register(name: str, body: str, deps: list[str]) -> None:
+    _CTE_BODIES[name] = body
+    _CTE_DEPS[name] = deps
+
+
+for _rid, (_vexpr, _pred, _dbl) in RASTER_DEFS.items():
+    _where = f" WHERE {_pred}" if _pred else ""
+    _register(
+        f"r_{_rid}",
+        f"SELECT key_col, key_row, cell_col, cell_row, {_vexpr} AS value FROM cells{_where}",
+        ["cells"],
+    )
+
+for _aid, _pred in AOI_DEFS.items():
+    _register(
+        f"mask_{_aid}",
+        f"SELECT key_col, key_row, cell_col, cell_row FROM cells WHERE {_pred}",
+        ["cells"],
+    )
+
+# all masks in one table, for CountMany / multi (FIXTURES.md §2)
+_register(
+    "mask_all",
+    " UNION ALL ".join(
+        f"SELECT '{aid}' AS aoi_id, key_col, key_row, cell_col, cell_row "
+        f"FROM cells WHERE {pred}"
+        for aid, pred in AOI_DEFS.items()
+    ),
+    ["cells"],
+)
+
+# 12 polylines; two congruence families so distinct lines share pixels
+# (O5 dedup, Geoprocessing.scala:225-227). Line ids come from `nation`.
+_register(
+    "line_pixels",
+    "SELECT CAST(n.n_nationkey AS INT) AS line_id, "
+    "c.key_col, c.key_row, c.cell_col, c.cell_row "
+    f"FROM cells c, nation n WHERE n.n_nationkey < {N_LINES} "
+    "AND (c.pix % 50 = n.n_nationkey OR c.pix % 47 = (n.n_nationkey * 5) % 47)",
+    ["cells"],
+)
+
+
+def cte_names() -> list[str]:
+    return list(_CTE_BODIES)
+
+
+def _expand(names: list[str]) -> list[str]:
+    """Dependency-ordered closure of the requested CTE names."""
+    out: list[str] = []
+
+    def visit(n: str) -> None:
+        if n in out:
+            return
+        for d in _CTE_DEPS[n]:
+            visit(d)
+        out.append(n)
+
+    for n in names:
+        visit(n)
+    return out
+
+
+def with_fixtures(body: str, *names: str) -> str:
+    """Prepend the needed fixture CTEs (dependency-ordered) to a query body.
+
+    The resulting SQL runs unmodified in Spark SQL (after registering the
+    parquet tables as temp views) and in DuckDB (driver-registered views).
+    """
+    ordered = _expand(list(names))
+    ctes = ", ".join(f"{n} AS ({_CTE_BODIES[n]})" for n in ordered)
+    return f"WITH {ctes} {body}"
+
+
+def fixture_df(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize one fixture relation as a DataFrame.
+
+    Requires the base tables to be registered as temp views
+    (see ``sources.tables.register_views``).
+    """
+    return spark.sql(with_fixtures(f"SELECT * FROM {name}", name))
+
+
+def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:
+    return fixture_df(spark, f"r_{raster_id}")
+
+
+def mask_df(spark: SparkSession, aoi_id: str) -> DataFrame:
+    return fixture_df(spark, f"mask_{aoi_id}")
+
+
+def mask_all_df(spark: SparkSession) -> DataFrame:
+    return fixture_df(spark, "mask_all")
+
+
+def line_pixels_df(spark: SparkSession) -> DataFrame:
+    return fixture_df(spark, "line_pixels")

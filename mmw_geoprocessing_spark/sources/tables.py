@@ -1,0 +1,56 @@
+"""Parquet table sources.
+
+The driver materializes deterministic TPC-H-ish tables (TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings`` — one parquet file each under ``/root/testdata/sf*/``.
+
+At 100 TB these would be directory-partitioned datasets; the reader is a
+plain ``spark.read.parquet`` so Catalyst's vectorized parquet scan,
+predicate pushdown, and column pruning all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+        # timestamp type, so read it as int64 nanos and truncate to micros —
+        # the same truncation DuckDB applies when casting TIMESTAMP_NS to
+        # its native microsecond TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql plans)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
