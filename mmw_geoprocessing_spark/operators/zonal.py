@@ -1,0 +1,251 @@
+"""Zonal-statistics operators — the reference's public query surface.
+
+Every operator is one instance of the reference's single plan shape
+(SURVEY.md §0): scan → N-way full-outer layer join on pixel key →
+polygon-mask join → hash aggregate grouped by the value tuple.
+
+Inputs are *pixel tables*: ``(key_col INT, key_row INT, cell_col INT,
+cell_row INT, value INT|DOUBLE)`` — the long-form equivalent of the
+reference's ``TileLayerCollection[SpatialKey]`` (package.scala:9). Masks
+are ``(key_col, key_row, cell_col, cell_row)`` pixel sets, the output of
+rasterizing an AOI polygon (Geoprocessing.scala:356).
+
+Scale design (100 TB):
+- Layer joins are equi-joins on 4 int columns; with layers stored
+  partitioned/bucketed by ``(key_col, key_row)`` Catalyst plans them as
+  co-partitioned sort-merge joins with no extra shuffle, and AOI bbox
+  predicates prune partitions at the scan.
+- Aggregation output is tiny (a few hundred value tuples), so partial
+  (map-side) aggregation collapses nearly all rows before the single
+  cheap shuffle; AQE coalesces the post-shuffle partitions.
+- No driver-side loops: ``*_many`` and ``multi`` push the per-AOI /
+  per-operation dimension into the grouping key instead of looping
+  (one pass, reference needed a request per polygon: CHANGELOG.md:82-91).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.nodata import NODATA_INT, list_key
+
+PIXEL_KEY = ["key_col", "key_row", "cell_col", "cell_row"]
+
+
+def join_layers(layers: Sequence[DataFrame]) -> DataFrame:
+    """N-way full-outer join of pixel tables on the pixel key.
+
+    Reference ``joinCollectionLayers`` (Utils.scala:221-232): the key set
+    is the *union* of the per-layer key sets and a layer missing a pixel
+    contributes NODATA — i.e. FULL OUTER + ``coalesce(value, NODATA)``.
+
+    Returns columns ``key_col,key_row,cell_col,cell_row,v1..vN`` (vi INT,
+    NODATA-filled).
+    """
+    out = layers[0].select(*PIXEL_KEY, F.col("value").alias("v1"))
+    for i, layer in enumerate(layers[1:], start=2):
+        out = out.join(
+            layer.select(*PIXEL_KEY, F.col("value").alias(f"v{i}")),
+            on=PIXEL_KEY,
+            how="full",
+        )
+    fills = [F.coalesce(F.col(f"v{i}"), F.lit(NODATA_INT)).alias(f"v{i}") for i in range(1, len(layers) + 1)]
+    return out.select(*PIXEL_KEY, *fills)
+
+
+def _value_cols(n: int) -> list[F.Column]:
+    return [F.col(f"v{i}") for i in range(1, n + 1)]
+
+
+def raster_grouped_count(layers: Sequence[DataFrame], mask: DataFrame) -> DataFrame:
+    """O1 RasterGroupedCount (Geoprocessing.scala:338-368): zonal histogram
+    of the value tuple across N rasters, NODATA participating as a value.
+
+    Output: ``(list_key STRING, cnt BIGINT)``.
+    """
+    vals = _value_cols(len(layers))
+    return (
+        join_layers(layers)
+        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .groupBy(*vals)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(list_key(*vals).alias("list_key"), "cnt")
+    )
+
+
+def raster_grouped_count_many(layers: Sequence[DataFrame], mask_many: DataFrame) -> DataFrame:
+    """O2 RasterGroupedCountMany (Geoprocessing.scala:114-126): O1 for each
+    AOI in one pass — the AOI id joins the grouping key instead of looping
+    per polygon.
+
+    ``mask_many``: ``(aoi_id, key_col, key_row, cell_col, cell_row)``.
+    Output: ``(aoi_id STRING, list_key STRING, cnt BIGINT)``.
+    """
+    vals = _value_cols(len(layers))
+    return (
+        join_layers(layers)
+        .join(mask_many.select("aoi_id", *PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .groupBy(F.col("aoi_id"), *vals)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("aoi_id", list_key(*vals).alias("list_key"), "cnt")
+    )
+
+
+def raster_average(target: DataFrame, mask: DataFrame) -> DataFrame:
+    """O3 RasterAverage (Geoprocessing.scala:245-277): ungrouped mean of the
+    target over the AOI. NODATA target cells are coerced to 0.0 and *still
+    counted in the denominator* (:266-270) — ``avg(coalesce(v, 0.0))``, not
+    ``avg(v)``. The mask drives the row set (left join from mask), and the
+    result key is literally ``"List(0)"`` (:275).
+
+    Output: ``(list_key STRING, avg_value DOUBLE)``.
+    """
+    return (
+        mask.select(*PIXEL_KEY)
+        .join(target, on=PIXEL_KEY, how="left")
+        .agg(F.avg(F.coalesce(F.col("value"), F.lit(0.0))).alias("avg_value"))
+        .select(F.lit("List(0)").alias("list_key"), "avg_value")
+    )
+
+
+def raster_grouped_average(
+    layers: Sequence[DataFrame], target: DataFrame, mask: DataFrame
+) -> DataFrame:
+    """O4 RasterGroupedAverage (Geoprocessing.scala:288-329): mean of the
+    target per distinct tuple of group-raster values within the AOI; NODATA
+    target -> 0.0 as in O3; group tuples may contain NODATA ints.
+
+    Output: ``(list_key STRING, avg_value DOUBLE)``.
+    """
+    vals = _value_cols(len(layers))
+    return (
+        join_layers(layers)
+        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .join(target.withColumnRenamed("value", "_target"), on=PIXEL_KEY, how="left")
+        .groupBy(*vals)
+        .agg(F.avg(F.coalesce(F.col("_target"), F.lit(0.0))).alias("avg_value"))
+        .select(list_key(*vals).alias("list_key"), "avg_value")
+    )
+
+
+def raster_grouped_sum(
+    layers: Sequence[DataFrame], target: DataFrame, mask: DataFrame
+) -> DataFrame:
+    """O8 RasterGroupedSum (reference CHANGELOG.md:151-153, historical
+    v1.2.0 operator): sum of the target grouped by the raster-value tuple,
+    clipped to the AOI. NULL target cells contribute 0.
+
+    Output: ``(list_key STRING, sum_value DOUBLE)``.
+    """
+    vals = _value_cols(len(layers))
+    return (
+        join_layers(layers)
+        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .join(target.withColumnRenamed("value", "_target"), on=PIXEL_KEY, how="left")
+        .groupBy(*vals)
+        .agg(F.sum(F.coalesce(F.col("_target"), F.lit(0.0))).alias("sum_value"))
+        .select(list_key(*vals).alias("list_key"), "sum_value")
+    )
+
+
+def raster_lines_join(
+    layers: Sequence[DataFrame], line_pixels: DataFrame, mask: DataFrame
+) -> DataFrame:
+    """O5 RasterLinesJoin (Geoprocessing.scala:210-235): count of *distinct
+    pixels* touched by >=1 rasterized line, grouped by the raster-value
+    tuple at the pixel. Lines are clipped to the AOI first (Utils.scala:
+    196-198); a pixel crossed by 5 lines counts once (:225-227).
+
+    ``dropDuplicates`` on the pixel key runs partial-distinct map-side
+    before its shuffle, so overlapping line pixels collapse early.
+
+    Output: ``(list_key STRING, cnt BIGINT)``.
+    """
+    vals = _value_cols(len(layers))
+    distinct_pixels = (
+        line_pixels.select(*PIXEL_KEY)
+        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi")  # clip to AOI
+        .dropDuplicates(PIXEL_KEY)
+    )
+    return (
+        join_layers(layers)
+        .join(distinct_pixels, on=PIXEL_KEY, how="inner")
+        .groupBy(*vals)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(list_key(*vals).alias("list_key"), "cnt")
+    )
+
+
+def raster_summary(targets: Sequence[DataFrame], mask: DataFrame) -> DataFrame:
+    """O6 RasterSummary (Geoprocessing.scala:380-431): per input raster (in
+    input order) ``{min, avg, max}`` over AOI pixels. min/max skip NODATA
+    (Utils.scala:266-284 combiners' evident intent); avg = sum/count over
+    *all* rasterized pixels with NODATA as 0 (:385-393,427).
+
+    One pass: layers are unioned with a ``raster_idx`` literal and grouped
+    by it, so N rasters cost one aggregate, not N jobs.
+
+    Output: ``(raster_idx INT, min_value, avg_value, max_value DOUBLE)``.
+    """
+    tagged = None
+    for i, t in enumerate(targets):
+        part = (
+            mask.select(*PIXEL_KEY)
+            .join(t, on=PIXEL_KEY, how="left")
+            .select(F.lit(i).alias("raster_idx"), F.col("value"))
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    return (
+        tagged.groupBy("raster_idx")
+        .agg(
+            F.min("value").alias("min_value"),  # min/max skip NULLs natively
+            (F.sum(F.coalesce(F.col("value"), F.lit(0.0))) / F.count(F.lit(1))).alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("raster_idx")
+    )
+
+
+def multi_operation(
+    grouped_counts: dict[str, tuple[Sequence[DataFrame], DataFrame]] | None = None,
+    grouped_averages: dict[str, tuple[Sequence[DataFrame], DataFrame, DataFrame]] | None = None,
+    averages: dict[str, tuple[DataFrame, DataFrame]] | None = None,
+) -> DataFrame:
+    """O7 MultiOperation (Geoprocessing.scala:21-89): M shapes x K ops in a
+    batch. The reference's key optimization — fetch every distinct raster
+    once for the union AOI and share it across (shape, op) pairs
+    (CHANGELOG.md:82-91) — maps to sharing the cached layer DataFrames the
+    caller passes in; the fan-out itself is a UNION of light plans, all
+    values cast to DOUBLE (the reference's /multi result type).
+
+    Output: ``(op_label STRING, list_key STRING, value DOUBLE)`` flattened;
+    the nested ``{hucId: {op: result}}`` shape is a driver-side pivot.
+    """
+    parts: list[DataFrame] = []
+    for label, (layers, mask_many) in (grouped_counts or {}).items():
+        parts.append(
+            raster_grouped_count_many(layers, mask_many).select(
+                F.concat(F.lit(label + ":"), F.col("aoi_id")).alias("op_label"),
+                "list_key",
+                F.col("cnt").cast("double").alias("value"),
+            )
+        )
+    for label, (layers, target, mask) in (grouped_averages or {}).items():
+        parts.append(
+            raster_grouped_average(layers, target, mask).select(
+                F.lit(label).alias("op_label"), "list_key", F.col("avg_value").alias("value")
+            )
+        )
+    for label, (target, mask) in (averages or {}).items():
+        parts.append(
+            raster_average(target, mask).select(
+                F.lit(label).alias("op_label"), "list_key", F.col("avg_value").alias("value")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,157 @@
+"""DuckDB oracle SQL builders for the zonal operators.
+
+Each function returns ANSI SQL (DuckDB-compatible) computing the same
+result as the corresponding operator in ``operators/zonal.py``, over the
+same fixture CTEs (``sources/fixtures.py``) — the driver runs these side
+by side with the Spark plans and hash-compares the outputs.
+
+Semantics mirrored line-for-line with the reference citations in the
+operator docstrings; the one-sentence contract is repeated here so a
+reviewer can diff Spark plan vs SQL without flipping files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from mmw_geoprocessing_spark.functions.nodata import NODATA_INT
+from mmw_geoprocessing_spark.sources.fixtures import with_fixtures
+
+PK = "key_col, key_row, cell_col, cell_row"
+
+
+def _joined_cte(rasters: Sequence[str]) -> tuple[str, list[str]]:
+    """CTE text for the N-way full-outer NODATA-filled layer join
+    (reference Utils.scala:221-232)."""
+    aliases = [f"_l{i}" for i in range(1, len(rasters) + 1)]
+    pre = ", ".join(
+        f"{a} AS (SELECT {PK}, value AS w{i} FROM r_{r})"
+        for i, (a, r) in enumerate(zip(aliases, rasters), start=1)
+    )
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL OUTER JOIN {a} USING ({PK})"
+    fills = ", ".join(
+        f"COALESCE(w{i}, {NODATA_INT}) AS v{i}" for i in range(1, len(rasters) + 1)
+    )
+    return f"{pre}, joined AS (SELECT {PK}, {fills} FROM {joins})", aliases
+
+
+def _list_key(n: int) -> str:
+    inner = " || ', ' || ".join(f"CAST(v{i} AS VARCHAR)" for i in range(1, n + 1))
+    return f"'List(' || {inner} || ')'"
+
+
+def grouped_count(rasters: Sequence[str], aoi_id: str) -> str:
+    ctes, _ = _joined_cte(rasters)
+    body = (
+        f"SELECT {_list_key(len(rasters))} AS list_key, COUNT(*) AS cnt "
+        f"FROM joined JOIN mask_{aoi_id} USING ({PK}) "
+        f"GROUP BY {', '.join(f'v{i}' for i in range(1, len(rasters) + 1))}"
+    )
+    return with_fixtures(
+        body, *[f"r_{r}" for r in rasters], f"mask_{aoi_id}", extra_ctes=ctes
+    )
+
+
+def grouped_count_many(rasters: Sequence[str]) -> str:
+    ctes, _ = _joined_cte(rasters)
+    vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
+    body = (
+        f"SELECT aoi_id, {_list_key(len(rasters))} AS list_key, COUNT(*) AS cnt "
+        f"FROM joined JOIN mask_all USING ({PK}) "
+        f"GROUP BY aoi_id, {vs}"
+    )
+    return with_fixtures(body, *[f"r_{r}" for r in rasters], "mask_all", extra_ctes=ctes)
+
+
+def average(target: str, aoi_id: str) -> str:
+    body = (
+        f"SELECT 'List(0)' AS list_key, AVG(COALESCE(t.value, 0.0)) AS avg_value "
+        f"FROM mask_{aoi_id} m LEFT JOIN r_{target} t USING ({PK})"
+    )
+    return with_fixtures(body, f"r_{target}", f"mask_{aoi_id}")
+
+
+def _grouped_target(rasters: Sequence[str], target: str, aoi_id: str, agg: str, alias: str) -> str:
+    ctes, _ = _joined_cte(rasters)
+    vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
+    body = (
+        f"SELECT {_list_key(len(rasters))} AS list_key, {agg} AS {alias} "
+        f"FROM joined JOIN mask_{aoi_id} USING ({PK}) "
+        f"LEFT JOIN r_{target} t USING ({PK}) "
+        f"GROUP BY {vs}"
+    )
+    return with_fixtures(
+        body, *[f"r_{r}" for r in rasters], f"r_{target}", f"mask_{aoi_id}",
+        extra_ctes=ctes,
+    )
+
+
+def grouped_average(rasters: Sequence[str], target: str, aoi_id: str) -> str:
+    return _grouped_target(rasters, target, aoi_id, "AVG(COALESCE(t.value, 0.0))", "avg_value")
+
+
+def grouped_sum(rasters: Sequence[str], target: str, aoi_id: str) -> str:
+    return _grouped_target(rasters, target, aoi_id, "SUM(COALESCE(t.value, 0.0))", "sum_value")
+
+
+def lines_join(rasters: Sequence[str], aoi_id: str) -> str:
+    ctes, _ = _joined_cte(rasters)
+    vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
+    lp = f"lp AS (SELECT DISTINCT {PK} FROM line_pixels JOIN mask_{aoi_id} USING ({PK}))"
+    body = (
+        f"SELECT {_list_key(len(rasters))} AS list_key, COUNT(*) AS cnt "
+        f"FROM joined JOIN lp USING ({PK}) "
+        f"GROUP BY {vs}"
+    )
+    return with_fixtures(
+        body, *[f"r_{r}" for r in rasters], "line_pixels", f"mask_{aoi_id}",
+        extra_ctes=f"{ctes}, {lp}",
+    )
+
+
+def summary(targets: Sequence[str], aoi_id: str) -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {i} AS raster_idx, t.value FROM mask_{aoi_id} m "
+        f"LEFT JOIN r_{t} t USING ({PK})"
+        for i, t in enumerate(targets)
+    )
+    body = (
+        f"SELECT raster_idx, MIN(value) AS min_value, "
+        f"SUM(COALESCE(value, 0.0)) / COUNT(*) AS avg_value, "
+        f"MAX(value) AS max_value "
+        f"FROM tagged GROUP BY raster_idx ORDER BY raster_idx"
+    )
+    return with_fixtures(
+        body, *[f"r_{t}" for t in targets], f"mask_{aoi_id}",
+        extra_ctes=f"tagged AS ({parts})",
+    )
+
+
+def multi(
+    grouped_counts: dict[str, Sequence[str]],
+    grouped_averages: dict[str, tuple[Sequence[str], str, str]],
+    averages: dict[str, tuple[str, str]],
+) -> str:
+    """Flattened /multi: union of per-op oracle results, values as DOUBLE."""
+    selects: list[str] = []
+    needed: set[str] = set()
+    for label, rasters in grouped_counts.items():
+        inner = grouped_count_many(rasters)
+        selects.append(
+            f"SELECT '{label}:' || aoi_id AS op_label, list_key, "
+            f"CAST(cnt AS DOUBLE) AS value FROM ({inner})"
+        )
+    for label, (rasters, target, aoi_id) in grouped_averages.items():
+        inner = grouped_average(rasters, target, aoi_id)
+        selects.append(
+            f"SELECT '{label}' AS op_label, list_key, avg_value AS value FROM ({inner})"
+        )
+    for label, (target, aoi_id) in averages.items():
+        inner = average(target, aoi_id)
+        selects.append(
+            f"SELECT '{label}' AS op_label, list_key, avg_value AS value FROM ({inner})"
+        )
+    _ = needed
+    return " UNION ALL ".join(selects)

@@ -185,14 +185,19 @@ def _expand(names: list[str]) -> list[str]:
     return out
 
 
-def with_fixtures(body: str, *names: str) -> str:
+def with_fixtures(body: str, *names: str, extra_ctes: str = "") -> str:
     """Prepend the needed fixture CTEs (dependency-ordered) to a query body.
+
+    ``extra_ctes``: additional ``name AS (...)`` clauses appended after the
+    fixture CTEs (so a caller can layer its own CTEs without nesting WITH).
 
     The resulting SQL runs unmodified in Spark SQL (after registering the
     parquet tables as temp views) and in DuckDB (driver-registered views).
     """
     ordered = _expand(list(names))
     ctes = ", ".join(f"{n} AS ({_CTE_BODIES[n]})" for n in ordered)
+    if extra_ctes:
+        ctes = f"{ctes}, {extra_ctes}"
     return f"WITH {ctes} {body}"
 
 
