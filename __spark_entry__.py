@@ -15,9 +15,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mmw_geoprocessing_spark import oracle
+from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
-from mmw_geoprocessing_spark.sources.tables import register_views
+from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
 
 # ---------------------------------------------------------------------------
 # Zonal fixture wiring: the reference's 7-template benchmark suite
@@ -133,14 +134,84 @@ _ZONAL_ORACLES: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# General relational surface (SURVEY.md §2.3) over the TPC-H-ish tables.
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir)
+
+
+_RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": lambda s, d: rel.pricing_summary(_t(s, d)["lineitem"]),
+    "top_customers_by_revenue": lambda s, d: rel.top_customers_by_revenue(
+        *(lambda t: (t["lineitem"], t["orders"], t["customer"]))(_t(s, d))
+    ),
+    "revenue_by_region": lambda s, d: rel.revenue_by_region(
+        *(lambda t: (t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]))(_t(s, d))
+    ),
+    "semi_anti_customers": lambda s, d: rel.semi_anti_customers(
+        *(lambda t: (t["customer"], t["orders"]))(_t(s, d))
+    ),
+    "window_running_total": lambda s, d: rel.running_total_per_customer(_t(s, d)["orders"]),
+    "window_top_orders_per_segment": lambda s, d: rel.top_orders_per_segment(
+        *(lambda t: (t["orders"], t["customer"]))(_t(s, d))
+    ),
+    "window_lag_order_gaps": lambda s, d: rel.lag_lead_order_gaps(_t(s, d)["orders"]),
+    "rollup_revenue": lambda s, d: rel.rollup_revenue(
+        *(lambda t: (t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]))(_t(s, d))
+    ),
+    "cube_order_counts": lambda s, d: rel.cube_order_counts(_t(s, d)["orders"]),
+    "grouping_sets_revenue": lambda s, d: rel.grouping_sets_revenue(s, _t(s, d)["lineitem"]),
+    "set_ops_customers": lambda s, d: rel.set_ops_customers(
+        *(lambda t: (t["customer"], t["orders"]))(_t(s, d))
+    ),
+    "distinct_counts": lambda s, d: rel.distinct_counts(
+        *(lambda t: (t["orders"], t["lineitem"]))(_t(s, d))
+    ),
+    "scalar_functions_showcase": lambda s, d: rel.scalar_functions_showcase(_t(s, d)["part"]),
+    "datetime_functions_showcase": lambda s, d: rel.datetime_functions_showcase(_t(s, d)["orders"]),
+    "json_extract_events": lambda s, d: rel.json_extract_events(_t(s, d)["events"]),
+    "array_functions_showcase": lambda s, d: rel.array_functions_showcase(_t(s, d)["documents"]),
+    "asof_join_events_orders": lambda s, d: rel.asof_join_events_orders(
+        *(lambda t: (t["events"], t["orders"]))(_t(s, d))
+    ),
+    "interval_join_events": lambda s, d: rel.interval_join_events(_t(s, d)["events"]),
+    "pivot_event_counts": lambda s, d: rel.pivot_event_counts(_t(s, d)["events"]),
+}
+
+_RELATIONAL_ORACLES: dict[str, str] = {
+    "pricing_summary": rel.pricing_summary_sql(),
+    "top_customers_by_revenue": rel.top_customers_sql(),
+    "revenue_by_region": rel.revenue_by_region_sql(),
+    "semi_anti_customers": rel.semi_anti_customers_sql(),
+    "window_running_total": rel.running_total_sql(),
+    "window_top_orders_per_segment": rel.top_orders_per_segment_sql(),
+    "window_lag_order_gaps": rel.lag_lead_order_gaps_sql(),
+    "rollup_revenue": rel.rollup_revenue_sql(),
+    "cube_order_counts": rel.cube_order_counts_sql(),
+    "grouping_sets_revenue": rel.grouping_sets_revenue_sql(),
+    "set_ops_customers": rel.set_ops_customers_sql(),
+    "distinct_counts": rel.distinct_counts_sql(),
+    "scalar_functions_showcase": rel.scalar_functions_showcase_sql(),
+    "datetime_functions_showcase": rel.datetime_functions_showcase_sql(),
+    "json_extract_events": rel.json_extract_events_sql(),
+    "array_functions_showcase": rel.array_functions_showcase_sql(),
+    "asof_join_events_orders": rel.asof_join_events_orders_sql(),
+    "interval_join_events": rel.interval_join_events_sql(),
+    "pivot_event_counts": rel.pivot_event_counts_sql(),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal histogram (RasterGroupedCount) at sf0.001."""
     return _q_grouped_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_ZONAL_QUERIES)
+    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ZONAL_ORACLES)
+    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES}

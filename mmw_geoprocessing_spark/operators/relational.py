@@ -1,0 +1,601 @@
+"""General relational operator surface (SURVEY.md §2.3 right-hand column).
+
+The reference's relational repertoire is narrow (equi/full-outer/semi
+joins, 5 aggregate kernels); our engine exposes the full standard
+category surface over DataFrames. Each function here is a thin, typed
+wrapper around a Catalyst plan, exercised over the driver's TPC-H-ish
+tables and hash-checked against a DuckDB oracle.
+
+Numeric determinism for cross-engine hashing: money aggregates are
+summed as DECIMAL(18,6) (order-independent, exact) and cast to DOUBLE at
+the end. Spark and DuckDB both round the double->decimal cast to nearest
+and the inputs are 2-decimal quantities, so the per-row casts agree.
+
+Scale notes:
+- Dimension joins (region/nation/customer) are broadcast-size by
+  construction; Catalyst auto-broadcasts under the configured threshold
+  and AQE demotes shuffle joins at runtime if an input turns out tiny.
+- Window functions partition by high-cardinality keys (custkey,
+  segment) — no single-partition global windows in the hot path.
+- Top-k = orderBy().limit(): Spark plans TakeOrderedAndProject, which
+  keeps a k-row heap per partition and merges — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def _money(col: F.Column) -> F.Column:
+    return col.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate hash aggregation
+    grouped by two low-cardinality keys (the engine-category analogue of
+    the reference's grouped count/sum/avg kernels, Geoprocessing.scala:
+    338-368)."""
+    disc_price = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _money(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def top_customers_by_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """Join + aggregate + top-k. orderBy().limit(k) plans
+    TakeOrderedAndProject — per-partition k-row heaps, no global sort."""
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT {k}
+    """
+
+
+def revenue_by_region(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star-schema join chain with explicitly broadcast dimensions — the
+    standard 100 TB shape: one big fact scan, all dims broadcast, single
+    shuffle for the final aggregate."""
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def revenue_by_region_sql() -> str:
+    return """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """
+
+
+def semi_anti_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi and left-anti joins (the reference's mask application is a
+    semi join, Geoprocessing.scala:356-360): per market segment, customers
+    with and without orders."""
+    keys = orders.select("o_custkey")
+    with_orders = (
+        customer.join(keys, customer.c_custkey == keys.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without_orders = (
+        customer.join(keys, customer.c_custkey == keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return with_orders.join(without_orders, "c_mktsegment", "full").fillna(
+        0, ["with_orders", "without_orders"]
+    )
+
+
+def semi_anti_customers_sql() -> str:
+    return """
+    WITH w AS (
+      SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+    ), wo AS (
+      SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           COALESCE(with_orders, 0) AS with_orders,
+           COALESCE(without_orders, 0) AS without_orders
+    FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def running_total_per_customer(orders: DataFrame) -> DataFrame:
+    """Analytic window: running revenue per customer ordered by order date
+    (orderkey tiebreak keeps the frame deterministic)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+    )
+
+
+def running_total_sql() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """
+
+
+def top_orders_per_segment(orders: DataFrame, customer: DataFrame, n: int = 3) -> DataFrame:
+    """Ranking window: top-N orders by price within each market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= n)
+    )
+
+
+def top_orders_per_segment_sql(n: int = 3) -> str:
+    return f"""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= {n}
+    """
+
+
+def lag_lead_order_gaps(orders: DataFrame) -> DataFrame:
+    """lag/lead analytic functions: days since a customer's previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+def lag_lead_order_gaps_sql() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           CAST(DATE_DIFF('day',
+               LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS INT) AS days_since_prev
+    FROM orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+def rollup_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """ROLLUP over (region, nation): hierarchy subtotals + grand total."""
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "revenue",
+        )
+    )
+
+
+def rollup_revenue_sql() -> str:
+    return """
+    SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """
+
+
+def cube_order_counts(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all subtotal combinations."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "cnt",
+        )
+    )
+
+
+def cube_order_counts_sql() -> str:
+    return """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+
+def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((flag,status),(flag),()) via Spark SQL."""
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def grouping_sets_revenue_sql() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+def set_ops_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer-key sets: big-balance
+    customers vs customers with urgent orders."""
+    a = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return (
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
+        .unionAll(
+            a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n")
+        )
+        .unionAll(
+            a.exceptAll(b.distinct()).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n")
+        )
+    )
+
+
+def set_ops_customers_sql() -> str:
+    return """
+    WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    """
+
+
+def distinct_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Exact distinct aggregation (O5's dedup-then-count, exactified)."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def distinct_counts_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+def scalar_functions_showcase(part: DataFrame) -> DataFrame:
+    """String/math scalar functions, computed JVM-side (no UDFs)."""
+    return part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bumped"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_partkey") % 7).alias("mod7"),
+    )
+
+
+def scalar_functions_showcase_sql() -> str:
+    return """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           ROUND(p_retailprice * 1.1, 2) AS price_bumped,
+           ABS(p_size - 25) AS size_dist,
+           p_partkey % 7 AS mod7
+    FROM part WHERE p_partkey < 100
+    """
+
+
+def datetime_functions_showcase(orders: DataFrame) -> DataFrame:
+    """Date/time scalar functions over order dates."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).alias("min_dom"),
+            F.max(F.dayofweek("o_orderdate")).alias("max_dow"),
+        )
+    )
+
+
+def datetime_functions_showcase_sql() -> str:
+    # DuckDB dayofweek (dow) is 0=Sunday; Spark's DAYOFWEEK is 1=Sunday.
+    return """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(MIN(EXTRACT(DAY FROM o_orderdate)) AS INT) AS min_dom,
+           CAST(MAX(EXTRACT(DOW FROM o_orderdate)) + 1 AS INT) AS max_dow
+    FROM orders GROUP BY 1, 2, 3
+    """
+
+
+def json_extract_events(events: DataFrame) -> DataFrame:
+    """JSON scalar functions: extract a field from the events props blob."""
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
+        )
+        .groupBy((F.col("k_value") % 10).alias("k_mod10"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k_value").alias("k_sum"))
+    )
+
+
+def json_extract_events_sql() -> str:
+    return """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+    FROM events GROUP BY 1
+    """
+
+
+def array_functions_showcase(documents: DataFrame) -> DataFrame:
+    """Array scalar functions: split, size, element_at, array_contains."""
+    words = F.split(F.col("text"), " ")
+    return documents.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "spark").cast("int").alias("has_spark"),
+    )
+
+
+def array_functions_showcase_sql() -> str:
+    return """
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+           STRING_SPLIT(text, ' ')[1] AS first_word,
+           STRING_SPLIT(text, ' ')[-1] AS last_word,
+           CAST(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS INT) AS has_spark
+    FROM documents WHERE doc_id < 100
+    """
+
+
+# ---------------------------------------------------------------------------
+# Specialized joins the reference lacks (SURVEY §2.3 "absent" rows)
+# ---------------------------------------------------------------------------
+
+
+def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event timestamp. Composed from an inequality join + ranking
+    window (Spark has no native ASOF); at scale this becomes a
+    partition-by-user merge, and the window dedup keeps one row per event.
+    """
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        events.join(
+            orders,
+            (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
+            "inner",
+        )
+        .select("event_id", "user_id", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey")
+    )
+
+
+def asof_join_events_orders_sql() -> str:
+    return """
+    SELECT event_id, user_id, o_orderkey FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """
+
+
+def interval_join_events(events: DataFrame) -> DataFrame:
+    """Interval (range) self-join: pairs of same-user events within 10
+    minutes. The equi-key (user_id) carries the join; the range predicate
+    filters within groups — the scalable shape for interval joins."""
+    e1 = events.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e1"), F.col("ts").alias("t1")
+    )
+    e2 = events.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e2"), F.col("ts").alias("t2")
+    )
+    return (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("e1") < F.col("e2"))
+            & (F.col("t2") >= F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+def interval_join_events_sql() -> str:
+    return """
+    SELECT e1.user_id AS u, COUNT(*) AS pair_cnt
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type."""
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, EVENT_TYPES)
+    )
+    return out
+
+
+def pivot_event_counts_sql() -> str:
+    cols = ", ".join(
+        f'COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN 1 END), 0) AS "{t}"'
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
