@@ -15,7 +15,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mmw_geoprocessing_spark import oracle
+from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import relational as rel
+from mmw_geoprocessing_spark.operators import similarity as sim
+from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
@@ -204,14 +208,58 @@ _RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text analysis /
+# multimodal) over the documents and embeddings tables.
+# ---------------------------------------------------------------------------
+
+_LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": lambda s, d: dd.exact_dedup(_t(s, d)["documents"]),
+    "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_t(s, d)["documents"]),
+    "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(_t(s, d)["documents"]),
+    "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_neardup(_t(s, d)["documents"]),
+    "dedup_simhash_fingerprints": lambda s, d: dd.simhash_fingerprints(_t(s, d)["documents"]),
+    "dedup_simhash_neardup": lambda s, d: dd.simhash_neardup(_t(s, d)["documents"]),
+    "similarity_cosine_topk": lambda s, d: sim.cosine_topk(_t(s, d)["embeddings"]),
+    "similarity_cosine_neardup": lambda s, d: sim.cosine_neardup(_t(s, d)["embeddings"]),
+    "similarity_ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_t(s, d)["embeddings"]),
+    "similarity_cosine_topk_pandas": lambda s, d: sim.cosine_topk_pandas(_t(s, d)["embeddings"]),
+    "text_token_counts": lambda s, d: ta.token_counts(_t(s, d)["documents"]),
+    "text_quality_scores": lambda s, d: ta.quality_scores(_t(s, d)["documents"]),
+    "text_lang_id": lambda s, d: ta.lang_id(_t(s, d)["documents"]),
+    "text_fingerprints": lambda s, d: ta.fingerprints(_t(s, d)["documents"]),
+    "multimodal_decode_stub": lambda s, d: mm.decode_stub(mm.attach_binary(_t(s, d)["documents"])),
+    "multimodal_frame_sample": lambda s, d: mm.frame_sample(mm.attach_binary(_t(s, d)["documents"])),
+}
+
+_LLM_ORACLES: dict[str, str] = {
+    "dedup_exact": dd.exact_dedup_sql(),
+    "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql(),
+    "dedup_minhash_signatures": dd.minhash_signatures_sql(),
+    "dedup_minhash_lsh": dd.minhash_lsh_neardup_sql(),
+    "dedup_simhash_fingerprints": dd.simhash_fingerprints_sql(),
+    "dedup_simhash_neardup": dd.simhash_neardup_sql(),
+    "similarity_cosine_topk": sim.cosine_topk_sql(),
+    "similarity_cosine_neardup": sim.cosine_neardup_sql(),
+    "similarity_ann_lsh_topk": sim.ann_lsh_topk_sql(),
+    # similarity_cosine_topk_pandas: numpy summation order differs -> rows-only
+    "text_token_counts": ta.token_counts_sql(),
+    "text_quality_scores": ta.quality_scores_sql(),
+    "text_lang_id": ta.lang_id_sql(),
+    "text_fingerprints": ta.fingerprints_sql(),
+    "multimodal_decode_stub": mm.decode_stub_sql(),
+    # multimodal_frame_sample: byte-slicing is mapInPandas-specific -> rows-only
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal histogram (RasterGroupedCount) at sf0.001."""
     return _q_grouped_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES}
+    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES, **_LLM_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES}
+    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES, **_LLM_ORACLES}

@@ -1,0 +1,61 @@
+"""Text/hash column helpers shared by the LLM-pipeline operators.
+
+All hashing is md5-derived so Spark and DuckDB agree bit-for-bit:
+Spark ``conv(substr(md5(x),1,n),16,10)`` == DuckDB
+``CAST('0x' || substr(md5(x),1,n) AS BIGINT)``. 7 hex digits -> 28-bit
+values (safe headroom for modular arithmetic in 64-bit), 15 hex digits
+-> 60-bit values (simhash width; avoids BIGINT sign overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P prime > 2^28 domain; a_i odd, b_i from a Knuth-style multiplier.
+MINHASH_P = 2147483647
+MINHASH_N = 64
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    return 2 * i + 1, (2654435761 * (i + 1)) % MINHASH_P
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def h28(col: Column) -> Column:
+    """28-bit md5-derived hash (cross-engine deterministic)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def h60(col: Column) -> Column:
+    """60-bit md5-derived hash (fits BIGINT without sign issues)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles: overlapping word windows joined by spaces."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({_n(text)}, ' ')) - {k - 1}, 0)), "
+        f"i -> array_join(slice(split({_n(text)}, ' '), i, {k}), ' '))"
+    )
+
+
+def _n(col: Column) -> str:
+    """Column -> SQL name for use inside expr() (works for simple refs)."""
+    return col._jc.toString()  # noqa: SLF001
+
+
+# SQL twins (DuckDB dialect) -------------------------------------------------
+
+H28_SQL = "CAST(('0x' || substr(md5({x}), 1, 7)) AS BIGINT)"
+H60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+SHINGLES_CTE_SQL = (
+    "SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "UNNEST(generate_series(1, len(l) - 2)) AS t(i)"
+)

@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as shuffles-on-keys (never all-pairs):
+
+- exact: hash-groupBy on a content digest — one shuffle, fully scalable.
+- n-gram Jaccard: candidate pairs via an inverted shingle index
+  (documents sharing >=1 shingle), exact Jaccard verification. The
+  shingle join is the classic "similarity join via prefix/inverted
+  index" shape: cost is sum over shingles of (docs-per-shingle choose 2),
+  not (N choose 2).
+- MinHash + LSH: 64 md5-derived permutations -> 16 bands x 4 rows ->
+  band-bucket self-join for candidates -> exact-Jaccard verification.
+  At 100 TB this is the only family that touches each document O(1)
+  times; band joins shuffle on short band-key strings.
+- SimHash: 60-bit sign-aggregated fingerprint; candidates via 15-bit
+  chunk banding (a pair within Hamming distance 3 must agree on >=1 of
+  4 chunks); verification via bit_count(xor) <= 3.
+
+Every step is deterministic (md5-derived hashes, fixed parameters), so
+each operator has an exact DuckDB oracle — including the LSH pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.text import (
+    MINHASH_N,
+    MINHASH_P,
+    h28,
+    h60,
+    minhash_params,
+    shingles,
+)
+
+N_BANDS = 16
+ROWS_PER_BAND = MINHASH_N // N_BANDS  # 4
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: one hash-aggregate.
+
+    Output: ``(text_md5, n_dups, keep_doc_id)`` — the canonical survivor
+    is the minimum doc_id per digest group.
+    """
+    return (
+        documents.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def exact_dedup_sql() -> str:
+    return """
+    SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """
+
+
+def _doc_shingles(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
+    return (
+        documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard >= threshold.
+
+    Candidates = pairs sharing >=1 shingle (inverted index join);
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+    Output: ``(d1, d2, jaccard)``.
+    """
+    sh = _doc_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
+
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter / (n1.n + n2.n - inter) AS jaccard
+    FROM inter JOIN sizes n1 ON d1 = n1.doc_id JOIN sizes n2 ON d2 = n2.doc_id
+    WHERE inter / (n1.n + n2.n - inter) >= {threshold}
+    """
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-permutation MinHash signature per document.
+
+    One aggregate over the distinct-shingle table: 64 ``min((a*h+b)%P)``
+    expressions — map-side partial aggregation collapses everything
+    before a single tiny shuffle.
+    Output: ``(doc_id, mh0..mh63)``.
+    """
+    sh = _doc_shingles(documents).withColumn("h", h28(F.col("s")))
+    aggs = []
+    for i in range(MINHASH_N):
+        a, b = minhash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql_cte() -> str:
+    from mmw_geoprocessing_spark.functions.text import H28_SQL, SHINGLES_CTE_SQL
+
+    h = H28_SQL.format(x="s")
+    aggs = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in ((i, minhash_params(i)) for i in range(MINHASH_N))
+    )
+    return (
+        f"sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})), "
+        f"hashed AS (SELECT doc_id, {h} AS h FROM sh), "
+        f"mh AS (SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id)"
+    )
+
+
+def minhash_signatures_sql() -> str:
+    return f"WITH {_minhash_sql_cte()} SELECT * FROM mh"
+
+
+def _band_key(i: int):
+    cols = [F.col(f"mh{j}").cast("string") for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)]
+    return F.concat_ws("_", *cols)
+
+
+def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification.
+
+    Signature -> 16 band keys per doc (melted to rows) -> self-join on
+    (band, key) for candidates -> exact shingle-Jaccard >= threshold.
+    Output: ``(d1, d2, jaccard)``.
+    """
+    mh = minhash_signatures(documents)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), _band_key(i).alias("bkey"))
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    verified = ngram_jaccard_pairs(documents, threshold)
+    return cand.join(verified, ["d1", "d2"], "inner").select("d1", "d2", "jaccard")
+
+
+def minhash_lsh_neardup_sql(threshold: float = 0.5) -> str:
+    from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
+
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS bkey FROM mh".format(
+            i=i,
+            key=" || '_' || ".join(
+                f"CAST(mh{j} AS VARCHAR)"
+                for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH {_minhash_sql_cte()},
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y USING (band, bkey)
+      WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT d1, d2, inter / (n1.n + n2.n - inter) AS jaccard
+      FROM inter JOIN sizes n1 ON d1 = n1.doc_id JOIN sizes n2 ON d2 = n2.doc_id
+      WHERE inter / (n1.n + n2.n - inter) >= {threshold}
+    )
+    SELECT d1, d2, jaccard FROM cand JOIN verified USING (d1, d2)
+    """
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: for each bit k, sum +-1 votes of the
+    distinct words' 60-bit hashes; bit k is set iff the vote is positive.
+    Output: ``(doc_id, simhash)``.
+    """
+    w = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .dropDuplicates(["doc_id", "w"])
+        .withColumn("h", h60(F.col("w")))
+    )
+    votes = [
+        F.sum(((F.shiftright(F.col("h"), k) % 2) * 2 - 1)).alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"s{k}") > 0, F.shiftleft(F.lit(1).cast("bigint"), k)).otherwise(F.lit(0).cast("bigint"))
+        for k in range(SIMHASH_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select("doc_id", total.alias("simhash"))
+
+
+def _simhash_sql_cte() -> str:
+    from mmw_geoprocessing_spark.functions.text import H60_SQL
+
+    h = H60_SQL.format(x="w")
+    votes = ", ".join(
+        f"SUM(((h >> {k}) % 2) * 2 - 1) AS s{k}" for k in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN (CAST(1 AS BIGINT) << {k}) ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return (
+        "wrd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+        f"hashed AS (SELECT doc_id, {h} AS h FROM wrd), "
+        f"votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id), "
+        f"simhashes AS (SELECT doc_id, {bits} AS simhash FROM votes)"
+    )
+
+
+def simhash_fingerprints_sql() -> str:
+    return f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM simhashes"
+
+
+def simhash_neardup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 15-bit chunk banding for candidates
+    (pigeonhole: hamming<=3 over 4 chunks forces an exact chunk match),
+    then bit_count(xor) verification.
+    Output: ``(d1, d2, hamming)``.
+    """
+    sh = simhash_fingerprints(documents)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk"),
+                (F.shiftright(F.col("simhash"), j * CHUNK_BITS) % (1 << CHUNK_BITS)).alias("ckey"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
+    )
+    return (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ckey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.bit_count(F.expr("x.simhash ^ y.simhash")).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_sql(max_hamming: int = 3) -> str:
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS chunk, "
+        f"(simhash >> {j * CHUNK_BITS}) % {1 << CHUNK_BITS} AS ckey FROM simhashes"
+        for j in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH {_simhash_sql_cte()},
+    chunks AS ({chunk_rows}),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM chunks x JOIN chunks y USING (chunk, ckey)
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT d1, d2, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """

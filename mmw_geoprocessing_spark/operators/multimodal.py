@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``BinaryType`` columns
+with a metadata struct; decode / feature-extract stages are Arrow-batched
+``mapInPandas`` operators. The decode itself is STUBBED in this
+container (no image/audio libs): ``decode_stub`` computes deterministic
+pseudo-features from the bytes so the Spark-side plumbing — schema,
+batching, partitioning, UDF signature — is real and testable, and
+raises ``NotImplementedError`` when a real codec is requested.
+
+At 100 TB: binary payloads dominate row size, so the operators are
+written to (a) never collect binaries to the driver, (b) project
+metadata columns before shuffles, and (c) process bytes within Arrow
+record batches (one Python crossing per batch, not per row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, sha256 string, fake_width int, fake_height int, "
+    "fake_mean_byte double"
+)
+
+
+def attach_binary(documents: DataFrame) -> DataFrame:
+    """Synthesize the binary payload column (stand-in for real media):
+    utf-8 bytes of the text plus a metadata struct. Output keeps the
+    payload opaque — the engine never inspects it outside batch UDFs."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_stub(media: DataFrame, codec: str = "stub") -> DataFrame:
+    """Arrow-batched "decode": per-batch pandas processing of the binary
+    column. ``codec='stub'`` computes deterministic pseudo-features;
+    any real codec name raises (the container ships no media libs).
+    Output: ``(doc_id, n_bytes, sha256, fake_width, fake_height,
+    fake_mean_byte)``.
+    """
+    if codec != "stub":
+        raise NotImplementedError(
+            f"codec {codec!r}: real media decoding is stubbed in this "
+            "environment; only 'stub' (deterministic pseudo-decode) runs"
+        )
+
+    def decode(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "fake_width": (n_bytes % 64 + 16).astype("int32"),
+                    "fake_height": (n_bytes % 48 + 16).astype("int32"),
+                    # integer sum / integer count -> one exact double division
+                    "fake_mean_byte": payloads.map(lambda b: sum(b)) / n_bytes,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def decode_stub_sql() -> str:
+    """DuckDB twin of the stub decode (bytes of utf-8 text)."""
+    return """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS fake_height,
+           list_reduce(list_apply(range(1, octet_length(encode(text)) + 1),
+                                  i -> ord(substr(text, i, 1))),
+                       (a, b) -> a + b) / octet_length(encode(text)) AS fake_mean_byte
+    FROM documents
+    """
+    # NOTE: byte-sum == codepoint-sum only for ASCII text, which holds for
+    # the synthetic corpus; the Spark side operates on true bytes.
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic "frame sampling" plumbing: split the payload into
+    n_frames equal byte slices and emit one row per frame with its
+    digest — the schema/partitioning shape of real video frame
+    extraction. Output: ``(doc_id, frame_idx, frame_bytes, frame_sha)``.
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = bytes(payload[i * step : (i + 1) * step])
+                    if not chunk:
+                        break
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_bytes": len(chunk),
+                            "frame_sha": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_sha"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id long, frame_idx int, frame_bytes int, frame_sha string"
+    )

@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query
+set against the full corpus; dot products computed JVM-side with
+higher-order array functions (``zip_with`` + sequential ``aggregate``
+fold), which keeps the hot loop out of Python *and* makes the float
+arithmetic order-deterministic, so the DuckDB oracle (``list_reduce``
+over ``list_zip``) matches bit-for-bit.
+
+Scale path: random-hyperplane LSH — 16 deterministic ±1 hyperplanes
+hash each vector to a 16-bit bucket; candidate search only within the
+query's bucket. At 100 TB the bucket join replaces the N×Q cross
+product; buckets are the shuffle key.
+
+A vectorized Arrow/pandas variant (numpy matmul) exists for raw
+throughput (`cosine_topk_pandas`) — same results up to float summation
+order, so it is benchmarked but oracle-checked only on row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+DIM = 64
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+DOT_SQL = (
+    "list_reduce(list_apply(list_zip({a}, {b}), t -> t[1] * t[2]), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({DOT_SQL.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: query rows (vec_id < n_queries) against
+    the whole corpus. The query side is broadcast; ranking is a window
+    partitioned by query id.
+    Output: ``(q_id, vec_id, cosine, rank)``.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_sql(n_queries: int = 20, k: int = 5) -> str:
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.q_id, c.vec_id, {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM q JOIN c ON q.q_id <> c.vec_id
+    ) WHERE rank <= {k}
+    """
+
+
+def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All-pairs cosine near-duplicates above a threshold (exact).
+
+    The v1<v2 self-join is quadratic — correct as a small-corpus oracle
+    baseline; the LSH variant below is the scale path.
+    Output: ``(v1, v2, cosine)``.
+    """
+    a = embeddings.select(F.col("vec_id").alias("v1"), _as_double(F.col("embedding")).alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("v2"), _as_double(F.col("embedding")).alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cosine(F.col("e1"), F.col("e2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_sql(threshold: float = 0.4) -> str:
+    cos = _cos_sql("a.e1", "b.e2")
+    return f"""
+    WITH a AS (SELECT vec_id AS v1, embedding::DOUBLE[] AS e1 FROM embeddings),
+         b AS (SELECT vec_id AS v2, embedding::DOUBLE[] AS e2 FROM embeddings)
+    SELECT v1, v2, {cos} AS cosine
+    FROM a JOIN b ON v1 < v2
+    WHERE {cos} >= {threshold}
+    """
+
+
+def _plane_coeff(j: int, d: int) -> float:
+    """Deterministic ±1 hyperplane coefficients (Knuth-multiplier bits)."""
+    return 1.0 if ((j * DIM + d + 1) * 2654435761) % 2147483648 % 2 == 1 else -1.0
+
+
+def _planes() -> list[list[float]]:
+    return [[_plane_coeff(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+def lsh_bucket(col: Column) -> Column:
+    """16-bit random-hyperplane bucket id for a double-array column."""
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(_planes()):
+        dot = _dot(col, F.array(*[F.lit(c) for c in plane]))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* the query's LSH
+    bucket. One equi-join on bucket id replaces the full cross product.
+    Output: ``(q_id, vec_id, cosine, rank)`` (subset of brute force).
+    """
+    from pyspark.sql import Window
+
+    with_bucket = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(with_bucket, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_lsh_topk_sql(n_queries: int = 20, k: int = 5) -> str:
+    plane_lists = _planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {DOT_SQL.format(a='v', b='[' + ', '.join(str(c) for c in plane_lists[j]) + ']::DOUBLE[]')} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    cos = _cos_sql("q.qv", "c.v")
+    return f"""
+    WITH wb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       {bucket_terms} AS bucket
+                FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id, v, bucket FROM wb)
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.q_id, c.vec_id, {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM q JOIN c USING (bucket) WHERE q.q_id <> c.vec_id
+    ) WHERE rank <= {k}
+    """
+
+
+def cosine_topk_pandas(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Arrow-vectorized brute force: numpy matmul per partition via
+    mapInPandas (the raw-throughput variant; summation order differs
+    from the fold, so no value oracle — row-count check only)."""
+    import pandas as pd  # noqa: F401
+
+    spark = embeddings.sparkSession
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import numpy as np
+
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_b, Qn_b = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].values).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Qn_b @ Mn.T  # (q, batch)
+            n_q, n_m = S.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids_b, n_m),
+                    "vec_id": np.tile(pdf["vec_id"].values, n_q),
+                    "cosine": S.ravel(),
+                }
+            )
+            yield out[out.q_id != out.vec_id]
+
+    from pyspark.sql import Window
+
+    scores = embeddings.select("vec_id", "embedding").mapInPandas(
+        compute, "q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

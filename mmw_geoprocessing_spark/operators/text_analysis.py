@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines.
+
+All computation stays JVM-side (built-in string/array/regexp functions,
+higher-order array folds) — no Python UDFs in any hot path. Ratios are
+single divisions of exact integers, so they hash identically across
+engines without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.text import h60
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic argmax tiebreak
+
+
+def _wordlist(col):
+    return F.split(col, " ")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + regex token classes (BPE-ish pre-tokenizer
+    counts). Output: ``(doc_id, ws_tokens, alpha_tokens, num_tokens)``.
+    """
+    return documents.select(
+        "doc_id",
+        F.size(_wordlist(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).alias("alpha_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("num_tokens"),
+    )
+
+
+def token_counts_sql() -> str:
+    return """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS num_tokens
+    FROM documents
+    """
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, lexical diversity, mean word
+    length, stopword density — the standard pre-filter stack for web
+    corpora. Output: ``(doc_id, n_words, n_distinct, distinct_ratio,
+    avg_word_len, stopword_ratio)``.
+    """
+    wl = _wordlist(F.col("text"))
+    n_words = F.size(wl)
+    n_distinct = F.size(F.array_distinct(wl))
+    sum_len = F.aggregate(
+        F.transform(wl, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    en = STOPWORDS["en"]
+    n_stop = F.size(F.filter(wl, lambda w: w.isin(*en)))
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct / n_words).alias("distinct_ratio"),
+        (sum_len / n_words).alias("avg_word_len"),
+        (n_stop / n_words).alias("stopword_ratio"),
+    )
+
+
+def quality_scores_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           CAST(len(l) AS INT) AS n_words,
+           CAST(len(list_distinct(l)) AS INT) AS n_distinct,
+           len(list_distinct(l)) / len(l) AS distinct_ratio,
+           list_reduce(list_apply(l, w -> length(w)), (a, b) -> a + b) / len(l) AS avg_word_len,
+           len(list_filter(l, w -> w IN ({en}))) / len(l) AS stopword_ratio
+    FROM base
+    """
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language guess (n-gram-free heuristic): count
+    stopword hits per language, argmax with a fixed tiebreak order.
+    Output: ``(doc_id, lang_guess, score_en, score_es, score_fr,
+    score_de)``.
+    """
+    wl = _wordlist(F.col("text"))
+
+    def _score(ws: list[str]):
+        # one-arg lambda via closure: a default-arg lambda would make
+        # PySpark treat it as a two-arg (element, index) HOF callback
+        return F.size(F.filter(wl, lambda w: w.isin(*ws)))
+
+    scores = {lang: _score(ws) for lang, ws in STOPWORDS.items()}
+    best = None
+    for lang in LANG_ORDER:
+        cond = (scores[lang] > 0) & F.lit(True)
+        for other in LANG_ORDER:
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        piece = F.when(cond, F.lit(lang))
+        best = piece if best is None else best.when(cond, F.lit(lang))
+    guess = best.otherwise(F.lit("unknown"))
+    return documents.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+    )
+
+
+def lang_id_sql() -> str:
+    score_exprs = {
+        lang: f"len(list_filter(l, w -> w IN ({', '.join(chr(39) + w + chr(39) for w in ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    sel = ", ".join(f"{e} AS score_{lang}" for lang, e in score_exprs.items())
+    cases = []
+    for lang in LANG_ORDER:
+        conds = [f"score_{lang} > 0"]
+        for other in LANG_ORDER:
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                conds.append(f"score_{lang} > score_{other}")
+            elif other != lang:
+                conds.append(f"score_{lang} >= score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    scored AS (SELECT doc_id, {sel} FROM base)
+    SELECT doc_id, {case_sql} AS lang_guess,
+           CAST(score_en AS INT) AS score_en, CAST(score_es AS INT) AS score_es,
+           CAST(score_fr AS INT) AS score_fr, CAST(score_de AS INT) AS score_de
+    FROM scored
+    """
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 digest of the normalized text plus a
+    60-bit rolling-style hash of the first/last words (cheap locality
+    signal). Output: ``(doc_id, fp_md5, fp_head)``.
+    """
+    wl = _wordlist(F.lower(F.col("text")))
+    head = F.concat_ws(" ", F.element_at(wl, 1), F.element_at(wl, 2), F.element_at(wl, -1))
+    return documents.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fp_md5"),
+        h60(head).alias("fp_head"),
+    )
+
+
+def fingerprints_sql() -> str:
+    from mmw_geoprocessing_spark.functions.text import H60_SQL
+
+    h = H60_SQL.format(x="l[1] || ' ' || l[2] || ' ' || l[-1]")
+    return f"""
+    WITH base AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS l
+                  FROM documents)
+    SELECT doc_id, md5(lt) AS fp_md5, {h} AS fp_head
+    FROM base
+    """
