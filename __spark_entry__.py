@@ -23,6 +23,7 @@ from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
+from mmw_geoprocessing_spark.streaming import windows as sw
 
 # ---------------------------------------------------------------------------
 # Zonal fixture wiring: the reference's 7-template benchmark suite
@@ -252,14 +253,31 @@ _LLM_ORACLES: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Event-time windowing (streaming semantics, batch-checkable).
+# ---------------------------------------------------------------------------
+
+_STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling_window": lambda s, d: sw.tumbling_counts(_t(s, d)["events"]),
+    "events_sliding_window": lambda s, d: sw.sliding_counts(_t(s, d)["events"]),
+    "events_session_window": lambda s, d: sw.session_windows(_t(s, d)["events"]),
+}
+
+_STREAM_ORACLES: dict[str, str] = {
+    "events_tumbling_window": sw.tumbling_counts_sql(),
+    "events_sliding_window": sw.sliding_counts_sql(),
+    "events_session_window": sw.session_windows_sql(),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal histogram (RasterGroupedCount) at sf0.001."""
     return _q_grouped_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES, **_LLM_QUERIES}
+    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES, **_LLM_QUERIES, **_STREAM_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES, **_LLM_ORACLES}
+    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES, **_LLM_ORACLES, **_STREAM_ORACLES}

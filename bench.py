@@ -1,0 +1,82 @@
+"""Benchmark harness — reference protocol (5 runs per case, mean of
+wall-clock seconds; reference scripts/benchmark-sync:38-49) over the
+engine's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total mean sec>, "unit": "sec",
+   "queries": {name: mean_sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # zonal surface (the reference's workload shapes)
+    "raster_grouped_count",
+    "raster_grouped_count_many",
+    "raster_grouped_average",
+    "raster_lines_join",
+    "raster_summary",
+    "multi_operation",
+    # relational surface
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "window_running_total",
+    # LLM pipeline
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    # event-time windows
+    "events_session_window",
+]
+
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from mmw_geoprocessing_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm-up (JIT, catalog, file listing)
+        times = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            times.append(time.time() - t0)
+        results[name] = round(sum(times) / len(times), 4)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_mean_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "runs": RUNS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

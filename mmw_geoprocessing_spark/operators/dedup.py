@@ -179,8 +179,28 @@ def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFra
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    verified = ngram_jaccard_pairs(documents, threshold)
-    return cand.join(verified, ["d1", "d2"], "inner").select("d1", "d2", "jaccard")
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # whole point of LSH: never touch the full pair space
+    sh = _doc_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        cand.join(a, "d1")
+        .join(b, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_neardup_sql(threshold: float = 0.5) -> str:

@@ -1,0 +1,162 @@
+"""Request dispatch — parity with the reference's /run, /multi, /ping
+endpoints (reference WebServer.scala:64-111) as plain Python functions.
+
+The dispatch table, conditional-field validation, result-key format
+(``"List(v1, v2)"``), nested /multi shape, and the typed 400 taxonomy all
+mirror the reference; plug an HTTP layer (FastAPI/Flask) over these for
+wire parity — the engine itself is transport-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from mmw_geoprocessing_spark import geometry
+from mmw_geoprocessing_spark.errors import (
+    InvalidOperationError,
+    MissingStreamLinesError,
+    MissingTargetRasterError,
+    MissingVectorError,
+)
+from mmw_geoprocessing_spark.operators import zonal
+from mmw_geoprocessing_spark.plans.model import VALID_OPERATIONS, InputData, MultiInput
+from mmw_geoprocessing_spark.sources import fixtures as fx
+
+
+def ping() -> str:
+    """GET /ping (WebServer.scala:70-74)."""
+    return "pong"
+
+
+def _mask(spark: SparkSession, input_data: InputData):
+    if input_data.aoi_ids:
+        if len(input_data.aoi_ids) == 1:
+            return fx.mask_df(spark, input_data.aoi_ids[0])
+        many = fx.mask_all_df(spark)
+        return many.filter(many.aoi_id.isin(input_data.aoi_ids)).drop("aoi_id")
+    if input_data.shape_geojson:
+        geometry.validate_crs(input_data.shape_crs)
+        polys = [p for g in input_data.shape_geojson for p in geometry.parse_multipolygon(g)]
+        return geometry.rasterize_polygons(spark, polys, input_data.pixel_is_area)
+    raise MissingVectorError("operation requires an AOI (aoi_ids or shape GeoJSON)")
+
+
+def _lines(spark: SparkSession, input_data: InputData):
+    if input_data.use_line_pixels:
+        return fx.line_pixels_df(spark)
+    if input_data.stream_lines_geojson:
+        lines = []
+        import json
+
+        for g in input_data.stream_lines_geojson:
+            geo = json.loads(g)
+            if geo.get("type") == "LineString":
+                lines.append([tuple(p) for p in geo["coordinates"]])
+            elif geo.get("type") == "MultiLineString":
+                lines.extend([[tuple(p) for p in line] for line in geo["coordinates"]])
+        return geometry.rasterize_lines(spark, lines)
+    raise MissingStreamLinesError("RasterLinesJoin requires streamLines")
+
+
+def run_request(spark: SparkSession, input_data: InputData) -> dict:
+    """POST /run (WebServer.scala:76-93): dispatch on operationType,
+    return the reference's ``{"List(...)": value}`` JSON shape."""
+    op = input_data.operation_type
+    if op not in VALID_OPERATIONS:
+        raise InvalidOperationError(f"invalid operationType {op!r}")
+
+    layers = [fx.raster_df(spark, r) for r in input_data.rasters]
+
+    if op == "RasterGroupedCount":
+        if not layers:
+            raise MissingVectorError("RasterGroupedCount requires rasters")
+        df = zonal.raster_grouped_count(layers, _mask(spark, input_data))
+        return {r["list_key"]: r["cnt"] for r in df.collect()}
+
+    if op == "RasterGroupedCountMany":
+        if not input_data.aoi_ids:
+            raise MissingVectorError("RasterGroupedCountMany requires aoi_ids")
+        mask_many = fx.mask_all_df(spark)
+        mask_many = mask_many.filter(mask_many.aoi_id.isin(input_data.aoi_ids))
+        df = zonal.raster_grouped_count_many(layers, mask_many)
+        rows = df.collect()
+        # input-polygon order preserved (Geoprocessing.scala:124)
+        return {
+            aoi: {r["list_key"]: r["cnt"] for r in rows if r["aoi_id"] == aoi}
+            for aoi in input_data.aoi_ids
+        }
+
+    if op in ("RasterGroupedAverage", "RasterGroupedSum"):
+        if not input_data.target_raster:
+            raise MissingTargetRasterError(f"{op} requires targetRaster")
+        target = fx.raster_df(spark, input_data.target_raster)
+        mask = _mask(spark, input_data)
+        if op == "RasterGroupedSum":
+            df = zonal.raster_grouped_sum(layers, target, mask)
+            return {r["list_key"]: r["sum_value"] for r in df.collect()}
+        if not layers:  # ungrouped average path (Geoprocessing.scala:61,148)
+            df = zonal.raster_average(target, mask)
+            return {r["list_key"]: r["avg_value"] for r in df.collect()}
+        df = zonal.raster_grouped_average(layers, target, mask)
+        return {r["list_key"]: r["avg_value"] for r in df.collect()}
+
+    if op == "RasterLinesJoin":
+        if not layers:
+            raise MissingVectorError("RasterLinesJoin requires rasters")
+        df = zonal.raster_lines_join(layers, _lines(spark, input_data), _mask(spark, input_data))
+        return {r["list_key"]: r["cnt"] for r in df.collect()}
+
+    if op == "RasterSummary":
+        targets = [fx.raster_df(spark, r) for r in input_data.rasters]
+        if not targets:
+            raise MissingVectorError("RasterSummary requires rasters")
+        df = zonal.raster_summary(targets, _mask(spark, input_data))
+        rows = sorted(df.collect(), key=lambda r: r["raster_idx"])
+        # input-raster order preserved (Geoprocessing.scala:422-423)
+        return [
+            {"min": r["min_value"], "avg": r["avg_value"], "max": r["max_value"]}
+            for r in rows
+        ]
+
+    raise InvalidOperationError(op)  # unreachable
+
+
+def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
+    """POST /multi (Geoprocessing.scala:21-89): shapes x operations with
+    shared raster scans; nested ``{shape: {label: result}}`` output.
+    Shapes that produce empty results emit ``{}`` (CHANGELOG.md:66-79).
+    """
+    # share each distinct raster's DataFrame across all (shape, op) pairs —
+    # the reference's one-fetch-per-raster optimization (CHANGELOG.md:82-91)
+    distinct = {r for o in multi.operations for r in o.rasters} | {
+        o.target_raster for o in multi.operations if o.target_raster
+    }
+    cache = {r: fx.raster_df(spark, r).cache() for r in distinct}
+
+    out: dict[str, dict] = {shape: {} for shape in multi.shapes}
+    for shape in multi.shapes:
+        mask = fx.mask_df(spark, shape)
+        for op in multi.operations:
+            layers = [cache[r] for r in op.rasters]
+            if op.name == "RasterGroupedCount":
+                df = zonal.raster_grouped_count(layers, mask)
+                res = {r["list_key"]: float(r["cnt"]) for r in df.collect()}
+            elif op.name in ("RasterGroupedAverage", "RasterGroupedSum"):
+                target = cache[op.target_raster]
+                if op.name == "RasterGroupedSum":
+                    df = zonal.raster_grouped_sum(layers, target, mask)
+                    res = {r["list_key"]: r["sum_value"] for r in df.collect()}
+                elif not layers:
+                    df = zonal.raster_average(target, mask)
+                    res = {r["list_key"]: r["avg_value"] for r in df.collect()}
+                else:
+                    df = zonal.raster_grouped_average(layers, target, mask)
+                    res = {r["list_key"]: r["avg_value"] for r in df.collect()}
+            elif op.name == "RasterLinesJoin":
+                df = zonal.raster_lines_join(layers, fx.line_pixels_df(spark), mask)
+                res = {r["list_key"]: float(r["cnt"]) for r in df.collect()}
+            else:
+                raise InvalidOperationError(f"/multi does not support {op.name!r}")
+            if res:
+                out[shape][op.label] = res
+    return out

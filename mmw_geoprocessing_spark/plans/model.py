@@ -1,0 +1,62 @@
+"""Request documents — the engine's "query language", mirroring the
+reference's JSON schema (reference WebServer.scala:11-49).
+
+``InputData`` (10 fields, WebServer.scala:11-22) drives ``/run``;
+``MultiInput`` (WebServer.scala:45-49) drives ``/multi``. In this engine
+AOIs/streams may be given either as GeoJSON (geometry path: parsed,
+reprojected, rasterized) or as pre-rasterized mask/line table ids
+(the fixture path used by the oracle suite).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+VALID_CRS = {"LatLng", "WebMercator", "ConusAlbers"}  # Utils.scala:208-213
+
+VALID_OPERATIONS = {
+    "RasterGroupedCount",
+    "RasterGroupedCountMany",
+    "RasterGroupedAverage",
+    "RasterGroupedSum",
+    "RasterLinesJoin",
+    "RasterSummary",
+}  # WebServer.scala:78-93 dispatch + historical O8
+
+
+@dataclass
+class InputData:
+    """Reference InputData (WebServer.scala:11-22)."""
+
+    operation_type: str
+    rasters: list[str] = field(default_factory=list)
+    target_raster: str | None = None
+    # geometry path
+    shape_geojson: list[str] | None = None
+    shape_crs: str | None = None
+    stream_lines_geojson: list[str] | None = None
+    # pre-rasterized path (engine extension)
+    aoi_ids: list[str] | None = None
+    use_line_pixels: bool = False
+    pixel_is_area: bool = False  # Utils.scala:109-118
+    zoom: int = 0  # accepted for schema parity; layout is fixed in fixtures
+
+
+@dataclass
+class Operation:
+    """One op inside /multi (WebServer.scala:34-43)."""
+
+    name: str  # operationType
+    label: str
+    rasters: list[str] = field(default_factory=list)
+    target_raster: str | None = None
+    pixel_is_area: bool = False
+
+
+@dataclass
+class MultiInput:
+    """Reference MultiInput (WebServer.scala:45-49)."""
+
+    shapes: list[str]  # aoi ids (or GeoJSON when geometry path is active)
+    operations: list[Operation] = field(default_factory=list)
+    shape_crs: str | None = "LatLng"

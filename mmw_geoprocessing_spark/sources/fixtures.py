@@ -201,13 +201,35 @@ def with_fixtures(body: str, *names: str, extra_ctes: str = "") -> str:
     return f"WITH {ctes} {body}"
 
 
+# (session id, sf_dir, name) -> cached DataFrame. Fixture relations are
+# deterministic functions of the immutable driver tables; caching them is
+# the analogue of the reference's one-fetch-per-raster scan sharing
+# (Geoprocessing.scala:28-37, CHANGELOG.md:82-91).
+_FIXTURE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_ACTIVE_DIR: dict[int, str] = {}
+
+
+def set_active_dir(sf_dir: str, spark_id: int | None = None) -> None:
+    _ACTIVE_DIR[spark_id or 0] = sf_dir
+
+
 def fixture_df(spark: SparkSession, name: str) -> DataFrame:
-    """Materialize one fixture relation as a DataFrame.
+    """Materialize one fixture relation as a DataFrame (cached per
+    session + sf_dir).
 
     Requires the base tables to be registered as temp views
     (see ``sources.tables.register_views``).
     """
-    return spark.sql(with_fixtures(f"SELECT * FROM {name}", name))
+    sf_dir = _ACTIVE_DIR.get(0, "")
+    key = (id(spark), sf_dir, name)
+    if key not in _FIXTURE_CACHE:
+        # localCheckpoint (not just cache): truncates the derivation
+        # lineage so downstream queries plan against a leaf relation —
+        # otherwise Catalyst re-analyzes the full CTE tree (windows,
+        # 10-branch unions) on every new query, which dominates latency.
+        df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()
+        _FIXTURE_CACHE[key] = df
+    return _FIXTURE_CACHE[key]
 
 
 def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:

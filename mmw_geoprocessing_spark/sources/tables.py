@@ -31,6 +31,11 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session id, sf_dir) -> {table: DataFrame}; the tables are immutable
+# driver fixtures, so memoizing the readers is safe and avoids re-listing
+# and re-deriving per query call.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -45,12 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    return _TABLE_CACHE[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (for spark.sql plans)."""
+    from mmw_geoprocessing_spark.sources import fixtures
+
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    fixtures.set_active_dir(sf_dir)
     return dfs

@@ -1,0 +1,201 @@
+"""Structured Streaming surface: tumbling / sliding / session windows,
+watermark-based late-data handling, and a custom stateful operator.
+
+The reference is purely synchronous request/response (WebServer.scala:
+64-111) — streaming is a capability extension (SURVEY.md §2.3 row
+"Streaming"). Every window shape is defined once and runs both as a
+batch DataFrame plan (for the DuckDB oracle) and as a streaming plan
+over ``readStream`` (tested with the availableNow trigger, which drains
+a source and stops — deterministic end state).
+
+Event-time semantics: window starts are epoch-aligned, so results are
+independent of partitioning and arrival order; the batch and streaming
+plans produce identical rows once the stream drains. Aggregated values
+use the same DECIMAL-sum determinism rules as the relational surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def _epoch(col):
+    return F.unix_timestamp(col).cast("bigint")
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time windows per event type.
+
+    Output: ``(win_start BIGINT epoch, event_type, cnt, sum_value)``.
+    """
+    w = F.window(F.col("ts"), width)
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(_epoch(F.col("w.start")).alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def tumbling_counts_sql(width_min: int = 5) -> str:
+    return f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL {width_min} MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding windows (width 10, slide 5): each event lands in 2 windows.
+
+    Output: ``(win_start BIGINT epoch, cnt, sum_value)``.
+    """
+    w = F.window(F.col("ts"), width, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(_epoch(F.col("w.start")).alias("win_start"), "cnt", "sum_value")
+    )
+
+
+def sliding_counts_sql(width_min: int = 10, slide_min: int = 5) -> str:
+    # an event at ts belongs to slide-aligned starts {bucket(ts), bucket(ts)-slide}
+    # that satisfy start <= ts < start + width
+    return f"""
+    WITH starts AS (
+      SELECT epoch(time_bucket(INTERVAL {slide_min} MINUTE, CAST(ts AS TIMESTAMP)))
+               - (i * {slide_min * 60}) AS win_start,
+             value
+      FROM events, UNNEST(generate_series(0, {width_min // slide_min - 1})) AS t(i)
+      WHERE epoch(time_bucket(INTERVAL {slide_min} MINUTE, CAST(ts AS TIMESTAMP)))
+              - (i * {slide_min * 60}) + {width_min * 60} > epoch(CAST(ts AS TIMESTAMP))
+    )
+    SELECT CAST(win_start AS BIGINT) AS win_start, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY 1
+    """
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge.
+
+    Output: ``(user_id, session_start BIGINT epoch, n_events, last_ts
+    BIGINT epoch)``.
+    """
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(F.col("user_id"), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            _epoch(F.col("w.start")).alias("session_start"),
+            "n_events",
+            _epoch(F.col("last_ts")).alias("last_ts"),
+        )
+    )
+
+
+def session_windows_sql(gap_min: int = 10) -> str:
+    # classic gaps-and-islands; session start must truncate to whole epoch
+    # seconds to match Spark's unix_timestamp(start) (micros truncation)
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL {gap_min} MINUTE THEN 1
+                  WHEN LAG(CAST(ts AS TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts
+    FROM numbered GROUP BY user_id, session_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# True streaming plans (readStream); exercised by tests with availableNow.
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark, source_dir: str) -> DataFrame:
+    """File-source stream over parquet event chunks (micro-batched)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+
+
+def stream_tumbling_counts(
+    stream: DataFrame, width: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming tumbling aggregate with a watermark: state for windows
+    older than the watermark is evicted; later-than-watermark events are
+    dropped — the standard bounded-state construction."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(_epoch(F.col("w.start")).alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def stream_session_windows(stream: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", _epoch(F.col("w.start")).alias("session_start"), "n_events")
+    )
+
+
+def stream_running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count carried in explicit group state (the shape a
+    bespoke sketch/accumulator would take)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return (
+        stream.selectExpr("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

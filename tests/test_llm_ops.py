@@ -1,0 +1,87 @@
+"""Semantic checks for the LLM-pipeline operators (beyond hash parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import multimodal as mm
+from mmw_geoprocessing_spark.operators import similarity as sim
+from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, tables):
+    docs = tables["documents"].limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = dd.exact_dedup(docs.unionAll(dup))
+    rows = out.collect()
+    assert all(r["n_dups"] == 2 for r in rows)
+    assert all(r["keep_doc_id"] < 1_000_000 for r in rows)  # min-id survivor
+
+
+def test_minhash_lsh_recall_on_exact_dups(spark, tables):
+    """An exact duplicate (Jaccard 1.0) must always be an LSH candidate."""
+    docs = tables["documents"].limit(30)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = dd.minhash_lsh_neardup(docs.unionAll(dup)).collect()
+    found = {(r["d1"], r["d2"]) for r in pairs}
+    for r in docs.select("doc_id").collect():
+        assert (r["doc_id"], r["doc_id"] + 1_000_000) in found
+
+
+def test_ngram_jaccard_bounds(spark, tables):
+    pairs = dd.ngram_jaccard_pairs(tables["documents"], threshold=0.0).limit(500).collect()
+    assert pairs and all(0.0 < r["jaccard"] <= 1.0 for r in pairs)
+    assert all(r["d1"] < r["d2"] for r in pairs)
+
+
+def test_cosine_topk_is_ordered_and_bounded(spark, tables):
+    rows = sim.cosine_topk(tables["embeddings"], n_queries=5, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) == 3
+        assert all(-1.0000001 <= r["cosine"] <= 1.0000001 for r in rs)
+        assert all(a["cosine"] >= b["cosine"] for a, b in zip(rs, rs[1:]))
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_ann_lsh_is_subset_of_corpus(spark, tables):
+    rows = sim.ann_lsh_topk(tables["embeddings"], n_queries=5, k=3).collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+
+
+def test_quality_scores_ranges(spark, tables):
+    rows = ta.quality_scores(tables["documents"]).collect()
+    for r in rows:
+        assert r["n_words"] > 0
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert 0 <= r["stopword_ratio"] <= 1.0
+        assert r["avg_word_len"] > 0
+
+
+def test_lang_id_deterministic_and_known(spark, tables):
+    rows = ta.lang_id(tables["documents"]).collect()
+    assert all(r["lang_guess"] in {"en", "es", "fr", "de", "unknown"} for r in rows)
+
+
+def test_multimodal_roundtrip_consistency(spark, tables):
+    """Binary plumbing: stub decode's n_bytes equals the payload length
+    and frame bytes sum to <= n_bytes."""
+    media = mm.attach_binary(tables["documents"].limit(20))
+    decoded = {r["doc_id"]: r for r in mm.decode_stub(media).collect()}
+    n_chars = {r["doc_id"]: r["n_chars"] for r in tables["documents"].limit(20).collect()}
+    for doc_id, r in decoded.items():
+        assert r["n_bytes"] == n_chars[doc_id]  # ASCII corpus: bytes == chars
+        assert 0 <= r["fake_mean_byte"] <= 255
+    frames = mm.frame_sample(media).groupBy("doc_id").agg(F.sum("frame_bytes").alias("b")).collect()
+    for r in frames:
+        assert r["b"] <= decoded[r["doc_id"]]["n_bytes"]
+
+
+def test_frame_sample_emits_n_frames(spark, tables):
+    media = mm.attach_binary(tables["documents"].limit(5))
+    counts = mm.frame_sample(media, n_frames=4).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)

@@ -1,0 +1,129 @@
+"""Structured Streaming: file-source micro-batches with availableNow
+must converge to the batch plan's answer; stateful operator carries
+per-group state across batches."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.streaming import windows as sw
+
+
+def _chunked_events_dir(spark, tables, n_chunks: int = 3) -> str:
+    """Split events into n parquet chunk files (out-of-order arrival)."""
+    out = tempfile.mkdtemp(prefix="events_stream_")
+    ev = tables["events"].withColumn("chunk", F.col("event_id") % n_chunks)
+    for i in range(n_chunks):
+        ev.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    return out
+
+
+def test_stream_tumbling_equals_batch(spark, tables):
+    src = _chunked_events_dir(spark, tables)
+    stream = sw.stream_events(spark, src)
+    q = (
+        sw.stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.cnt, r.sum_value)
+        for r in sw.tumbling_counts(tables["events"]).collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows_run(spark, tables):
+    src = _chunked_events_dir(spark, tables)
+    q = (
+        sw.stream_session_windows(sw.stream_events(spark, src))
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM session_out")
+    batch = sw.session_windows(tables["events"])
+    # streaming session windows must merge to the same session count
+    assert got.count() == batch.count()
+
+
+def test_stateful_running_counts(spark, tables):
+    src = _chunked_events_dir(spark, tables)
+    q = (
+        sw.stream_running_user_counts(sw.stream_events(spark, src))
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user equals the total event count per user
+    final = (
+        spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM stateful_out GROUP BY user_id"
+        )
+        .collect()
+    )
+    want = {
+        r.user_id: r.n
+        for r in tables["events"].groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.user_id: r.n for r in final}
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark, tables):
+    """Late (beyond-watermark) rows must not create new old windows once
+    the watermark has advanced past them."""
+    out = tempfile.mkdtemp(prefix="late_stream_")
+    ev = tables["events"]
+    recent = ev.orderBy(F.col("ts").desc()).limit(100)
+    late = ev.orderBy(F.col("ts").asc()).limit(50)
+    recent.coalesce(1).write.mode("append").parquet(out)
+
+    stream = sw.stream_events(spark, out)
+    q = (
+        sw.stream_tumbling_counts(stream, watermark="1 minutes")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        time.sleep(8)  # first micro-batch advances the watermark to max(ts)-1m
+        late.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(8)
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT DISTINCT win_start FROM late_out").collect()
+    late_windows = {
+        r.win_start for r in sw.tumbling_counts(late).select("win_start").distinct().collect()
+    }
+    recent_windows = {
+        r.win_start for r in sw.tumbling_counts(recent).select("win_start").distinct().collect()
+    }
+    emitted_set = {r.win_start for r in emitted}
+    # windows that exist only in the late chunk must have been dropped
+    only_late = late_windows - recent_windows
+    assert not (emitted_set & only_late)
+    assert os.path.isdir(out)

@@ -1,0 +1,113 @@
+"""Zonal-operator semantics pinned to the reference's correctness traps
+(SURVEY.md §2.4 / FIXTURES.md §7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.nodata import NODATA_INT
+from mmw_geoprocessing_spark.operators import zonal
+from mmw_geoprocessing_spark.sources import fixtures as fx
+
+
+def test_grouped_count_totals_equal_mask_size(spark, tables):
+    """Property: histogram counts sum to the mask's pixel count."""
+    layers = [fx.raster_df(spark, r) for r in ("nlcd", "soil")]
+    mask = fx.mask_df(spark, "huc8_01")
+    hist = zonal.raster_grouped_count(layers, mask)
+    assert hist.agg(F.sum("cnt")).collect()[0][0] == mask.count()
+
+
+def test_nodata_participates_in_keys(spark, tables):
+    """NODATA ints must appear inside group keys (CHANGELOG.md:61-63)."""
+    layers = [fx.raster_df(spark, r) for r in ("nlcd", "gwn")]
+    hist = zonal.raster_grouped_count(layers, fx.mask_df(spark, "huc8_01"))
+    keys = [r["list_key"] for r in hist.collect()]
+    assert any(str(NODATA_INT) in k for k in keys)
+
+
+def test_average_counts_nodata_as_zero(spark, tables):
+    """O3: avg(coalesce(v, 0)) over ALL mask pixels, not avg(v)
+    (Geoprocessing.scala:265-270)."""
+    target = fx.raster_df(spark, "slope")
+    mask = fx.mask_df(spark, "huc8_01")
+    got = zonal.raster_average(target, mask).collect()[0]
+    joined = mask.join(target, on=zonal.PIXEL_KEY, how="left")
+    total = joined.agg(F.sum(F.coalesce(F.col("value"), F.lit(0.0)))).collect()[0][0]
+    n = mask.count()
+    assert got["list_key"] == "List(0)"
+    assert abs(got["avg_value"] - total / n) < 1e-12
+    # and it differs from the NODATA-skipping mean (sanity that the trap bites)
+    naive = joined.agg(F.avg("value")).collect()[0][0]
+    assert abs(got["avg_value"] - naive) > 1e-9
+
+
+def test_grouped_average_with_no_groups_equals_average(spark, tables):
+    """Property: O4 with a constant group == O3 value."""
+    target = fx.raster_df(spark, "awc")
+    mask = fx.mask_df(spark, "huc8_01")
+    o3 = zonal.raster_average(target, mask).collect()[0]["avg_value"]
+    const_layer = fx.raster_df(spark, "nlcd").withColumn("value", F.lit(1))
+    o4 = zonal.raster_grouped_average([const_layer], target, mask).collect()
+    assert len(o4) == 1 and abs(o4[0]["avg_value"] - o3) < 1e-12
+
+
+def test_lines_join_dedups_shared_pixels(spark, tables):
+    """O5 counts distinct pixels, not line crossings
+    (Geoprocessing.scala:225-227)."""
+    layers = [fx.raster_df(spark, "nlcd")]
+    lines = fx.line_pixels_df(spark)
+    mask = fx.mask_df(spark, "huc8_01")
+    total = (
+        zonal.raster_lines_join(layers, lines, mask)
+        .agg(F.sum("cnt")).collect()[0][0]
+    )
+    distinct_pixels = (
+        lines.join(mask, on=zonal.PIXEL_KEY, how="left_semi")
+        .dropDuplicates(zonal.PIXEL_KEY)
+        .count()
+    )
+    raw_rows = lines.join(mask, on=zonal.PIXEL_KEY, how="inner").count()
+    assert total == distinct_pixels
+    assert raw_rows > distinct_pixels  # fixtures guarantee shared pixels
+
+
+def test_empty_aoi_yields_empty_not_error(spark, tables):
+    """CHANGELOG.md:66-79: no intersecting lines -> {} not an error."""
+    out = zonal.raster_lines_join(
+        [fx.raster_df(spark, "nlcd")],
+        fx.line_pixels_df(spark),
+        fx.mask_df(spark, "huc12_empty"),
+    )
+    assert out.count() == 0
+
+
+def test_summary_minmax_skip_nodata_avg_counts_all(spark, tables):
+    """O6 asymmetry (Utils.scala:266-284 vs Geoprocessing.scala:427)."""
+    target = fx.raster_df(spark, "slope")
+    mask = fx.mask_df(spark, "huc8_01")
+    row = zonal.raster_summary([target], mask).collect()[0]
+    joined = mask.join(target, on=zonal.PIXEL_KEY, how="left")
+    assert row["min_value"] == joined.agg(F.min("value")).collect()[0][0]
+    assert row["max_value"] == joined.agg(F.max("value")).collect()[0][0]
+    n = mask.count()
+    s = joined.agg(F.sum(F.coalesce(F.col("value"), F.lit(0.0)))).collect()[0][0]
+    assert abs(row["avg_value"] - s / n) < 1e-12
+
+
+def test_summary_preserves_input_order(spark, tables):
+    targets = [fx.raster_df(spark, r) for r in ("kfactor", "slope", "awc")]
+    rows = zonal.raster_summary(targets, fx.mask_df(spark, "huc8_01")).collect()
+    assert [r["raster_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_full_outer_layer_join_fills_nodata(spark, tables):
+    """Missing tiles -> NODATA-filled join (Utils.scala:221-232)."""
+    joined = zonal.join_layers(
+        [fx.raster_df(spark, "nlcd"), fx.raster_df(spark, "gwn")]
+    )
+    # gwn is absent for key_col % 4 == 3: every such pixel must carry NODATA
+    missing = joined.filter((F.col("key_col") % 4 == 3) & (F.col("v2") != NODATA_INT))
+    assert missing.count() == 0
+    present = joined.filter((F.col("key_col") % 4 == 3)).count()
+    assert present > 0
