@@ -18,6 +18,7 @@ from mmw_geoprocessing_spark import oracle
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import relational as rel
+from mmw_geoprocessing_spark.operators import relational_ext as rex
 from mmw_geoprocessing_spark.operators import similarity as sim
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
@@ -209,6 +210,42 @@ _RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+_REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_rank_family": lambda s, d: rex.window_rank_family(_t(s, d)["orders"]),
+    "window_range_frame": lambda s, d: rex.window_range_frame(_t(s, d)["orders"]),
+    "window_first_last": lambda s, d: rex.window_first_last(_t(s, d)["orders"]),
+    "exact_percentiles": lambda s, d: rex.exact_percentiles(_t(s, d)["orders"]),
+    "approx_distinct": lambda s, d: rex.approx_distinct(
+        *(lambda t: (t["orders"], t["lineitem"]))(_t(s, d))
+    ),
+    "string_agg_ordered": lambda s, d: rex.string_agg_ordered(
+        *(lambda t: (t["customer"], t["nation"]))(_t(s, d))
+    ),
+    "min_by_max_by": lambda s, d: rex.min_by_max_by(_t(s, d)["orders"]),
+    "conditional_aggregates": lambda s, d: rex.conditional_aggregates(_t(s, d)["lineitem"]),
+    "correlated_subquery": lambda s, d: rex.correlated_subquery(s, _t(s, d)["customer"]),
+    "cross_join_dims": lambda s, d: rex.cross_join_dims(
+        *(lambda t: (t["region"], t["nation"]))(_t(s, d))
+    ),
+    "pandas_udf_showcase": lambda s, d: rex.pandas_udf_showcase(_t(s, d)["orders"]),
+}
+
+_REL_EXT_ORACLES: dict[str, str] = {
+    "window_rank_family": rex.window_rank_family_sql(),
+    "window_range_frame": rex.window_range_frame_sql(),
+    "window_first_last": rex.window_first_last_sql(),
+    "exact_percentiles": rex.exact_percentiles_sql(),
+    # approx_distinct: HLL sketch is engine-specific -> rows-only check;
+    # the error-bound contract is asserted in tests/test_relational_ext.py
+    "string_agg_ordered": rex.string_agg_ordered_sql(),
+    "min_by_max_by": rex.min_by_max_by_sql(),
+    "conditional_aggregates": rex.conditional_aggregates_sql(),
+    "correlated_subquery": rex.correlated_subquery_sql(),
+    "cross_join_dims": rex.cross_join_dims_sql(),
+    "pandas_udf_showcase": rex.pandas_udf_showcase_sql(),
+}
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (dedup / similarity / text analysis /
 # multimodal) over the documents and embeddings tables.
@@ -276,8 +313,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_ZONAL_QUERIES, **_RELATIONAL_QUERIES, **_LLM_QUERIES, **_STREAM_QUERIES}
+    return {
+        **_ZONAL_QUERIES,
+        **_RELATIONAL_QUERIES,
+        **_REL_EXT_QUERIES,
+        **_LLM_QUERIES,
+        **_STREAM_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ZONAL_ORACLES, **_RELATIONAL_ORACLES, **_LLM_ORACLES, **_STREAM_ORACLES}
+    return {
+        **_ZONAL_ORACLES,
+        **_RELATIONAL_ORACLES,
+        **_REL_EXT_ORACLES,
+        **_LLM_ORACLES,
+        **_STREAM_ORACLES,
+    }

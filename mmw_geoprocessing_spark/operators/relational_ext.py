@@ -1,0 +1,283 @@
+"""Relational surface extensions — the remaining SURVEY.md §2.3 rows:
+advanced window frames and rank families, exact percentiles, ordered
+string aggregation, min_by/max_by, FILTER-clause conditional aggregates,
+correlated scalar subqueries (Catalyst decorrelation), cross join, and
+the user-extensible UDF surface (Arrow-vectorized pandas UDF with an
+arithmetic contract an oracle can replay).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def window_rank_family(orders: DataFrame) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist in one pass.
+    percent_rank/cume_dist are exact integer ratios -> cross-engine safe.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def window_rank_family_sql() -> str:
+    return """
+    SELECT o_orderpriority, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """
+
+
+def window_range_frame(orders: DataFrame) -> DataFrame:
+    """RANGE frame: per customer, count of their orders within the
+    trailing 30-day value range of the current order date (epoch-day
+    ordering so RANGE arithmetic is integer)."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_trailing_30d"),
+    )
+
+
+def window_range_frame_sql() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY DATE_DIFF('day', DATE '1990-01-01', o_orderdate)
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_trailing_30d
+    FROM orders
+    """
+
+
+def window_first_last(orders: DataFrame) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+def window_first_last_sql() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """
+
+
+def exact_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact (interpolated) percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n-1)*p linear-interpolation definition."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("p99"),
+    )
+
+
+def exact_percentiles_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
+def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog++ approximate distinct — engine-specific sketches can't
+    hash-match an oracle, so the contract checked here is the *relative
+    error bound* against the exact count (both computed in Spark)."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+def string_agg_ordered(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Ordered string aggregation: lexicographically sorted customer list
+    per nation (collect_list -> array_sort -> array_join ==
+    string_agg(... ORDER BY ...))."""
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("c_custkey") < 100)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def string_agg_ordered_sql() -> str:
+    return """
+    SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS members,
+           COUNT(*) AS n_members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey < 100
+    GROUP BY n_name
+    """
+
+
+def min_by_max_by(orders: DataFrame) -> DataFrame:
+    """Argmin/argmax aggregation (min_by/max_by). Duplicate prices would
+    make the argmax engine-dependent, so the ordering key is a unique
+    (price-cents, orderkey) composite packed into one BIGINT."""
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 100000
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def min_by_max_by_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000 + o_orderkey) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
+def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
+    """FILTER-clause style conditional aggregation via sum(when(...))."""
+    disc = F.col("l_discount")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.when(disc > 0.05, 1)).alias("hi_discount_rows"),
+        F.count(F.when(disc <= 0.05, 1)).alias("lo_discount_rows"),
+        F.sum(
+            F.when(disc > 0.05, F.col("l_quantity").cast("decimal(18,6)"))
+        ).cast("double").alias("hi_discount_qty"),
+    )
+
+
+def conditional_aggregates_sql() -> str:
+    return """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS hi_discount_rows,
+           COUNT(*) FILTER (WHERE l_discount <= 0.05) AS lo_discount_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS hi_discount_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def correlated_subquery(spark, customer: DataFrame) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance. Catalyst decorrelates this into a join + aggregate."""
+    customer.createOrReplaceTempView("_cs_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM _cs_customer o
+        WHERE c_acctbal > (SELECT AVG(i.c_acctbal) FROM _cs_customer i
+                           WHERE i.c_nationkey = o.c_nationkey)
+        """
+    )
+
+
+def correlated_subquery_sql() -> str:
+    return """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer o
+    WHERE c_acctbal > (SELECT AVG(i.c_acctbal) FROM customer i
+                       WHERE i.c_nationkey = o.c_nationkey)
+    """
+
+
+def cross_join_dims(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Explicit cartesian product of two dimensions."""
+    return (
+        region.crossJoin(nation.select("n_name"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("combos"))
+    )
+
+
+def cross_join_dims_sql() -> str:
+    return """
+    SELECT r_name, COUNT(*) AS combos
+    FROM region CROSS JOIN (SELECT n_name FROM nation)
+    GROUP BY r_name
+    """
+
+
+def _price_bucket_udf():
+    """Arrow-vectorized scalar UDF: deterministic bucketing arithmetic
+    (the user-extensible function surface; reference has none —
+    WebServer.scala:78-93 is a fixed dispatch table). Built lazily:
+    pandas_udf registration needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def _price_bucket(price: pd.Series) -> pd.Series:
+        return (price / 10000.0).clip(upper=50).round(0)
+
+    return _price_bucket
+
+
+def pandas_udf_showcase(orders: DataFrame) -> DataFrame:
+    """A pandas UDF in a grouped pipeline: bucket prices, aggregate.
+    The UDF body is pure arithmetic, so DuckDB replays it exactly."""
+    return (
+        orders.withColumn("bucket", _price_bucket_udf()(F.col("o_totalprice")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+def pandas_udf_showcase_sql() -> str:
+    # pandas .round() is banker's rounding (round-half-even); DuckDB ROUND
+    # on doubles is also round-half-even via its double rounding — but to
+    # be tie-safe the bucket boundary values (x.5) are avoided by the
+    # 1e-4-precision prices divided by 1e4 landing exactly on .5 only for
+    # exact multiples of 5000, which ROUND_HALF_EVEN handles identically
+    # in numpy and DuckDB's roundeven.
+    return """
+    SELECT LEAST(round_even(o_totalprice / 10000.0, 0), 50) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """

@@ -1,0 +1,62 @@
+"""Extension-surface semantics + physical-plan evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import relational_ext as rex
+
+
+def test_approx_distinct_error_bound(spark, tables):
+    """HLL++ at rsd=0.02 must stay within a few percent of exact."""
+    rows = rex.approx_distinct(tables["orders"], tables["lineitem"]).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.1, (r, rel_err)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tables):
+    """Predicate pushdown evidence: a filtered scan must carry
+    PushedFilters in the parquet scan node, and column pruning must
+    narrow ReadSchema to the selected columns."""
+    df = tables["orders"].filter(F.col("o_custkey") == 42).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:200]
+    schema_part = plan.split("ReadSchema")[1][:200]
+    assert "o_orderkey" in schema_part and "o_totalprice" not in schema_part
+
+
+def test_broadcast_join_used_for_dims(spark, tables):
+    """Star joins must broadcast the dimension side, not shuffle it."""
+    from mmw_geoprocessing_spark.operators.relational import revenue_by_region
+
+    t = tables
+    df = revenue_by_region(t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, tables):
+    """orderBy().limit(k) must plan TakeOrderedAndProject (heap-based
+    top-k), not a global sort."""
+    from mmw_geoprocessing_spark.operators.relational import top_customers_by_revenue
+
+    t = tables
+    df = top_customers_by_revenue(t["lineitem"], t["orders"], t["customer"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pandas_udf_bucket_range(spark, tables):
+    rows = rex.pandas_udf_showcase(tables["orders"]).collect()
+    assert rows and all(0 <= r["bucket"] <= 50 for r in rows)
+
+
+def test_correlated_subquery_decorrelates(spark, tables):
+    """The correlated scalar subquery must decorrelate into a join —
+    no per-row subquery execution in the physical plan."""
+    df = rex.correlated_subquery(spark, tables["customer"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan  # decorrelated to aggregate + join
+    assert df.count() > 0
