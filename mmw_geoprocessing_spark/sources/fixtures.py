@@ -227,6 +227,10 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
         # lineage so downstream queries plan against a leaf relation —
         # otherwise Catalyst re-analyzes the full CTE tree (windows,
         # 10-branch unions) on every new query, which dominates latency.
+        # NOTE: repartitioning on the pixel key before the checkpoint does
+        # NOT help — LogicalRDD (the checkpoint leaf) reports
+        # UnknownPartitioning, so Catalyst re-inserts exchanges anyway.
+        # True exchange-free layer joins need bucketed tables (planned).
         df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()
         _FIXTURE_CACHE[key] = df
     return _FIXTURE_CACHE[key]
