@@ -109,7 +109,18 @@ def _q_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mapshed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's full 7-template benchmark workload over HUC-8 +
+    # 8 HUC-12 subbasins in ONE pass (scripts/benchmark-mapshed:25-107,
+    # scripts/benchmark-subbasin:110-121)
+    from mmw_geoprocessing_spark.operators.mapshed import mapshed_suite
+
+    _prep(spark, sf_dir)
+    return mapshed_suite(spark)
+
+
 _ZONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mapshed_suite": _q_mapshed_suite,
     "raster_grouped_count": _q_grouped_count,
     "raster_grouped_count_nodata": _q_grouped_count_nodata,
     "raster_grouped_count_many": _q_grouped_count_many,
@@ -122,7 +133,14 @@ _ZONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_operation": _q_multi,
 }
 
+def _mapshed_oracle() -> str:
+    from mmw_geoprocessing_spark.operators.mapshed import MAPSHED_AOIS
+
+    return oracle.mapshed_suite(MAPSHED_AOIS)
+
+
 _ZONAL_ORACLES: dict[str, str] = {
+    "mapshed_suite": _mapshed_oracle(),
     "raster_grouped_count": oracle.grouped_count(["nlcd", "soil"], "huc8_01"),
     "raster_grouped_count_nodata": oracle.grouped_count(["nlcd", "gwn"], "huc8_01"),
     "raster_grouped_count_many": oracle.grouped_count_many(["nlcd", "soil"]),

@@ -25,6 +25,7 @@ HEADLINE = [
     "raster_lines_join",
     "raster_summary",
     "multi_operation",
+    "mapshed_suite",
     # relational surface
     "pricing_summary",
     "top_customers_by_revenue",

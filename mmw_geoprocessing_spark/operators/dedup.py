@@ -115,6 +115,15 @@ def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    hashed = sh.withColumn("h", h28(F.col("s")))
+    aggs = []
+    for i in range(MINHASH_N):
+        a, b = minhash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """64-permutation MinHash signature per document.
 
@@ -123,12 +132,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     before a single tiny shuffle.
     Output: ``(doc_id, mh0..mh63)``.
     """
-    sh = _doc_shingles(documents).withColumn("h", h28(F.col("s")))
-    aggs = []
-    for i in range(MINHASH_N):
-        a, b = minhash_params(i)
-        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_shingles(_doc_shingles(documents))
 
 
 def _minhash_sql_cte() -> str:
@@ -162,7 +166,11 @@ def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFra
     (band, key) for candidates -> exact shingle-Jaccard >= threshold.
     Output: ``(d1, d2, jaccard)``.
     """
-    mh = minhash_signatures(documents)
+    # the shingle table feeds both the signature aggregation and the
+    # exact-Jaccard verification; persist it so the two plan branches
+    # share one materialization
+    sh = _doc_shingles(documents).persist()
+    mh = _signatures_from_shingles(sh)
     band_structs = F.array(
         *[
             F.struct(F.lit(i).alias("band"), _band_key(i).alias("bkey"))
@@ -181,7 +189,6 @@ def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFra
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # whole point of LSH: never touch the full pair space
-    sh = _doc_shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")

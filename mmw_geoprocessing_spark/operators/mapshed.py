@@ -1,0 +1,118 @@
+"""The reference's benchmark workload: the 7-template MapShed suite
+(reference scripts/benchmark-mapshed:25-107 — nlcd_soil, nlcd_streams,
+gwn, avg_awc, nlcd_slope, slope, nlcd_kfactor) over one HUC-8 plus the
+8-HUC-12 subbasin partition (scripts/benchmark-subbasin:110-121).
+
+Single-pass shape: instead of 7 ops x 9 shapes = 63 jobs (the
+reference's request loop), each template runs ONCE with ``aoi_id``
+folded into its grouping key — 7 plans, one union, one collect. This is
+the plan shape that survives 1000 shapes at 100 TB: the shape dimension
+rides the shuffle key, and every raster is scanned once (the
+reference's own key optimization, CHANGELOG.md:82-91, taken further).
+
+Output: ``(op_label, aoi_id, list_key, value DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.nodata import list_key
+from mmw_geoprocessing_spark.operators.zonal import PIXEL_KEY, join_layers
+from mmw_geoprocessing_spark.sources import fixtures as fx
+
+# template -> (kind, group rasters, target)
+TEMPLATES: dict[str, tuple[str, list[str], str | None]] = {
+    "nlcd_soil": ("grouped_count", ["nlcd", "soil"], None),
+    "nlcd_streams": ("lines_join", ["nlcd"], None),
+    "gwn": ("grouped_count", ["gwn"], None),
+    "avg_awc": ("average", [], "awc"),
+    "nlcd_slope": ("grouped_average", ["nlcd"], "slope"),
+    "slope": ("average", [], "slope"),
+    "nlcd_kfactor": ("grouped_average", ["nlcd"], "kfactor"),
+}
+
+MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS]
+
+
+def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:
+    m = fx.mask_all_df(spark)
+    return m.filter(m.aoi_id.isin(aoi_ids))
+
+
+def mapshed_suite(spark: SparkSession, aoi_ids: list[str] | None = None) -> DataFrame:
+    aoi_ids = aoi_ids or MAPSHED_AOIS
+    masks = _masks(spark, aoi_ids)
+    parts: list[DataFrame] = []
+
+    for label, (kind, rasters, target) in TEMPLATES.items():
+        layers = [fx.raster_df(spark, r) for r in rasters]
+        vals = [F.col(f"v{i}") for i in range(1, len(rasters) + 1)]
+
+        if kind == "grouped_count":
+            df = (
+                join_layers(layers)
+                .join(masks, on=PIXEL_KEY, how="inner")
+                .groupBy("aoi_id", *vals)
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                .select(
+                    F.lit(label).alias("op_label"),
+                    "aoi_id",
+                    list_key(*vals).alias("list_key"),
+                    "value",
+                )
+            )
+        elif kind == "lines_join":
+            distinct_pixels = (
+                fx.line_pixels_df(spark)
+                .join(masks, on=PIXEL_KEY, how="inner")  # clip per AOI
+                .select("aoi_id", *PIXEL_KEY)
+                .dropDuplicates(["aoi_id", *PIXEL_KEY])
+            )
+            df = (
+                join_layers(layers)
+                .join(distinct_pixels, on=PIXEL_KEY, how="inner")
+                .groupBy("aoi_id", *vals)
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                .select(
+                    F.lit(label).alias("op_label"),
+                    "aoi_id",
+                    list_key(*vals).alias("list_key"),
+                    "value",
+                )
+            )
+        elif kind == "average":
+            tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
+            df = (
+                masks.join(tgt, on=PIXEL_KEY, how="left")
+                .groupBy("aoi_id")
+                .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
+                .select(
+                    F.lit(label).alias("op_label"),
+                    "aoi_id",
+                    F.lit("List(0)").alias("list_key"),
+                    "value",
+                )
+            )
+        else:  # grouped_average
+            tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
+            df = (
+                join_layers(layers)
+                .join(masks, on=PIXEL_KEY, how="inner")
+                .join(tgt, on=PIXEL_KEY, how="left")
+                .groupBy("aoi_id", *vals)
+                .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
+                .select(
+                    F.lit(label).alias("op_label"),
+                    "aoi_id",
+                    list_key(*vals).alias("list_key"),
+                    "value",
+                )
+            )
+        parts.append(df)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -155,3 +155,69 @@ def multi(
         )
     _ = needed
     return " UNION ALL ".join(selects)
+
+
+def mapshed_suite(aoi_ids: Sequence[str]) -> str:
+    """Oracle for the single-pass 7-template MapShed/Subbasin suite
+    (operators/mapshed.py) — every template grouped by aoi_id."""
+    from mmw_geoprocessing_spark.operators.mapshed import TEMPLATES
+
+    aoi_list = ", ".join(f"'{a}'" for a in aoi_ids)
+    selects: list[str] = []
+    needed: set[str] = {"mask_all"}
+    extra = [f"mask_f AS (SELECT * FROM mask_all WHERE aoi_id IN ({aoi_list}))"]
+    joined_defs: dict[tuple[str, ...], str] = {}
+
+    def joined_for(rasters: tuple[str, ...]) -> str:
+        if rasters not in joined_defs:
+            tag = "_".join(rasters)
+            ctes, _ = _joined_cte(rasters)
+            # namespace the helper CTEs per raster set
+            ctes = ctes.replace("_l", f"_{tag}_l").replace(
+                "joined AS", f"joined_{tag} AS"
+            )
+            extra.append(ctes)
+            joined_defs[rasters] = f"joined_{tag}"
+            needed.update(f"r_{r}" for r in rasters)
+        return joined_defs[rasters]
+
+    for label, (kind, rasters, target) in TEMPLATES.items():
+        vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
+        if kind in ("grouped_count", "lines_join"):
+            j = joined_for(tuple(rasters))
+            src = f"{j} JOIN mask_f USING ({PK})"
+            if kind == "lines_join":
+                needed.add("line_pixels")
+                lp = (
+                    f"lp_{label} AS (SELECT DISTINCT aoi_id, {PK} "
+                    f"FROM line_pixels JOIN mask_f USING ({PK}))"
+                )
+                extra.append(lp)
+                src = f"{j} JOIN lp_{label} USING ({PK})"
+            selects.append(
+                f"SELECT '{label}' AS op_label, aoi_id, "
+                f"{_list_key(len(rasters))} AS list_key, "
+                f"CAST(COUNT(*) AS DOUBLE) AS value FROM {src} "
+                f"GROUP BY aoi_id, {vs}"
+            )
+        elif kind == "average":
+            needed.add(f"r_{target}")
+            selects.append(
+                f"SELECT '{label}' AS op_label, aoi_id, 'List(0)' AS list_key, "
+                f"AVG(COALESCE(t.value, 0.0)) AS value "
+                f"FROM mask_f LEFT JOIN r_{target} t USING ({PK}) GROUP BY aoi_id"
+            )
+        else:  # grouped_average
+            j = joined_for(tuple(rasters))
+            needed.add(f"r_{target}")
+            selects.append(
+                f"SELECT '{label}' AS op_label, aoi_id, "
+                f"{_list_key(len(rasters))} AS list_key, "
+                f"AVG(COALESCE(t.value, 0.0)) AS value "
+                f"FROM {j} JOIN mask_f USING ({PK}) "
+                f"LEFT JOIN r_{target} t USING ({PK}) "
+                f"GROUP BY aoi_id, {vs}"
+            )
+
+    body = " UNION ALL ".join(selects)
+    return with_fixtures(body, *sorted(needed), extra_ctes=", ".join(extra))
