@@ -248,6 +248,47 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pandas_udf_showcase": lambda s, d: rex.pandas_udf_showcase(_t(s, d)["orders"]),
 }
 
+def _tpch_q3(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    t = _t(s, d)
+    return tpch.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
+
+
+def _tpch_q5(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    t = _t(s, d)
+    return tpch.q5_local_supplier_volume(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+def _udtf_words(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.functions.udtf_ops import word_positions
+
+    return word_positions(s, _t(s, d)["documents"])
+
+
+def _tpch_oracles() -> dict[str, str]:
+    from mmw_geoprocessing_spark.functions.udtf_ops import word_positions_sql
+    from mmw_geoprocessing_spark.operators import tpch
+
+    return {
+        "tpch_q3": tpch.q3_sql(),
+        "tpch_q5": tpch.q5_sql(),
+        "udtf_word_positions": word_positions_sql(),
+    }
+
+
+_REL_EXT_QUERIES.update(
+    {
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
+        "udtf_word_positions": _udtf_words,
+    }
+)
+
 _REL_EXT_ORACLES: dict[str, str] = {
     "window_rank_family": rex.window_rank_family_sql(),
     "window_range_frame": rex.window_range_frame_sql(),
@@ -262,6 +303,8 @@ _REL_EXT_ORACLES: dict[str, str] = {
     "cross_join_dims": rex.cross_join_dims_sql(),
     "pandas_udf_showcase": rex.pandas_udf_showcase_sql(),
 }
+
+_REL_EXT_ORACLES.update(_tpch_oracles())
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,82 @@
+"""Classic TPC-H query shapes (Q3, Q5) — the standard OLAP parity
+checks: multi-way fact/dim joins with selective filters, grouped
+decimal aggregation, ordered top-k output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING"
+) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue by order, top 10."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q3_sql(segment: str = "BUILDING") -> str:
+    return f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = '{segment}'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """
+
+
+def q5_local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5: revenue through local suppliers (customer and supplier
+    share a nation), per nation within one region."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q5_sql(region_name: str = "ASIA") -> str:
+    return f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name = '{region_name}'
+    GROUP BY n_name
+    """

@@ -1,0 +1,123 @@
+"""Advanced streaming: stream-stream join, streaming dedup, foreachBatch
+sink, and the skew-salting utility."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.functions.skew import salted_count
+from mmw_geoprocessing_spark.streaming import windows as sw
+
+
+def _chunks(spark, tables, n=3):
+    out = tempfile.mkdtemp(prefix="adv_stream_")
+    ev = tables["events"]
+    for i in range(n):
+        ev.filter(F.col("event_id") % n == i).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_stream_stream_join(spark, tables):
+    """Windowed stream-stream inner join: purchases joined to the same
+    user's clicks within the preceding 10 minutes."""
+    src = _chunks(spark, tables)
+    purchases = (
+        sw.stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    )
+    clicks = (
+        sw.stream_events(spark, src)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) c FROM ss_join").collect()[0].c
+
+    ev = tables["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    want = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+    ).count()
+    assert got == want and got > 0
+
+
+def test_streaming_dedup_with_watermark(spark, tables):
+    """dropDuplicates on a stream: duplicated chunks collapse to the
+    original distinct id set."""
+    out = tempfile.mkdtemp(prefix="dedup_stream_")
+    ev = tables["events"].limit(300)
+    ev.coalesce(1).write.mode("append").parquet(out)
+    ev.coalesce(1).write.mode("append").parquet(out)  # exact duplicate chunk
+    stream = sw.stream_events(spark, out).withWatermark("ts", "1 hour")
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream").collect()[0]["count"]
+    assert got == 300
+
+
+def test_foreach_batch_sink(spark, tables):
+    """foreachBatch: arbitrary batch-sink logic (here: parquet append
+    with batch id column) — the escape hatch for custom sinks."""
+    src = _chunks(spark, tables)
+    dst = tempfile.mkdtemp(prefix="fb_sink_")
+
+    def write_batch(df, epoch_id: int) -> None:
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(dst)
+
+    q = (
+        sw.stream_events(spark, src)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(dst)
+    assert back.count() == tables["events"].count()
+    assert "epoch" in back.columns
+
+
+def test_salted_count_equals_direct(spark, tables):
+    direct = {
+        r["event_type"]: r["count"]
+        for r in tables["events"].groupBy("event_type").count().collect()
+    }
+    salted = {
+        r["event_type"]: r["cnt"]
+        for r in salted_count(tables["events"], "event_type").collect()
+    }
+    assert salted == direct
