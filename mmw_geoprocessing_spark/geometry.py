@@ -89,8 +89,10 @@ def rasterize_polygons(
     ``(key_col, key_row, cell_col, cell_row)``.
 
     PixelIsPoint (default): exact even-odd ray casting on cell centers.
-    PixelIsArea (includePartial): conservative multi-sample approximation
-    (center + 4 corners) unless shapely is present for exact cover tests.
+    PixelIsArea (includePartial): exact — a cell is included iff the
+    closed cell square intersects the polygon: any corner inside
+    (even-odd), any polygon vertex inside the cell, or any polygon edge
+    crossing any cell edge. All three tests vectorize in numpy.
     """
     if not polys:
         return spark.range(0).selectExpr(
@@ -141,8 +143,56 @@ def rasterize_polygons(
 
             mask = inside(cx, cy)
             if pixel_is_area:
+                # (a) any cell corner inside the polygon
                 for dx, dy in ((-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)):
                     mask |= inside(cx + dx, cy + dy)
+                # (b) any polygon vertex inside the cell square
+                x0, y0 = cx - 0.5, cy - 0.5
+                for ring in rings:
+                    r = np.asarray(ring, dtype=np.float64)
+                    for vx, vy in r:
+                        mask |= (
+                            (vx >= x0) & (vx <= x0 + 1) & (vy >= y0) & (vy <= y0 + 1)
+                        )
+                # (c) any polygon edge crossing any cell edge
+                def seg_cross(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+                    def orient(ax, ay, bx, by, px, py):
+                        return np.sign((bx - ax) * (py - ay) - (by - ay) * (px - ax))
+
+                    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+                    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+                    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+                    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+                    crosses = (o1 * o2 <= 0) & (o3 * o4 <= 0)
+                    # the sign test alone accepts collinear-but-disjoint
+                    # segments (all orients 0): require interval overlap
+                    collinear = (o1 == 0) & (o2 == 0) & (o3 == 0) & (o4 == 0)
+                    overlap = (
+                        (np.minimum(p1x, p2x) <= np.maximum(q1x, q2x))
+                        & (np.maximum(p1x, p2x) >= np.minimum(q1x, q2x))
+                        & (np.minimum(p1y, p2y) <= np.maximum(q1y, q2y))
+                        & (np.maximum(p1y, p2y) >= np.minimum(q1y, q2y))
+                    )
+                    return np.where(collinear, overlap, crosses)
+
+                cell_edges = [
+                    (x0, y0, x0 + 1, y0),
+                    (x0 + 1, y0, x0 + 1, y0 + 1),
+                    (x0 + 1, y0 + 1, x0, y0 + 1),
+                    (x0, y0 + 1, x0, y0),
+                ]
+                for ring in rings:
+                    r = np.asarray(ring, dtype=np.float64)
+                    for (ax, ay), (bx, by) in zip(r, np.roll(r, -1, axis=0)):
+                        for (e1x, e1y, e2x, e2y) in cell_edges:
+                            todo = ~mask
+                            if not todo.any():
+                                break
+                            mask |= seg_cross(
+                                np.full_like(cx, ax), np.full_like(cy, ay),
+                                np.full_like(cx, bx), np.full_like(cy, by),
+                                e1x, e1y, e2x, e2y,
+                            )
             out = pdf[mask]
             if len(out):
                 yield out

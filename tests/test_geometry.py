@@ -39,6 +39,19 @@ def test_polygon_with_hole(spark):
     assert (0, 0, 3, 3) not in pt  # inside the hole
 
 
+def test_area_sampling_catches_sliver(spark):
+    """A thin sliver crossing cells 1..6 touches them ONLY via edge
+    crossings — no cell center inside, no cell corner inside, no polygon
+    vertex in those cells. Exact PixelIsArea must still include them."""
+    polys = geometry.parse_multipolygon(
+        '{"type":"Polygon","coordinates":[[[0.4,0.1],[7.6,0.2],[0.4,0.2],[0.4,0.1]]]}'
+    )
+    pt = _mask_set(spark, polys, pixel_is_area=False)
+    ar = _mask_set(spark, polys, pixel_is_area=True)
+    assert pt == set()  # no cell centers (y=0.5) inside
+    assert {(0, 0, c, 0) for c in range(8)} <= ar  # all 8 crossed cells
+
+
 def test_non_polygon_geojson_tolerant(spark):
     assert geometry.parse_multipolygon('{"type":"Point","coordinates":[1,2]}') == []
 
