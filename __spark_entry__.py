@@ -322,6 +322,7 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_cosine_topk": lambda s, d: sim.cosine_topk(_t(s, d)["embeddings"]),
     "similarity_cosine_neardup": lambda s, d: sim.cosine_neardup(_t(s, d)["embeddings"]),
     "similarity_ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_t(s, d)["embeddings"]),
+    "similarity_ann_ivf_topk": lambda s, d: sim.ann_ivf_topk(_t(s, d)["embeddings"]),
     "similarity_cosine_topk_pandas": lambda s, d: sim.cosine_topk_pandas(_t(s, d)["embeddings"]),
     "text_token_counts": lambda s, d: ta.token_counts(_t(s, d)["documents"]),
     "text_quality_scores": lambda s, d: ta.quality_scores(_t(s, d)["documents"]),
@@ -341,6 +342,7 @@ _LLM_ORACLES: dict[str, str] = {
     "similarity_cosine_topk": sim.cosine_topk_sql(),
     "similarity_cosine_neardup": sim.cosine_neardup_sql(),
     "similarity_ann_lsh_topk": sim.ann_lsh_topk_sql(),
+    "similarity_ann_ivf_topk": sim.ann_ivf_topk_sql(),
     # similarity_cosine_topk_pandas: numpy summation order differs -> rows-only
     "text_token_counts": ta.token_counts_sql(),
     "text_quality_scores": ta.quality_scores_sql(),

@@ -235,3 +235,103 @@ def cosine_topk_pandas(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> per-cell inverted lists.
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+
+
+def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the first N_CELLS vectors by
+    vec_id act as centroids (k-means would converge better but needs
+    iteration; a fixed quantizer keeps the pipeline one-pass and lets
+    the oracle replay it exactly)."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sorted(rows)]
+
+
+def _cell_assign(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id, ties broken toward the smaller id.
+
+    Implemented as array_max over (cosine, -cid) structs — a chained
+    when/otherwise argmax would duplicate the running-best expression
+    per centroid and blow the expression tree up exponentially.
+    """
+    import math
+
+    vnorm = _norm(col)
+    entries = []
+    for cid, vec in cents:
+        # centroid norm precomputed driver-side with a plain left-to-right
+        # sum — the same sequential fold the SQL oracle evaluates
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        dot = _dot(col, F.array(*[F.lit(c) for c in vec]))
+        entries.append(
+            F.struct(
+                (dot / (vnorm * F.lit(cnorm))).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return (-best["nid"]).cast("int")
+
+
+def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (the inverted file); search a query only within its own cell.
+    One equi-join on cell id — the shuffle key at scale.
+    Output: ``(q_id, vec_id, cosine, rank)``.
+    """
+    from pyspark.sql import Window
+
+    cents = _centroids(embeddings)
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    with_cell = base.withColumn("cell", _cell_assign(F.col("v"), cents))
+    q = with_cell.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(with_cell, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5) -> str:
+    """Oracle: same fixed quantizer (first N_CELLS vectors), argmax cell
+    assignment via ranked cross join with the centroid set."""
+    cos = _cos_sql("b.v", "c.cv")
+    qcos = _cos_sql("q.qv", "w2.v")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < {N_CELLS}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid, {cos} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY {cos} DESC, c.cid) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    with_cell AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM with_cell WHERE vec_id < {n_queries})
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.q_id, w2.vec_id, {qcos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {qcos} DESC, w2.vec_id) AS rank
+      FROM q JOIN with_cell w2 USING (cell) WHERE q.q_id <> w2.vec_id
+    ) WHERE rank <= {k}
+    """
