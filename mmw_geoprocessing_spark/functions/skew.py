@@ -16,10 +16,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from a hash of the whole row's
-    monotonically increasing id — uniform, no RNG (replayable plans)."""
+    """Content-derived salt: murmur3 hash of all columns mod n_salts.
+
+    Deterministic per row *content* (stable across repartitioning and
+    retries, unlike monotonically_increasing_id). Caveat: exact duplicate
+    rows share a salt, so this spreads same-key-different-row skew — the
+    common case — not identical-row skew.
+    """
     return df.withColumn(
-        col, (F.monotonically_increasing_id() % n_salts).cast("int")
+        col, (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).cast("int")
     )
 
 

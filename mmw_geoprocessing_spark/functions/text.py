@@ -37,10 +37,19 @@ def h60(col: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles: overlapping word windows joined by spaces."""
+    """k-word shingles: overlapping word windows joined by spaces.
+
+    Documents with fewer than k words yield an empty array (matching the
+    oracle's generate_series, which emits no rows). ``sequence(1, 0)``
+    is NOT empty in Spark — it is the descending ``[1, 0]`` and slice
+    with start 0 throws — so the start list is built as a slice of
+    ``sequence(1, n)`` instead.
+    """
+    t = _n(text)
+    n = f"size(split({t}, ' '))"
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({_n(text)}, ' ')) - {k - 1}, 0)), "
-        f"i -> array_join(slice(split({_n(text)}, ' '), i, {k}), ' '))"
+        f"transform(slice(sequence(1, {n}), 1, greatest({n} - {k - 1}, 0)), "
+        f"i -> array_join(slice(split({t}, ' '), i, {k}), ' '))"
     )
 
 

@@ -41,77 +41,74 @@ def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:
     return m.filter(m.aoi_id.isin(aoi_ids))
 
 
+def template_df(
+    spark: SparkSession,
+    label: str,
+    kind: str,
+    rasters: list[str],
+    target: str | None,
+    masks: DataFrame,
+) -> DataFrame:
+    """One template over a many-AOI mask table, aoi_id in the grouping
+    key. kind ∈ {grouped_count, lines_join, average, grouped_average,
+    grouped_sum}. Output: ``(op_label, aoi_id, list_key, value DOUBLE)``.
+    """
+    layers = [fx.raster_df(spark, r) for r in rasters]
+    vals = [F.col(f"v{i}") for i in range(1, len(rasters) + 1)]
+
+    def _shape(df: DataFrame, key_col=None) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("op_label"),
+            "aoi_id",
+            (key_col if key_col is not None else list_key(*vals)).alias("list_key"),
+            "value",
+        )
+
+    if kind == "grouped_count":
+        return _shape(
+            join_layers(layers)
+            .join(masks, on=PIXEL_KEY, how="inner")
+            .groupBy("aoi_id", *vals)
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+    if kind == "lines_join":
+        distinct_pixels = (
+            fx.line_pixels_df(spark)
+            .join(masks, on=PIXEL_KEY, how="inner")  # clip per AOI
+            .select("aoi_id", *PIXEL_KEY)
+            .dropDuplicates(["aoi_id", *PIXEL_KEY])
+        )
+        return _shape(
+            join_layers(layers)
+            .join(distinct_pixels, on=PIXEL_KEY, how="inner")
+            .groupBy("aoi_id", *vals)
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+    tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
+    if kind == "average":
+        return _shape(
+            masks.join(tgt, on=PIXEL_KEY, how="left")
+            .groupBy("aoi_id")
+            .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value")),
+            key_col=F.lit("List(0)"),
+        )
+    agg = F.sum if kind == "grouped_sum" else F.avg
+    return _shape(
+        join_layers(layers)
+        .join(masks, on=PIXEL_KEY, how="inner")
+        .join(tgt, on=PIXEL_KEY, how="left")
+        .groupBy("aoi_id", *vals)
+        .agg(agg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
+    )
+
+
 def mapshed_suite(spark: SparkSession, aoi_ids: list[str] | None = None) -> DataFrame:
     aoi_ids = aoi_ids or MAPSHED_AOIS
     masks = _masks(spark, aoi_ids)
-    parts: list[DataFrame] = []
-
-    for label, (kind, rasters, target) in TEMPLATES.items():
-        layers = [fx.raster_df(spark, r) for r in rasters]
-        vals = [F.col(f"v{i}") for i in range(1, len(rasters) + 1)]
-
-        if kind == "grouped_count":
-            df = (
-                join_layers(layers)
-                .join(masks, on=PIXEL_KEY, how="inner")
-                .groupBy("aoi_id", *vals)
-                .agg(F.count(F.lit(1)).cast("double").alias("value"))
-                .select(
-                    F.lit(label).alias("op_label"),
-                    "aoi_id",
-                    list_key(*vals).alias("list_key"),
-                    "value",
-                )
-            )
-        elif kind == "lines_join":
-            distinct_pixels = (
-                fx.line_pixels_df(spark)
-                .join(masks, on=PIXEL_KEY, how="inner")  # clip per AOI
-                .select("aoi_id", *PIXEL_KEY)
-                .dropDuplicates(["aoi_id", *PIXEL_KEY])
-            )
-            df = (
-                join_layers(layers)
-                .join(distinct_pixels, on=PIXEL_KEY, how="inner")
-                .groupBy("aoi_id", *vals)
-                .agg(F.count(F.lit(1)).cast("double").alias("value"))
-                .select(
-                    F.lit(label).alias("op_label"),
-                    "aoi_id",
-                    list_key(*vals).alias("list_key"),
-                    "value",
-                )
-            )
-        elif kind == "average":
-            tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
-            df = (
-                masks.join(tgt, on=PIXEL_KEY, how="left")
-                .groupBy("aoi_id")
-                .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
-                .select(
-                    F.lit(label).alias("op_label"),
-                    "aoi_id",
-                    F.lit("List(0)").alias("list_key"),
-                    "value",
-                )
-            )
-        else:  # grouped_average
-            tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
-            df = (
-                join_layers(layers)
-                .join(masks, on=PIXEL_KEY, how="inner")
-                .join(tgt, on=PIXEL_KEY, how="left")
-                .groupBy("aoi_id", *vals)
-                .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
-                .select(
-                    F.lit(label).alias("op_label"),
-                    "aoi_id",
-                    list_key(*vals).alias("list_key"),
-                    "value",
-                )
-            )
-        parts.append(df)
-
+    parts = [
+        template_df(spark, label, kind, rasters, target, masks)
+        for label, (kind, rasters, target) in TEMPLATES.items()
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

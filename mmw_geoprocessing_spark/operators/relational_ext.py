@@ -160,7 +160,7 @@ def min_by_max_by(orders: DataFrame) -> DataFrame:
     make the argmax engine-dependent, so the ordering key is a unique
     (price-cents, orderkey) composite packed into one BIGINT."""
     key = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * 100000
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
         + F.col("o_orderkey")
     )
     return orders.groupBy("o_orderpriority").agg(
@@ -173,8 +173,8 @@ def min_by_max_by(orders: DataFrame) -> DataFrame:
 def min_by_max_by_sql() -> str:
     return """
     SELECT o_orderpriority,
-           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000 + o_orderkey) AS biggest_order,
-           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000 + o_orderkey) AS smallest_order,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS smallest_order,
            MAX(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderpriority
     """

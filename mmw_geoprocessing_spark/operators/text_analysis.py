@@ -150,7 +150,16 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     signal). Output: ``(doc_id, fp_md5, fp_head)``.
     """
     wl = _wordlist(F.lower(F.col("text")))
-    head = F.concat_ws(" ", F.element_at(wl, 1), F.element_at(wl, 2), F.element_at(wl, -1))
+    # try_element_at + F.concat (not element_at/concat_ws): out-of-bounds
+    # yields NULL (Spark 4 ANSI element_at throws) and NULL propagates
+    # through the concat — matching the oracle's l[2] || ... semantics
+    head = F.concat(
+        F.try_element_at(wl, F.lit(1)),
+        F.lit(" "),
+        F.try_element_at(wl, F.lit(2)),
+        F.lit(" "),
+        F.try_element_at(wl, F.lit(-1)),
+    )
     return documents.select(
         "doc_id",
         F.md5(F.lower(F.col("text"))).alias("fp_md5"),

@@ -20,10 +20,13 @@ from mmw_geoprocessing_spark.sources.fixtures import with_fixtures
 PK = "key_col, key_row, cell_col, cell_row"
 
 
-def _joined_cte(rasters: Sequence[str]) -> tuple[str, list[str]]:
+def _joined_cte(rasters: Sequence[str], tag: str = "") -> tuple[str, list[str]]:
     """CTE text for the N-way full-outer NODATA-filled layer join
-    (reference Utils.scala:221-232)."""
-    aliases = [f"_l{i}" for i in range(1, len(rasters) + 1)]
+    (reference Utils.scala:221-232). ``tag`` namespaces the helper CTE
+    names so several joins can coexist in one WITH clause (the joined
+    CTE becomes ``joined_{tag}``)."""
+    suffix = f"_{tag}" if tag else ""
+    aliases = [f"_lyr{suffix}_{i}" for i in range(1, len(rasters) + 1)]
     pre = ", ".join(
         f"{a} AS (SELECT {PK}, value AS w{i} FROM r_{r})"
         for i, (a, r) in enumerate(zip(aliases, rasters), start=1)
@@ -34,7 +37,7 @@ def _joined_cte(rasters: Sequence[str]) -> tuple[str, list[str]]:
     fills = ", ".join(
         f"COALESCE(w{i}, {NODATA_INT}) AS v{i}" for i in range(1, len(rasters) + 1)
     )
-    return f"{pre}, joined AS (SELECT {PK}, {fills} FROM {joins})", aliases
+    return f"{pre}, joined{suffix} AS (SELECT {PK}, {fills} FROM {joins})", aliases
 
 
 def _list_key(n: int) -> str:
@@ -136,7 +139,6 @@ def multi(
 ) -> str:
     """Flattened /multi: union of per-op oracle results, values as DOUBLE."""
     selects: list[str] = []
-    needed: set[str] = set()
     for label, rasters in grouped_counts.items():
         inner = grouped_count_many(rasters)
         selects.append(
@@ -153,7 +155,6 @@ def multi(
         selects.append(
             f"SELECT '{label}' AS op_label, list_key, avg_value AS value FROM ({inner})"
         )
-    _ = needed
     return " UNION ALL ".join(selects)
 
 
@@ -171,11 +172,7 @@ def mapshed_suite(aoi_ids: Sequence[str]) -> str:
     def joined_for(rasters: tuple[str, ...]) -> str:
         if rasters not in joined_defs:
             tag = "_".join(rasters)
-            ctes, _ = _joined_cte(rasters)
-            # namespace the helper CTEs per raster set
-            ctes = ctes.replace("_l", f"_{tag}_l").replace(
-                "joined AS", f"joined_{tag} AS"
-            )
+            ctes, _ = _joined_cte(rasters, tag=tag)
             extra.append(ctes)
             joined_defs[rasters] = f"joined_{tag}"
             needed.update(f"r_{r}" for r in rasters)

@@ -33,7 +33,13 @@ def _mask(spark: SparkSession, input_data: InputData):
         if len(input_data.aoi_ids) == 1:
             return fx.mask_df(spark, input_data.aoi_ids[0])
         many = fx.mask_all_df(spark)
-        return many.filter(many.aoi_id.isin(input_data.aoi_ids)).drop("aoi_id")
+        # union-of-AOIs semantics (reference Utils.scala:70-73): overlapping
+        # AOIs must not double-count shared pixels
+        return (
+            many.filter(many.aoi_id.isin(input_data.aoi_ids))
+            .drop("aoi_id")
+            .dropDuplicates(zonal.PIXEL_KEY)
+        )
     if input_data.shape_geojson:
         geometry.validate_crs(input_data.shape_crs)
         polys = [p for g in input_data.shape_geojson for p in geometry.parse_multipolygon(g)]
@@ -121,42 +127,43 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
     raise InvalidOperationError(op)  # unreachable
 
 
+_MULTI_KINDS = {
+    "RasterGroupedCount": "grouped_count",
+    "RasterLinesJoin": "lines_join",
+    "RasterGroupedSum": "grouped_sum",
+}
+
+
 def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
-    """POST /multi (Geoprocessing.scala:21-89): shapes x operations with
-    shared raster scans; nested ``{shape: {label: result}}`` output.
-    Shapes that produce empty results emit ``{}`` (CHANGELOG.md:66-79).
+    """POST /multi (Geoprocessing.scala:21-89): shapes x operations.
+
+    Single-pass: each operation runs ONCE over all shapes with aoi_id in
+    its grouping key (mapshed.template_df); M x K cases cost K plans in
+    one union and one collect — the reference's shared-raster-fetch
+    optimization (CHANGELOG.md:82-91) without its per-pair request loop.
+    Shapes whose op results are empty emit ``{}`` (CHANGELOG.md:66-79).
     """
-    # share each distinct raster's DataFrame across all (shape, op) pairs —
-    # the reference's one-fetch-per-raster optimization (CHANGELOG.md:82-91)
-    distinct = {r for o in multi.operations for r in o.rasters} | {
-        o.target_raster for o in multi.operations if o.target_raster
-    }
-    cache = {r: fx.raster_df(spark, r).cache() for r in distinct}
+    from mmw_geoprocessing_spark.operators.mapshed import template_df
+
+    masks = fx.mask_all_df(spark)
+    masks = masks.filter(masks.aoi_id.isin(multi.shapes))
+
+    parts = []
+    for op in multi.operations:
+        if op.name == "RasterGroupedAverage":
+            kind = "average" if not op.rasters else "grouped_average"
+        elif op.name in _MULTI_KINDS:
+            kind = _MULTI_KINDS[op.name]
+        else:
+            raise InvalidOperationError(f"/multi does not support {op.name!r}")
+        parts.append(
+            template_df(spark, op.label, kind, list(op.rasters), op.target_raster, masks)
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionAll(p)
 
     out: dict[str, dict] = {shape: {} for shape in multi.shapes}
-    for shape in multi.shapes:
-        mask = fx.mask_df(spark, shape)
-        for op in multi.operations:
-            layers = [cache[r] for r in op.rasters]
-            if op.name == "RasterGroupedCount":
-                df = zonal.raster_grouped_count(layers, mask)
-                res = {r["list_key"]: float(r["cnt"]) for r in df.collect()}
-            elif op.name in ("RasterGroupedAverage", "RasterGroupedSum"):
-                target = cache[op.target_raster]
-                if op.name == "RasterGroupedSum":
-                    df = zonal.raster_grouped_sum(layers, target, mask)
-                    res = {r["list_key"]: r["sum_value"] for r in df.collect()}
-                elif not layers:
-                    df = zonal.raster_average(target, mask)
-                    res = {r["list_key"]: r["avg_value"] for r in df.collect()}
-                else:
-                    df = zonal.raster_grouped_average(layers, target, mask)
-                    res = {r["list_key"]: r["avg_value"] for r in df.collect()}
-            elif op.name == "RasterLinesJoin":
-                df = zonal.raster_lines_join(layers, fx.line_pixels_df(spark), mask)
-                res = {r["list_key"]: float(r["cnt"]) for r in df.collect()}
-            else:
-                raise InvalidOperationError(f"/multi does not support {op.name!r}")
-            if res:
-                out[shape][op.label] = res
+    for r in union.collect():
+        out[r["aoi_id"]].setdefault(r["op_label"], {})[r["list_key"]] = r["value"]
     return out

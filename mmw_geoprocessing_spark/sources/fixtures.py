@@ -209,8 +209,10 @@ _FIXTURE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _ACTIVE_DIR: dict[int, str] = {}
 
 
-def set_active_dir(sf_dir: str, spark_id: int | None = None) -> None:
-    _ACTIVE_DIR[spark_id or 0] = sf_dir
+def set_active_dir(sf_dir: str, spark: SparkSession | None = None) -> None:
+    """Record which sf_dir the session's temp views point at; keyed per
+    session so concurrent sessions don't mislabel each other's caches."""
+    _ACTIVE_DIR[id(spark) if spark is not None else 0] = sf_dir
 
 
 def fixture_df(spark: SparkSession, name: str) -> DataFrame:
@@ -220,7 +222,7 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
     Requires the base tables to be registered as temp views
     (see ``sources.tables.register_views``).
     """
-    sf_dir = _ACTIVE_DIR.get(0, "")
+    sf_dir = _ACTIVE_DIR.get(id(spark)) or _ACTIVE_DIR.get(0, "")
     key = (id(spark), sf_dir, name)
     if key not in _FIXTURE_CACHE:
         # localCheckpoint (not just cache): truncates the derivation

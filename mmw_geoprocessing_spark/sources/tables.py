@@ -63,5 +63,5 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-    fixtures.set_active_dir(sf_dir)
+    fixtures.set_active_dir(sf_dir, spark)
     return dfs

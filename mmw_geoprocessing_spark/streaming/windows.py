@@ -109,7 +109,7 @@ def session_windows_sql(gap_min: int = 10) -> str:
     # seconds to match Spark's unix_timestamp(start) (micros truncation)
     return f"""
     WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL {gap_min} MINUTE THEN 1
@@ -120,7 +120,7 @@ def session_windows_sql(gap_min: int = 10) -> str:
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )

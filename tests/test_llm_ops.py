@@ -29,6 +29,33 @@ def test_minhash_lsh_recall_on_exact_dups(spark, tables):
         assert (r["doc_id"], r["doc_id"] + 1_000_000) in found
 
 
+def test_shingle_ops_survive_short_documents(spark, tables):
+    """Documents with fewer than k words must yield empty shingle sets,
+    not crash (sequence(1,0) in Spark is [1,0], not empty)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "one"), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["d1"], r["d2"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+    assert [(r["d1"], r["d2"]) for r in dd.minhash_lsh_neardup(docs).collect()] == [(3, 4)]
+
+
+def test_run_request_overlapping_aois_no_double_count(spark, tables):
+    """Union-of-AOIs semantics: a nested AOI must not double-count."""
+    from mmw_geoprocessing_spark.plans import api
+    from mmw_geoprocessing_spark.plans.model import InputData
+
+    both = api.run_request(
+        spark,
+        InputData("RasterGroupedCount", rasters=["nlcd"], aoi_ids=["huc8_01", "huc12_01"]),
+    )
+    parent_only = api.run_request(
+        spark, InputData("RasterGroupedCount", rasters=["nlcd"], aoi_ids=["huc8_01"])
+    )
+    assert both == parent_only  # huc12_01 ⊂ huc8_01
+
+
 def test_ngram_jaccard_bounds(spark, tables):
     pairs = dd.ngram_jaccard_pairs(tables["documents"], threshold=0.0).limit(500).collect()
     assert pairs and all(0.0 < r["jaccard"] <= 1.0 for r in pairs)
