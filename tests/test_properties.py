@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): zonal operator invariants on
+randomized pixel tables, checked against an independent pandas
+reference implementation — inputs the oracle suite never generates
+(adversarial NODATA density, tiny/degenerate masks, value collisions).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mmw_geoprocessing_spark.functions.nodata import NODATA_INT
+from mmw_geoprocessing_spark.operators import zonal
+
+CELLS = [(kc, kr, cc, cr) for kc in range(2) for kr in range(2) for cc in range(3) for cr in range(3)]
+
+
+def _layer_strategy():
+    # per-cell: None (tile missing), or value in a tiny domain incl. NULL
+    return st.lists(
+        st.one_of(st.none(), st.integers(min_value=-1, max_value=3)),
+        min_size=len(CELLS),
+        max_size=len(CELLS),
+    )
+
+
+def _mk_layer(spark, values):
+    rows = [
+        (kc, kr, cc, cr, v)
+        for (kc, kr, cc, cr), v in zip(CELLS, values)
+        if v != -1  # -1 encodes "cell absent from this layer's extent"
+    ]
+    return spark.createDataFrame(
+        rows or [(0, 0, 0, 0, None)],
+        "key_col int, key_row int, cell_col int, cell_row int, value int",
+    ).filter("key_col >= 0" if rows else "key_col < 0")
+
+
+def _mk_mask(spark, members):
+    rows = [CELLS[i] for i in sorted(members)]
+    return spark.createDataFrame(
+        rows or [(-1, -1, -1, -1)],
+        "key_col int, key_row int, cell_col int, cell_row int",
+    ).filter("key_col >= 0")
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    a=_layer_strategy(),
+    b=_layer_strategy(),
+    mask=st.sets(st.integers(min_value=0, max_value=len(CELLS) - 1)),
+)
+def test_grouped_count_matches_pandas_reference(spark, a, b, mask):
+    la, lb = _mk_layer(spark, a), _mk_layer(spark, b)
+    m = _mk_mask(spark, mask)
+    got = {
+        r["list_key"]: r["cnt"]
+        for r in zonal.raster_grouped_count([la, lb], m).collect()
+    }
+
+    # independent reference: dict-based full-outer join + mask + count
+    da = {c: v for c, v in zip(CELLS, a) if v != -1}
+    db = {c: v for c, v in zip(CELLS, b) if v != -1}
+    want: dict[str, int] = {}
+    for i in mask:
+        c = CELLS[i]
+        if c not in da and c not in db:
+            continue  # pixel exists in no layer -> not in the key union
+        va = da.get(c)
+        vb = db.get(c)
+        va = NODATA_INT if (c not in da or va is None) else va
+        vb = NODATA_INT if (c not in db or vb is None) else vb
+        k = f"List({va}, {vb})"
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    t=_layer_strategy(),
+    mask=st.sets(st.integers(min_value=0, max_value=len(CELLS) - 1), min_size=1),
+)
+def test_average_matches_pandas_reference(spark, t, mask):
+    lt = _mk_layer(spark, t)
+    m = _mk_mask(spark, mask)
+    got = zonal.raster_average(lt, m).collect()[0]["avg_value"]
+    dt = {c: v for c, v in zip(CELLS, t) if v != -1}
+    vals = [float(dt[CELLS[i]]) if CELLS[i] in dt and dt[CELLS[i]] is not None else 0.0 for i in mask]
+    assert abs(got - sum(vals) / len(vals)) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=_layer_strategy(),
+    mask=st.sets(st.integers(min_value=0, max_value=len(CELLS) - 1)),
+)
+def test_grouped_count_totals_invariant(spark, a, mask):
+    """Σ counts == |mask ∩ union-of-layer-extents| for any layer/mask."""
+    la = _mk_layer(spark, a)
+    m = _mk_mask(spark, mask)
+    rows = zonal.raster_grouped_count([la], m).collect()
+    total = sum(r["cnt"] for r in rows)
+    extent = {c for c, v in zip(CELLS, a) if v != -1}
+    want = len([i for i in mask if CELLS[i] in extent])
+    assert total == want
