@@ -286,6 +286,7 @@ _REL_EXT_QUERIES.update(
         "tpch_q3": _tpch_q3,
         "tpch_q5": _tpch_q5,
         "udtf_word_positions": _udtf_words,
+        "regexp_functions_showcase": lambda s, d: rex.regexp_functions_showcase(_t(s, d)["part"]),
     }
 )
 
@@ -305,6 +306,7 @@ _REL_EXT_ORACLES: dict[str, str] = {
 }
 
 _REL_EXT_ORACLES.update(_tpch_oracles())
+_REL_EXT_ORACLES["regexp_functions_showcase"] = rex.regexp_functions_showcase_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,26 @@ def pandas_udf_showcase_sql() -> str:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """
+
+
+def regexp_functions_showcase(part: DataFrame) -> DataFrame:
+    """Regexp scalar family: capture-group extraction, global replace,
+    and pattern predicates — all JVM-side."""
+    return part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("ECONOMY|PROMO").cast("int").alias("is_econ_promo"),
+        F.regexp_count(F.col("p_name"), F.lit(r"\w+")).alias("word_count"),
+    )
+
+
+def regexp_functions_showcase_sql() -> str:
+    return r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_type, 'ECONOMY|PROMO') AS INT) AS is_econ_promo,
+           CAST(len(regexp_extract_all(p_name, '\w+')) AS INT) AS word_count
+    FROM part WHERE p_partkey < 100
+    """
