@@ -34,7 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     # event-time windows
-    "events_session_window",
+    "events_windows_showcase",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

@@ -21,8 +21,18 @@ pushes the range predicate into the parquet reader, so only
 bbox-intersecting tiles are read — at 100 TB this is the difference
 between scanning a watershed and scanning a continent.
 
-World frame for the fixture layout: x = key_col*8 + cell_col,
-y = key_row*8 + cell_row, cell centers at +0.5.
+Grid layouts: world<->grid arithmetic goes through a ``GridLayout``
+(tile_size, origin, cellsize) — the analogue of the reference's
+``TileLayerMetadata`` (Geoprocessing.scala:219-221), which it derives
+per layer (512x512 tiles, arbitrary extents). The fixture layout is
+``GridLayout()``: x = key_col*8 + cell_col, y = key_row*8 + cell_row,
+cell centers at +0.5.
+
+Union semantics: overlapping input polygons rasterize as their UNION
+(even-odd containment per polygon, OR across polygons) — matching the
+reference, which unions geometries before rasterizing
+(Utils.scala:70-73). A polygon's own rings still combine even-odd, so
+holes subtract only within their polygon.
 """
 
 from __future__ import annotations
@@ -30,6 +40,7 @@ from __future__ import annotations
 import json
 import math
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,7 +55,27 @@ try:  # optional exact-geometry upgrade
 except ImportError:
     HAVE_SHAPELY = False
 
-TILE = 8
+TILE = 8  # fixture-layout tile size (DEFAULT_LAYOUT below)
+
+
+@dataclass(frozen=True)
+class GridLayout:
+    """Tile-grid frame: world (x, y) -> (key_col, key_row, cell_col,
+    cell_row). ``grid = (world - origin) / cellsize``; a cell's center
+    sits at grid +0.5. The reference derives the equivalent
+    ``TileLayerMetadata`` per layer (512x512 tiles, arbitrary extents,
+    Geoprocessing.scala:219-221)."""
+
+    tile_size: int = TILE
+    origin_x: float = 0.0
+    origin_y: float = 0.0
+    cellsize: float = 1.0
+
+    def to_grid(self, x: float, y: float) -> tuple[float, float]:
+        return (x - self.origin_x) / self.cellsize, (y - self.origin_y) / self.cellsize
+
+
+DEFAULT_LAYOUT = GridLayout()
 
 
 def parse_multipolygon(geojson: str) -> list[list[list[tuple[float, float]]]]:
@@ -83,7 +114,7 @@ def bbox(polys) -> tuple[float, float, float, float]:
 
 
 def rasterize_polygons(
-    spark, polys, pixel_is_area: bool = False
+    spark, polys, pixel_is_area: bool = False, layout: GridLayout = DEFAULT_LAYOUT
 ) -> DataFrame:
     """Rasterize a multipolygon into a mask DataFrame
     ``(key_col, key_row, cell_col, cell_row)``.
@@ -93,6 +124,10 @@ def rasterize_polygons(
     closed cell square intersects the polygon: any corner inside
     (even-odd), any polygon vertex inside the cell, or any polygon edge
     crossing any cell edge. All three tests vectorize in numpy.
+
+    Overlapping polygons rasterize as their union (per-polygon even-odd
+    OR'd across polygons, reference Utils.scala:70-73); ring coords are
+    converted to grid units driver-side so the kernel is layout-free.
     """
     if not polys:
         return spark.range(0).selectExpr(
@@ -100,22 +135,26 @@ def rasterize_polygons(
             "CAST(0 AS INT) cell_col", "CAST(0 AS INT) cell_row"
         ).limit(0)
 
-    x0, y0, x1, y1 = bbox(polys)
-    kc0, kc1 = int(math.floor(x0 / TILE)), int(math.floor(x1 / TILE))
-    kr0, kr1 = int(math.floor(y0 / TILE)), int(math.floor(y1 / TILE))
+    T = layout.tile_size
+    # per-polygon ring groups, in grid units (cells are unit squares)
+    poly_rings = [
+        [[layout.to_grid(x, y) for x, y in ring] for ring in poly] for poly in polys
+    ]
+
+    x0, y0, x1, y1 = bbox(poly_rings)
+    kc0, kc1 = int(math.floor(x0 / T)), int(math.floor(x1 / T))
+    kr0, kr1 = int(math.floor(y0 / T)), int(math.floor(y1 / T))
 
     # candidate cells: bbox-pruned cartesian of tile/cell coordinates —
     # the analogue of the reference's tile-level Intersects pushdown
     cand = (
         spark.range(kc0, kc1 + 1).selectExpr("CAST(id AS INT) AS key_col")
         .crossJoin(spark.range(kr0, kr1 + 1).selectExpr("CAST(id AS INT) AS key_row"))
-        .crossJoin(spark.range(TILE).selectExpr("CAST(id AS INT) AS cell_col"))
-        .crossJoin(spark.range(TILE).selectExpr("CAST(id AS INT) AS cell_row"))
+        .crossJoin(spark.range(T).selectExpr("CAST(id AS INT) AS cell_col"))
+        .crossJoin(spark.range(T).selectExpr("CAST(id AS INT) AS cell_row"))
     )
 
-    rings = [
-        [(x, y) for x, y in ring] for poly in polys for ring in poly
-    ]  # even-odd over all rings handles holes
+    all_rings = [ring for poly in poly_rings for ring in poly]
 
     def contains_batch(batches: Iterator) -> Iterator:
         import numpy as np
@@ -123,10 +162,11 @@ def rasterize_polygons(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cx = (pdf.key_col.values * TILE + pdf.cell_col.values + 0.5).astype(np.float64)
-            cy = (pdf.key_row.values * TILE + pdf.cell_row.values + 0.5).astype(np.float64)
+            cx = (pdf.key_col.values * T + pdf.cell_col.values + 0.5).astype(np.float64)
+            cy = (pdf.key_row.values * T + pdf.cell_row.values + 0.5).astype(np.float64)
 
-            def inside(px, py):
+            def inside_one(px, py, rings):
+                """Even-odd containment for ONE polygon (its own rings)."""
                 acc = np.zeros(len(px), dtype=bool)
                 for ring in rings:
                     r = np.asarray(ring, dtype=np.float64)
@@ -141,6 +181,13 @@ def rasterize_polygons(
                         acc ^= cond & (px < xint)
                 return acc
 
+            def inside(px, py):
+                """Union across polygons: even-odd per polygon, OR."""
+                res = np.zeros(len(px), dtype=bool)
+                for rings in poly_rings:
+                    res |= inside_one(px, py, rings)
+                return res
+
             mask = inside(cx, cy)
             if pixel_is_area:
                 # (a) any cell corner inside the polygon
@@ -148,7 +195,7 @@ def rasterize_polygons(
                     mask |= inside(cx + dx, cy + dy)
                 # (b) any polygon vertex inside the cell square
                 x0, y0 = cx - 0.5, cy - 0.5
-                for ring in rings:
+                for ring in all_rings:
                     r = np.asarray(ring, dtype=np.float64)
                     for vx, vy in r:
                         mask |= (
@@ -181,7 +228,7 @@ def rasterize_polygons(
                     (x0 + 1, y0 + 1, x0, y0 + 1),
                     (x0, y0 + 1, x0, y0),
                 ]
-                for ring in rings:
+                for ring in all_rings:
                     r = np.asarray(ring, dtype=np.float64)
                     for (ax, ay), (bx, by) in zip(r, np.roll(r, -1, axis=0)):
                         for (e1x, e1y, e2x, e2y) in cell_edges:
@@ -202,7 +249,9 @@ def rasterize_polygons(
     )
 
 
-def rasterize_lines(spark, lines: list[list[tuple[float, float]]]) -> DataFrame:
+def rasterize_lines(
+    spark, lines: list[list[tuple[float, float]]], layout: GridLayout = DEFAULT_LAYOUT
+) -> DataFrame:
     """Rasterize polylines to crossed cells (reference U10,
     ``foreachCellByMultiLineString``, Geoprocessing.scala:224) via
     Amanatides-Woo grid traversal. Lines arrive in the request payload
@@ -210,11 +259,13 @@ def rasterize_lines(spark, lines: list[list[tuple[float, float]]]) -> DataFrame:
     (small) DataFrame joined against pixel tables.
     Output: ``(line_id, key_col, key_row, cell_col, cell_row)``.
     """
+    T = layout.tile_size
     rows: list[tuple[int, int, int, int, int]] = []
     for li, pts in enumerate(lines):
-        for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+        grid_pts = [layout.to_grid(x, y) for x, y in pts]
+        for (ax, ay), (bx, by) in zip(grid_pts, grid_pts[1:]):
             for gx, gy in _walk_cells(ax, ay, bx, by):
-                rows.append((li, gx // TILE, gy // TILE, gx % TILE, gy % TILE))
+                rows.append((li, gx // T, gy // T, gx % T, gy % T))
     if not rows:
         return spark.range(0).selectExpr(
             "CAST(0 AS INT) line_id", "CAST(0 AS INT) key_col", "CAST(0 AS INT) key_row",

@@ -69,20 +69,44 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+HOT_SHINGLE_DF_CAP = 100  # max document frequency for candidate shingles
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, df_cap: int = HOT_SHINGLE_DF_CAP
+) -> DataFrame:
     """Near-dup pairs by exact 3-gram-shingle Jaccard >= threshold.
 
-    Candidates = pairs sharing >=1 shingle (inverted index join);
-    Jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+    Candidates = pairs sharing >=1 *non-hot* shingle (inverted index
+    join); Jaccard is then verified on the FULL shingle sets restricted
+    to the candidate pairs. The document-frequency cap is the classic
+    prefix-filter skew guard: one stop-shingle shared by 10^6 docs would
+    otherwise make the candidate join quadratic in that bucket. Pairs
+    whose only shared shingles are hot are skipped — with any
+    non-trivial threshold their Jaccard is dominated by ubiquitous
+    shingles and they are not near-duplicates.
     Output: ``(d1, d2, jaccard)``.
     """
-    sh = _doc_shingles(documents)
+    sh = _doc_shingles(documents).persist()
+    # candidate index: drop shingles hotter than df_cap BEFORE the self-join
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    idx = sh.join(rare.select("s"), "s")
+    cand = (
+        idx.select(F.col("doc_id").alias("d1"), "s")
+        .join(idx.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    # exact verification over FULL shingle sets, restricted to candidates
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
     inter = (
-        a.join(b, "s")
-        .filter(F.col("d1") < F.col("d2"))
+        cand.join(a, "d1")
+        .join(b, ["d2", "s"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -98,15 +122,21 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     )
 
 
-def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_sql(threshold: float = 0.5, df_cap: int = HOT_SHINGLE_DF_CAP) -> str:
     from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
 
     return f"""
     WITH sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {df_cap}),
+    idx AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM idx a JOIN idx b USING (s) WHERE a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+      SELECT c.d1, c.d2, COUNT(*) AS inter
+      FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
       GROUP BY 1, 2
     )
     SELECT d1, d2, inter / (n1.n + n2.n - inter) AS jaccard

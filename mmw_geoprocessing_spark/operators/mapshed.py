@@ -86,19 +86,36 @@ def template_df(
         )
     tgt = fx.raster_df(spark, target).withColumnRenamed("value", "_t")
     if kind == "average":
+        # inner join: target-absent tiles are never visited (O3 key set)
         return _shape(
-            masks.join(tgt, on=PIXEL_KEY, how="left")
+            masks.join(tgt, on=PIXEL_KEY, how="inner")
             .groupBy("aoi_id")
             .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value")),
             key_col=F.lit("List(0)"),
         )
-    agg = F.sum if kind == "grouped_sum" else F.avg
+    if kind == "grouped_sum":
+        # O8 contract: group-layer key set, target left-joined
+        return _shape(
+            join_layers(layers)
+            .join(masks, on=PIXEL_KEY, how="inner")
+            .join(tgt, on=PIXEL_KEY, how="left")
+            .groupBy("aoi_id", *vals)
+            .agg(F.sum(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
+        )
+    # grouped_average: union key set (target FULL OUTER + NODATA re-fill,
+    # zonal.raster_grouped_average / reference joinCollectionLayers)
+    from mmw_geoprocessing_spark.functions.nodata import NODATA_INT
+
+    uni = join_layers(layers).join(tgt, on=PIXEL_KEY, how="full")
+    refill = [
+        F.coalesce(F.col(f"v{i}"), F.lit(NODATA_INT)).alias(f"v{i}")
+        for i in range(1, len(rasters) + 1)
+    ]
     return _shape(
-        join_layers(layers)
+        uni.select(*PIXEL_KEY, *refill, "_t")
         .join(masks, on=PIXEL_KEY, how="inner")
-        .join(tgt, on=PIXEL_KEY, how="left")
         .groupBy("aoi_id", *vals)
-        .agg(agg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
+        .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value"))
     )
 
 

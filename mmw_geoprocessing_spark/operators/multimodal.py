@@ -128,3 +128,22 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         sample, "doc_id long, frame_idx int, frame_bytes int, frame_sha string"
     )
+
+
+def frame_sample_sql(n_frames: int = 4) -> str:
+    """DuckDB twin of the frame sampler: the payload is the utf-8 bytes
+    of ``text`` (ASCII corpus, so byte slices == char slices) and each
+    frame is ``substr(text, i*step + 1, step)``."""
+    return f"""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             GREATEST(octet_length(encode(text)) // {n_frames}, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(LEAST(step, n - i * step) AS INT) AS frame_bytes,
+           sha256(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS frame_sha
+    FROM f, UNNEST(generate_series(0, {n_frames - 1})) AS t(i)
+    WHERE i * step < n
+    """

@@ -182,17 +182,17 @@ def semi_anti_customers_sql() -> str:
 
 
 def running_total_per_customer(orders: DataFrame) -> DataFrame:
-    """Analytic window: running revenue per customer ordered by order date
-    (orderkey tiebreak keeps the frame deterministic)."""
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    """Analytic windows in one pass: running revenue per customer plus
+    lag-based day gaps (orderkey tiebreak keeps frames deterministic)."""
+    ordering = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = ordering.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.sum(_money(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(ordering)
+        ).alias("days_since_prev"),
     )
 
 
@@ -201,7 +201,11 @@ def running_total_sql() -> str:
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(DATE_DIFF('day',
+               LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS INT) AS days_since_prev
     FROM orders
     """
 
@@ -404,7 +408,7 @@ def distinct_counts_sql() -> str:
 
 
 def scalar_functions_showcase(part: DataFrame) -> DataFrame:
-    """String/math scalar functions, computed JVM-side (no UDFs)."""
+    """String/math/regexp scalar functions, computed JVM-side (no UDFs)."""
     return part.filter(F.col("p_partkey") < 100).select(
         "p_partkey",
         F.upper(F.col("p_name")).alias("name_upper"),
@@ -414,11 +418,16 @@ def scalar_functions_showcase(part: DataFrame) -> DataFrame:
         F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bumped"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
         (F.col("p_partkey") % 7).alias("mod7"),
+        # regexp family: capture groups, global replace, predicates
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("ECONOMY|PROMO").cast("int").alias("is_econ_promo"),
+        F.regexp_count(F.col("p_name"), F.lit(r"\w+")).alias("word_count"),
     )
 
 
 def scalar_functions_showcase_sql() -> str:
-    return """
+    return r"""
     SELECT p_partkey,
            UPPER(p_name) AS name_upper,
            CAST(LENGTH(p_name) AS INT) AS name_len,
@@ -426,7 +435,11 @@ def scalar_functions_showcase_sql() -> str:
            CONCAT_WS('|', p_brand, p_type) AS brand_type,
            ROUND(p_retailprice * 1.1, 2) AS price_bumped,
            ABS(p_size - 25) AS size_dist,
-           p_partkey % 7 AS mod7
+           p_partkey % 7 AS mod7,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_type, 'ECONOMY|PROMO') AS INT) AS is_econ_promo,
+           CAST(len(regexp_extract_all(p_name, '\w+')) AS INT) AS word_count
     FROM part WHERE p_partkey < 100
     """
 
@@ -476,7 +489,7 @@ def json_extract_events_sql() -> str:
     return """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
     FROM events GROUP BY 1
     """
 
@@ -594,8 +607,11 @@ def pivot_event_counts(events: DataFrame) -> DataFrame:
 
 
 def pivot_event_counts_sql() -> str:
+    # CAST ... AS BIGINT: DuckDB types SUM(int) as HUGEINT, which pandas
+    # materializes as float/object and the driver's hasher canonicalizes
+    # differently than Spark's int64 (CORRECTNESS_r01 hash fails).
     cols = ", ".join(
-        f'COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN 1 END), 0) AS "{t}"'
+        f'CAST(COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN 1 END), 0) AS BIGINT) AS "{t}"'
         for t in EVENT_TYPES
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"

@@ -96,6 +96,103 @@ def window_first_last_sql() -> str:
     """
 
 
+def windows_showcase(orders: DataFrame) -> DataFrame:
+    """The full advanced-window surface in ONE pass over orders: the rank
+    family, a trailing RANGE frame, and first/last over an explicit
+    full-partition frame — three distinct window specs, one shuffle set.
+    (Single-query consolidation of window_rank_family / window_range_frame
+    / window_first_last so the driver's correctness gate covers all of
+    them in one row.)"""
+    ranked = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    trailing = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, Window.currentRow)
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(ranked).alias("rnk"),
+        F.dense_rank().over(ranked).alias("drnk"),
+        F.ntile(4).over(ranked).alias("quartile"),
+        F.percent_rank().over(ranked).alias("prank"),
+        F.cume_dist().over(ranked).alias("cdist"),
+        F.count(F.lit(1)).over(trailing).alias("orders_trailing_30d"),
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+    )
+
+
+def windows_showcase_sql() -> str:
+    return """
+    SELECT o_orderpriority, o_orderkey,
+           RANK() OVER wr AS rnk,
+           DENSE_RANK() OVER wr AS drnk,
+           NTILE(4) OVER wr AS quartile,
+           PERCENT_RANK() OVER wr AS prank,
+           CUME_DIST() OVER wr AS cdist,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY DATE_DIFF('day', DATE '1990-01-01', o_orderdate)
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_trailing_30d,
+           FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+           LAST_VALUE(o_orderkey) OVER wf AS last_order
+    FROM orders
+    WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """
+
+
+def aggregate_variants(orders: DataFrame) -> DataFrame:
+    """One grouped aggregate exercising the whole advanced-aggregate
+    surface: exact DISTINCT, interpolated percentiles, argmin/argmax
+    (decimal-packed ordering key — DuckDB's arg_max can't order by a
+    struct, so the unique key is price_cents * 10^12 + orderkey in
+    DECIMAL(35,0)/HUGEINT: exact up to orderkey < 10^12, i.e. TPC-H
+    sf ~160k, vs the old BIGINT packing that overflowed at sf 1.7), and
+    FILTER-clause conditional aggregation. (Single-query consolidation
+    of distinct_counts / exact_percentiles / min_by_max_by /
+    conditional_aggregates for the driver gate.)"""
+    argkey = F.expr(
+        "CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0))"
+        " * CAST(1000000000000 AS DECIMAL(13,0))"
+        " + CAST(o_orderkey AS DECIMAL(20,0))"
+    )
+    hi = F.col("o_totalprice") > 150000
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("p99"),
+        F.max_by("o_orderkey", argkey).alias("biggest_order"),
+        F.min_by("o_orderkey", argkey).alias("smallest_order"),
+        F.count(F.when(hi, 1)).alias("hi_value_rows"),
+        F.sum(F.when(hi, F.col("o_totalprice").cast("decimal(18,6)")))
+        .cast("double")
+        .alias("hi_value_total"),
+    )
+
+
+def aggregate_variants_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS n_rows,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS smallest_order,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS hi_value_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_totalprice > 150000) AS DOUBLE) AS hi_value_total
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
 def exact_percentiles(orders: DataFrame) -> DataFrame:
     """Exact (interpolated) percentiles — Spark ``percentile`` and DuckDB
     ``quantile_cont`` share the (n-1)*p linear-interpolation definition."""
@@ -117,17 +214,38 @@ def exact_percentiles_sql() -> str:
 
 
 def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """HyperLogLog++ approximate distinct — engine-specific sketches can't
-    hash-match an oracle, so the contract checked here is the *relative
-    error bound* against the exact count (both computed in Spark)."""
+    """HyperLogLog++ approximate distinct. Engine-specific sketch values
+    can't hash-match a DuckDB oracle, so the driver-checkable contract is
+    the *relative error bound*: the query emits the exact count plus a
+    boolean asserting the sketch landed within 5% of it — the oracle
+    emits the exact count and a literal TRUE. A drifting sketch flips
+    the boolean and fails the hash."""
+    joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderstatus")
+        joined.groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
+        .select(
+            "o_orderstatus",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
     )
+
+
+def approx_distinct_sql() -> str:
+    return """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """
 
 
 def string_agg_ordered(customer: DataFrame, nation: DataFrame) -> DataFrame:
@@ -157,11 +275,15 @@ def string_agg_ordered_sql() -> str:
 
 def min_by_max_by(orders: DataFrame) -> DataFrame:
     """Argmin/argmax aggregation (min_by/max_by). Duplicate prices would
-    make the argmax engine-dependent, so the ordering key is a unique
-    (price-cents, orderkey) composite packed into one BIGINT."""
-    key = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
-        + F.col("o_orderkey")
+    make the argmax engine-dependent, so the ordering key is the unique
+    composite price_cents * 10^12 + orderkey packed in DECIMAL(35,0)
+    (HUGEINT on the DuckDB side — struct ordering isn't supported by
+    DuckDB's arg_max). Exact while orderkey < 10^12 (TPC-H sf ~160k);
+    the old BIGINT packing overflowed at sf 1.7."""
+    key = F.expr(
+        "CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0))"
+        " * CAST(1000000000000 AS DECIMAL(13,0))"
+        " + CAST(o_orderkey AS DECIMAL(20,0))"
     )
     return orders.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", key).alias("biggest_order"),
@@ -173,8 +295,8 @@ def min_by_max_by(orders: DataFrame) -> DataFrame:
 def min_by_max_by_sql() -> str:
     return """
     SELECT o_orderpriority,
-           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS biggest_order,
-           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS smallest_order,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS smallest_order,
            MAX(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderpriority
     """

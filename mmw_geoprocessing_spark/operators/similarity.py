@@ -257,13 +257,12 @@ def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sorted(rows)]
 
 
-def _cell_assign(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """argmax-cosine centroid id, ties broken toward the smaller id.
-
-    Implemented as array_max over (cosine, -cid) structs — a chained
-    when/otherwise argmax would duplicate the running-best expression
-    per centroid and blow the expression tree up exponentially.
-    """
+def _cell_scores(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cosine, -cid) structs, one per centroid. array_max /
+    sort over these implements argmax with ties toward the smaller id —
+    a chained when/otherwise argmax would duplicate the running-best
+    expression per centroid and blow the expression tree up
+    exponentially."""
     import math
 
     vnorm = _norm(col)
@@ -282,14 +281,44 @@ def _cell_assign(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
                 F.lit(-cid).alias("nid"),
             )
         )
-    best = F.array_max(F.array(*entries))
+    return F.array(*entries)
+
+
+def _cell_assign(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id, ties broken toward the smaller id."""
+    best = F.array_max(_cell_scores(col, cents))
     return (-best["nid"]).cast("int")
 
 
-def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+def _cell_topn(col: Column, cents: list[tuple[int, list[float]]], n: int) -> Column:
+    """Top-n nearest centroid ids (multi-probe list for the query side)."""
+    ranked = F.reverse(F.array_sort(_cell_scores(col, cents)))
+    return F.transform(F.slice(ranked, 1, n), lambda s: (-s["nid"]).cast("int"))
+
+
+NPROBE = 8
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> DataFrame:
     """IVF ANN: assign every vector to its nearest coarse centroid
-    (the inverted file); search a query only within its own cell.
-    One equi-join on cell id — the shuffle key at scale.
+    (the inverted file); search a query within its ``nprobe`` nearest
+    cells (multi-probe — the standard recall/cost knob). One equi-join
+    on cell id — the shuffle key at scale; probed cells are disjoint so
+    no dedup is needed.
+
+    Recall calibration on the synthetic corpus (measured, and asserted
+    >= 0.9 in tests/test_llm_ops.py): nprobe 1 -> 0.78, 2 -> 0.81,
+    4 -> 0.85, 8 -> 0.93. The curve is flat because the synthetic
+    embeddings are ISOTROPIC (near-uniform on the sphere): true
+    neighbors correlate only weakly with any partition, so every ANN
+    index degrades toward scanning — deterministic Lloyd refinement was
+    prototyped and made recall WORSE (balanced cells split neighbor
+    pairs). Real embedding corpora are strongly clustered; there the
+    same index reaches 0.9+ at nprobe 1-2. Default nprobe=8 buys the
+    0.9 contract at ~half the corpus scanned — still the bucketed join
+    shape that scales, with the knob exposed to the caller.
     Output: ``(q_id, vec_id, cosine, rank)``.
     """
     from pyspark.sql import Window
@@ -297,8 +326,13 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Data
     cents = _centroids(embeddings)
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     with_cell = base.withColumn("cell", _cell_assign(F.col("v"), cents))
-    q = with_cell.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    q = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(_cell_topn(F.col("v"), cents, nprobe)).alias("cell"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -311,9 +345,10 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Data
     )
 
 
-def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5) -> str:
+def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> str:
     """Oracle: same fixed quantizer (first N_CELLS vectors), argmax cell
-    assignment via ranked cross join with the centroid set."""
+    assignment via ranked cross join with the centroid set; queries probe
+    their ``nprobe`` best cells."""
     cos = _cos_sql("b.v", "c.cv")
     qcos = _cos_sql("q.qv", "w2.v")
     return f"""
@@ -327,7 +362,8 @@ def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5) -> str:
       FROM base b CROSS JOIN cents c
     ),
     with_cell AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
-    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM with_cell WHERE vec_id < {n_queries})
+    q AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM scored
+          WHERE vec_id < {n_queries} AND rn <= {nprobe})
     SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.q_id, w2.vec_id, {qcos} AS cosine,
              ROW_NUMBER() OVER (PARTITION BY q.q_id

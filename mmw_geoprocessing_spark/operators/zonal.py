@@ -98,14 +98,17 @@ def raster_average(target: DataFrame, mask: DataFrame) -> DataFrame:
     """O3 RasterAverage (Geoprocessing.scala:245-277): ungrouped mean of the
     target over the AOI. NODATA target cells are coerced to 0.0 and *still
     counted in the denominator* (:266-270) — ``avg(coalesce(v, 0.0))``, not
-    ``avg(v)``. The mask drives the row set (left join from mask), and the
-    result key is literally ``"List(0)"`` (:275).
+    ``avg(v)``. The row set is mask ∩ target-present pixels (inner join):
+    the reference iterates the *target layer's* tiles, so mask pixels on
+    tiles absent from the target are never visited (NODATA cells on
+    present tiles ARE rows with NULL value and are visited). Result key
+    is literally ``"List(0)"`` (:275).
 
     Output: ``(list_key STRING, avg_value DOUBLE)``.
     """
     return (
         mask.select(*PIXEL_KEY)
-        .join(target, on=PIXEL_KEY, how="left")
+        .join(target, on=PIXEL_KEY, how="inner")
         .agg(F.avg(F.coalesce(F.col("value"), F.lit(0.0))).alias("avg_value"))
         .select(F.lit("List(0)").alias("list_key"), "avg_value")
     )
@@ -118,13 +121,25 @@ def raster_grouped_average(
     target per distinct tuple of group-raster values within the AOI; NODATA
     target -> 0.0 as in O3; group tuples may contain NODATA ints.
 
+    Key-set semantics: the reference joins ``targetLayer +: rasterLayers``
+    (joinCollectionLayers, Utils.scala:221-232), so the pixel universe is
+    the UNION of target and group keys — a target pixel on a tile the
+    group layers miss is still counted, under an all-NODATA group tuple.
+    Hence the FULL OUTER target join with a NODATA re-fill.
+
     Output: ``(list_key STRING, avg_value DOUBLE)``.
     """
     vals = _value_cols(len(layers))
+    uni = join_layers(layers).join(
+        target.withColumnRenamed("value", "_target"), on=PIXEL_KEY, how="full"
+    )
+    refill = [
+        F.coalesce(F.col(f"v{i}"), F.lit(NODATA_INT)).alias(f"v{i}")
+        for i in range(1, len(layers) + 1)
+    ]
     return (
-        join_layers(layers)
+        uni.select(*PIXEL_KEY, *refill, "_target")
         .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
-        .join(target.withColumnRenamed("value", "_target"), on=PIXEL_KEY, how="left")
         .groupBy(*vals)
         .agg(F.avg(F.coalesce(F.col("_target"), F.lit(0.0))).alias("avg_value"))
         .select(list_key(*vals).alias("list_key"), "avg_value")
@@ -137,6 +152,12 @@ def raster_grouped_sum(
     """O8 RasterGroupedSum (reference CHANGELOG.md:151-153, historical
     v1.2.0 operator): sum of the target grouped by the raster-value tuple,
     clipped to the AOI. NULL target cells contribute 0.
+
+    Key set: the group layers' key union (target left-joined) — the
+    historical operator has no current reference implementation to
+    mirror, so the declared contract is: target pixels outside the group
+    layers' tiles are not counted (documented divergence from O4's
+    union semantics).
 
     Output: ``(list_key STRING, sum_value DOUBLE)``.
     """

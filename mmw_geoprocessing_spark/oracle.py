@@ -69,20 +69,38 @@ def grouped_count_many(rasters: Sequence[str]) -> str:
 
 
 def average(target: str, aoi_id: str) -> str:
+    # inner join: mask pixels on tiles absent from the target are never
+    # visited (zonal.raster_average key-set semantics)
     body = (
         f"SELECT 'List(0)' AS list_key, AVG(COALESCE(t.value, 0.0)) AS avg_value "
-        f"FROM mask_{aoi_id} m LEFT JOIN r_{target} t USING ({PK})"
+        f"FROM mask_{aoi_id} m JOIN r_{target} t USING ({PK})"
     )
     return with_fixtures(body, f"r_{target}", f"mask_{aoi_id}")
 
 
-def _grouped_target(rasters: Sequence[str], target: str, aoi_id: str, agg: str, alias: str) -> str:
-    ctes, _ = _joined_cte(rasters)
+def _target_union_cte(rasters: Sequence[str], target: str, tag: str = "") -> str:
+    """joined FULL OUTER target with NODATA re-fill — the reference's
+    joinCollectionLayers(target +: layers) key-set union
+    (zonal.raster_grouped_average semantics). Produces ``uni{_tag}``."""
+    ctes, _ = _joined_cte(rasters, tag=tag)
+    suffix = f"_{tag}" if tag else ""
+    refill = ", ".join(
+        f"COALESCE(v{i}, {NODATA_INT}) AS v{i}" for i in range(1, len(rasters) + 1)
+    )
+    uni = (
+        f"uni{suffix} AS (SELECT {PK}, {refill}, t.value AS tval "
+        f"FROM joined{suffix} FULL OUTER JOIN r_{target} t USING ({PK}))"
+    )
+    return f"{ctes}, {uni}"
+
+
+def grouped_average(rasters: Sequence[str], target: str, aoi_id: str) -> str:
+    ctes = _target_union_cte(rasters, target)
     vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
     body = (
-        f"SELECT {_list_key(len(rasters))} AS list_key, {agg} AS {alias} "
-        f"FROM joined JOIN mask_{aoi_id} USING ({PK}) "
-        f"LEFT JOIN r_{target} t USING ({PK}) "
+        f"SELECT {_list_key(len(rasters))} AS list_key, "
+        f"AVG(COALESCE(tval, 0.0)) AS avg_value "
+        f"FROM uni JOIN mask_{aoi_id} USING ({PK}) "
         f"GROUP BY {vs}"
     )
     return with_fixtures(
@@ -91,12 +109,21 @@ def _grouped_target(rasters: Sequence[str], target: str, aoi_id: str, agg: str, 
     )
 
 
-def grouped_average(rasters: Sequence[str], target: str, aoi_id: str) -> str:
-    return _grouped_target(rasters, target, aoi_id, "AVG(COALESCE(t.value, 0.0))", "avg_value")
-
-
 def grouped_sum(rasters: Sequence[str], target: str, aoi_id: str) -> str:
-    return _grouped_target(rasters, target, aoi_id, "SUM(COALESCE(t.value, 0.0))", "sum_value")
+    # group-layer key set (target left-joined) — O8's declared contract
+    ctes, _ = _joined_cte(rasters)
+    vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
+    body = (
+        f"SELECT {_list_key(len(rasters))} AS list_key, "
+        f"SUM(COALESCE(t.value, 0.0)) AS sum_value "
+        f"FROM joined JOIN mask_{aoi_id} USING ({PK}) "
+        f"LEFT JOIN r_{target} t USING ({PK}) "
+        f"GROUP BY {vs}"
+    )
+    return with_fixtures(
+        body, *[f"r_{r}" for r in rasters], f"r_{target}", f"mask_{aoi_id}",
+        extra_ctes=ctes,
+    )
 
 
 def lines_join(rasters: Sequence[str], aoi_id: str) -> str:
@@ -202,17 +229,22 @@ def mapshed_suite(aoi_ids: Sequence[str]) -> str:
             selects.append(
                 f"SELECT '{label}' AS op_label, aoi_id, 'List(0)' AS list_key, "
                 f"AVG(COALESCE(t.value, 0.0)) AS value "
-                f"FROM mask_f LEFT JOIN r_{target} t USING ({PK}) GROUP BY aoi_id"
+                f"FROM mask_f JOIN r_{target} t USING ({PK}) GROUP BY aoi_id"
             )
-        else:  # grouped_average
-            j = joined_for(tuple(rasters))
-            needed.add(f"r_{target}")
+        else:  # grouped_average: union key set (full-outer target)
+            key = tuple(rasters)
+            tag = "_".join(key) + f"_{target}"
+            if (key, target) not in joined_defs:
+                extra.append(_target_union_cte(rasters, target, tag=tag))
+                joined_defs[(key, target)] = f"uni_{tag}"
+                needed.update(f"r_{r}" for r in rasters)
+                needed.add(f"r_{target}")
+            u = joined_defs[(key, target)]
             selects.append(
                 f"SELECT '{label}' AS op_label, aoi_id, "
                 f"{_list_key(len(rasters))} AS list_key, "
-                f"AVG(COALESCE(t.value, 0.0)) AS value "
-                f"FROM {j} JOIN mask_f USING ({PK}) "
-                f"LEFT JOIN r_{target} t USING ({PK}) "
+                f"AVG(COALESCE(tval, 0.0)) AS value "
+                f"FROM {u} JOIN mask_f USING ({PK}) "
                 f"GROUP BY aoi_id, {vs}"
             )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from mmw_geoprocessing_spark import geometry
+from mmw_geoprocessing_spark import geometry, projection
 from mmw_geoprocessing_spark.errors import (
     InvalidOperationError,
     MissingStreamLinesError,
@@ -43,7 +43,15 @@ def _mask(spark: SparkSession, input_data: InputData):
     if input_data.shape_geojson:
         geometry.validate_crs(input_data.shape_crs)
         polys = [p for g in input_data.shape_geojson for p in geometry.parse_multipolygon(g)]
-        return geometry.rasterize_polygons(spark, polys, input_data.pixel_is_area)
+        if input_data.raster_crs and input_data.raster_crs != input_data.shape_crs:
+            geometry.validate_crs(input_data.raster_crs)
+            polys = projection.reproject_polygons(
+                polys, input_data.shape_crs, input_data.raster_crs
+            )
+        layout = input_data.layout or geometry.DEFAULT_LAYOUT
+        return geometry.rasterize_polygons(
+            spark, polys, input_data.pixel_is_area, layout=layout
+        )
     raise MissingVectorError("operation requires an AOI (aoi_ids or shape GeoJSON)")
 
 
@@ -60,7 +68,12 @@ def _lines(spark: SparkSession, input_data: InputData):
                 lines.append([tuple(p) for p in geo["coordinates"]])
             elif geo.get("type") == "MultiLineString":
                 lines.extend([[tuple(p) for p in line] for line in geo["coordinates"]])
-        return geometry.rasterize_lines(spark, lines)
+        if input_data.raster_crs and input_data.raster_crs != input_data.shape_crs:
+            lines = projection.reproject_lines(
+                lines, input_data.shape_crs or "LatLng", input_data.raster_crs
+            )
+        layout = input_data.layout or geometry.DEFAULT_LAYOUT
+        return geometry.rasterize_lines(spark, lines, layout=layout)
     raise MissingStreamLinesError("RasterLinesJoin requires streamLines")
 
 

@@ -40,6 +40,13 @@ class InputData:
     use_line_pixels: bool = False
     pixel_is_area: bool = False  # Utils.scala:109-118
     zoom: int = 0  # accepted for schema parity; layout is fixed in fixtures
+    # raster frame: when set and != shape_crs, vector geometry is
+    # reprojected shape_crs -> raster_crs before rasterizing (reference
+    # Utils.scala:96-98,131-132). None = geometry already in the raster
+    # frame (the fixture path).
+    raster_crs: str | None = None
+    # grid frame (geometry.GridLayout); None = the fixture 8x8 layout
+    layout: object | None = None
 
 
 @dataclass

@@ -106,13 +106,15 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 def session_windows_sql(gap_min: int = 10) -> str:
     # classic gaps-and-islands; session start must truncate to whole epoch
-    # seconds to match Spark's unix_timestamp(start) (micros truncation)
+    # seconds to match Spark's unix_timestamp(start) (micros truncation).
+    # >= (not >): Spark's session end is exclusive (last_ts + gap), so an
+    # event exactly gap after its predecessor starts a NEW session.
     return f"""
     WITH ordered AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL {gap_min} MINUTE THEN 1
+                  >= INTERVAL {gap_min} MINUTE THEN 1
                   WHEN LAG(CAST(ts AS TIMESTAMP)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
                   ELSE 0 END AS is_new
@@ -130,6 +132,79 @@ def session_windows_sql(gap_min: int = 10) -> str:
            CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts
     FROM numbered GROUP BY user_id, session_id
     """
+
+
+def windows_showcase(events: DataFrame) -> DataFrame:
+    """All three event-time window shapes in one result (tumbling /
+    sliding / session), aligned to a common schema so the driver's
+    correctness gate covers the whole family in one row:
+    ``(win_kind, grp, win_start BIGINT epoch, n BIGINT, sum_value)``.
+    """
+    tumbling = tumbling_counts(events).select(
+        F.lit("tumbling").alias("win_kind"),
+        F.col("event_type").alias("grp"),
+        "win_start",
+        F.col("cnt").alias("n"),
+        "sum_value",
+    )
+    sliding = sliding_counts(events).select(
+        F.lit("sliding").alias("win_kind"),
+        F.lit("all").alias("grp"),
+        "win_start",
+        F.col("cnt").alias("n"),
+        "sum_value",
+    )
+    w = F.session_window(F.col("ts"), "10 minutes")
+    session = (
+        events.groupBy(F.col("user_id"), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.lit("session").alias("win_kind"),
+            F.col("user_id").cast("string").alias("grp"),
+            _epoch(F.col("w.start")).alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return tumbling.unionAll(sliding).unionAll(session)
+
+
+def windows_showcase_sql() -> str:
+    session = """
+    WITH ordered AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL 10 MINUTE THEN 1
+                  WHEN LAG(CAST(ts AS TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT 'session' AS win_kind, CAST(user_id AS VARCHAR) AS grp,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS win_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """
+    tumbling = f"""
+    SELECT 'tumbling' AS win_kind, event_type AS grp, win_start, cnt AS n, sum_value
+    FROM ({tumbling_counts_sql()})
+    """
+    sliding = f"""
+    SELECT 'sliding' AS win_kind, 'all' AS grp, win_start, cnt AS n, sum_value
+    FROM ({sliding_counts_sql()})
+    """
+    return f"{tumbling} UNION ALL {sliding} UNION ALL ({session})"
 
 
 # ---------------------------------------------------------------------------

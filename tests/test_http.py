@@ -1,0 +1,154 @@
+"""End-to-end HTTP wire-layer tests (reference WebServer.scala:64-111):
+/ping, /run, /multi, the 400 taxonomy, the 50 MB body limit and the
+request timeout — all over a real socket against a live SparkSession."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from mmw_geoprocessing_spark.http_server import GeoprocessingServer
+from mmw_geoprocessing_spark.plans import api
+from mmw_geoprocessing_spark.plans.model import InputData
+
+
+@pytest.fixture(scope="module")
+def server(spark, tables):
+    srv = GeoprocessingServer(spark, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(srv, path, doc):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(doc).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_ping(server):
+    status, body = _get(server, "/ping")
+    assert status == 200 and body == "pong"
+
+
+def test_run_grouped_count_matches_direct_call(server, spark):
+    doc = {
+        "operationType": "RasterGroupedCount",
+        "rasters": ["nlcd", "soil"],
+        "aoiIds": ["huc8_01"],
+    }
+    status, body = _post(server, "/run", doc)
+    assert status == 200
+    direct = api.run_request(
+        spark,
+        InputData(
+            operation_type="RasterGroupedCount",
+            rasters=["nlcd", "soil"],
+            aoi_ids=["huc8_01"],
+        ),
+    )
+    assert body == direct
+    assert all(k.startswith("List(") for k in body)
+
+
+def test_multi_endpoint(server, spark):
+    doc = {
+        "shapes": ["huc12_01", "huc12_02"],
+        "operations": [
+            {"name": "RasterGroupedCount", "label": "nlcd", "rasters": ["nlcd"]},
+            {
+                "name": "RasterGroupedAverage",
+                "label": "avg_slope",
+                "rasters": [],
+                "targetRaster": "slope",
+            },
+        ],
+    }
+    status, body = _post(server, "/multi", doc)
+    assert status == 200
+    assert set(body) == {"huc12_01", "huc12_02"}
+    assert set(body["huc12_01"]) == {"nlcd", "avg_slope"}
+    assert body["huc12_02"]["avg_slope"]["List(0)"] > 0
+
+
+def test_invalid_operation_400(server):
+    status, body = _post(server, "/run", {"operationType": "Nope"})
+    assert status == 400 and body["error"] == "InvalidOperationError"
+
+
+def test_missing_vector_400(server):
+    status, body = _post(
+        server, "/run", {"operationType": "RasterGroupedCount", "rasters": ["nlcd"]}
+    )
+    assert status == 400 and body["error"] == "MissingVectorError"
+
+
+def test_missing_crs_400(server):
+    status, body = _post(
+        server,
+        "/run",
+        {
+            "operationType": "RasterGroupedCount",
+            "rasters": ["nlcd"],
+            "polygon": ['{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}'],
+        },
+    )
+    assert status == 400 and body["error"] == "MissingVectorCRSError"
+
+
+def test_unknown_path_404(server):
+    status, body = _post(server, "/nope", {})
+    assert status == 404
+
+
+def test_malformed_json_400(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/run", data=b"{not json", method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and body["error"] == "MalformedJSON"
+
+
+def test_body_limit_413(spark, tables):
+    srv = GeoprocessingServer(spark, port=0, max_body_bytes=64).start()
+    try:
+        status, body = _post(srv, "/run", {"operationType": "x" * 200})
+        assert status == 413 and body["error"] == "PayloadTooLarge"
+    finally:
+        srv.stop()
+
+
+def test_request_timeout_503(spark, tables):
+    srv = GeoprocessingServer(spark, port=0, request_timeout_sec=1e-4).start()
+    try:
+        status, body = _post(
+            srv,
+            "/run",
+            {
+                "operationType": "RasterGroupedCount",
+                "rasters": ["nlcd"],
+                "aoiIds": ["huc8_01"],
+            },
+        )
+        assert status == 503 and body["error"] == "RequestTimeout"
+    finally:
+        srv.stop()

@@ -111,3 +111,41 @@ def test_full_outer_layer_join_fills_nodata(spark, tables):
     assert missing.count() == 0
     present = joined.filter((F.col("key_col") % 4 == 3)).count()
     assert present > 0
+
+
+def test_grouped_average_target_extends_key_set(spark, tables):
+    """Reference joinCollectionLayers(target +: layers) key-set union
+    (Utils.scala:221-232): pixels on tiles the group layers miss but the
+    target covers are counted, under an all-NODATA group tuple. gwn is
+    missing every 4th tile column; slope covers everything."""
+    gwn = fx.raster_df(spark, "gwn")
+    slope = fx.raster_df(spark, "slope")
+    mask = fx.mask_df(spark, "huc8_01")
+    out = zonal.raster_grouped_average([gwn], slope, mask)
+    rows = {r["list_key"]: r["avg_value"] for r in out.collect()}
+    # the all-NODATA tuple exists and covers the gwn-absent tiles
+    assert f"List({NODATA_INT})" in rows
+    # total pixel coverage == the whole mask (union key set), which the
+    # old group-layers-only join would undercount by the missing tiles
+    n_covered = (
+        zonal.join_layers([gwn])
+        .join(slope.select(*zonal.PIXEL_KEY), on=zonal.PIXEL_KEY, how="full")
+        .join(mask.select(*zonal.PIXEL_KEY), on=zonal.PIXEL_KEY, how="inner")
+        .count()
+    )
+    assert n_covered == mask.count()
+
+
+def test_average_skips_target_absent_tiles(spark, tables):
+    """O3 key set: the reference iterates the target layer's tiles, so
+    mask pixels on tiles absent from the target are never visited —
+    with gwn (missing tile columns) as target, the denominator is the
+    covered subset, not the whole mask."""
+    gwn = fx.raster_df(spark, "gwn").withColumn("value", F.col("value").cast("double"))
+    mask = fx.mask_df(spark, "huc8_01")
+    got = zonal.raster_average(gwn, mask).collect()[0]["avg_value"]
+    covered = mask.join(gwn, on=zonal.PIXEL_KEY, how="inner")
+    total = covered.agg(F.sum(F.coalesce(F.col("value"), F.lit(0.0)))).collect()[0][0]
+    n = covered.count()
+    assert n < mask.count()  # the trap bites: gwn really is missing tiles
+    assert abs(got - total / n) < 1e-12

@@ -75,12 +75,23 @@ def main() -> int:
             continue
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
-        ok_hash = ok_rows and ok_cols and _hash(sdf) == _hash(ddf)
+        # dtype-kind strictness: the driver's hasher is dtype-sensitive
+        # (DuckDB HUGEINT -> float64 vs Spark int64 caused r01 hash fails
+        # that '%.12g' formatting hid locally), so flag kind mismatches.
+        ok_kinds = ok_cols and all(
+            sdf[c].dtype.kind == ddf[c].dtype.kind for c in sdf.columns
+        )
+        ok_hash = ok_rows and ok_cols and ok_kinds and _hash(sdf) == _hash(ddf)
         status = "OK  " if ok_hash else "FAIL"
         failures += not ok_hash
+        kinds = "" if ok_kinds else " DTYPE-KIND MISMATCH: " + ", ".join(
+            f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+            for c in (sdf.columns if ok_cols else [])
+            if ddf[c].dtype.kind != sdf[c].dtype.kind
+        )
         print(
             f"{status}  {name}: spark {len(sdf)} rows / duck {len(ddf)} rows, "
-            f"cols_match={ok_cols} hash_match={ok_hash} [{t1 - t0:.1f}s]"
+            f"cols_match={ok_cols} hash_match={ok_hash} [{t1 - t0:.1f}s]{kinds}"
         )
         if not ok_hash and ok_cols and ok_rows:
             s, d = _canon(sdf), _canon(ddf)
