@@ -51,8 +51,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Small-SF tuning (measured at sf0.1, see SCALE.md "AQE crossover"):
+    # AQE inserts a materialization barrier + re-plan round per shuffle
+    # stage (~50-150 ms each), which DOMINATES sub-second stages — total
+    # dropped 13.4 s -> 7.6 s with AQE off on this workload. On a real
+    # cluster with multi-minute stages the trade inverts (skew splitting,
+    # runtime coalescing) and the engine default (session.py) keeps AQE
+    # ON; the bench overrides it because the input size is known-small.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+
     qs = entrymod.queries()
     results: dict[str, float] = {}
+    floors: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm-up (JIT, catalog, file listing)
@@ -62,6 +74,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             times.append(time.time() - t0)
         results[name] = round(sum(times) / len(times), 4)
+        floors[name] = round(min(times), 4)
 
     total = round(sum(results.values()), 4)
     print(
@@ -73,6 +86,11 @@ def main() -> None:
                 "queries": results,
                 "sf": sf,
                 "runs": RUNS,
+                # noise floor: this box shows +-2x co-tenant bursts; the
+                # per-query MIN is the reproducible cost (mean stays the
+                # headline per the reference's 5-run protocol)
+                "value_min": round(sum(floors.values()), 4),
+                "queries_min": floors,
             }
         )
     )

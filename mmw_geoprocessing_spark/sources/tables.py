@@ -39,13 +39,17 @@ _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read it as int64 nanos and truncate to micros —
-        # the same truncation DuckDB applies when casting TIMESTAMP_NS to
-        # its native microsecond TIMESTAMP.
+        # The driver's events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read it as int64 nanos and truncate
+        # to micros — the same truncation DuckDB applies when casting
+        # TIMESTAMP_NS to its native microsecond TIMESTAMP. Re-written
+        # copies (e.g. tools/crossover.py replicas) already carry
+        # microsecond timestamps and skip the conversion.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,83 @@
+"""Bucketed-layout contract (SCALE.md): pixel tables stored bucketed +
+sorted on the pixel key join WITHOUT a shuffle — the exchange-free layer
+join the 100 TB design relies on. Demonstrated, not just documented:
+the bucketed full-outer join plan must contain ZERO Exchange operators.
+
+Two planner facts this pins (found by measurement):
+- buckets must be on ALL FOUR pixel-key columns: Spark v1 bucketing
+  only lines up with a join whose keys equal the bucket keys;
+- ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` must be off
+  for this shape — the auto rule mis-classifies the bucketed scan as
+  unnecessary and re-shuffles.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.sources import fixtures as fx
+
+BUCKET_PATH = "/tmp/spark_graft_bucketed"
+KEY = ["key_col", "key_row", "cell_col", "cell_row"]
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tables):
+    """Write nlcd + soil pixel tables bucketed by the full pixel key
+    (external tables under /tmp, so no warehouse config is needed)."""
+    shutil.rmtree(BUCKET_PATH, ignore_errors=True)
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    names = []
+    for rid in ("nlcd", "soil"):
+        name = f"bkt_{rid}"
+        (
+            fx.raster_df(spark, rid)
+            .write.bucketBy(8, *KEY)
+            .sortBy(*KEY)
+            .option("path", f"{BUCKET_PATH}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        names.append(name)
+    yield names
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    shutil.rmtree(BUCKET_PATH, ignore_errors=True)
+
+
+def test_bucketed_layer_join_has_no_exchange(spark, bucketed_tables):
+    """Joining two co-bucketed pixel tables on the pixel key must plan
+    with ZERO Exchange operators — the exchange-free layer join."""
+    a, b = (spark.table(n) for n in bucketed_tables)
+    joined = a.join(b, on=KEY, how="full")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Bucketed: true") == 2
+    # sanity: the join actually runs and preserves the key-union contract
+    n_a, n_b, n_j = a.count(), b.count(), joined.count()
+    assert n_j >= max(n_a, n_b)
+
+
+def test_unbucketed_join_needs_exchange_control(spark, tables):
+    """Control: the same join over non-bucketed (checkpointed) fixtures
+    DOES shuffle — proving the bucketed layout is what removes it."""
+    a = fx.raster_df(spark, "nlcd")
+    b = fx.raster_df(spark, "soil")
+    joined = a.join(b, on=KEY, how="full")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_bucketed_aggregation_avoids_exchange_on_bucket_keys(spark, bucketed_tables):
+    """Aggregation grouped by the full bucket key also plans without a
+    shuffle (map-side-complete aggregation over co-located buckets)."""
+    a = spark.table(bucketed_tables[0])
+    agg = a.groupBy(*KEY).agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert agg.count() > 0
