@@ -155,11 +155,34 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
     one union and one collect — the reference's shared-raster-fetch
     optimization (CHANGELOG.md:82-91) without its per-pair request loop.
     Shapes whose op results are empty emit ``{}`` (CHANGELOG.md:66-79).
+
+    Shapes may be pre-rasterized aoi ids OR GeoJSON strings (the
+    reference's wire shape, Geoprocessing.scala:23-24): GeoJSON shapes
+    are rasterized into per-shape masks keyed ``shape_{i}`` in input
+    order; ``multi.shape_crs`` is validated like /run's.
     """
+    from pyspark.sql import functions as F
+
     from mmw_geoprocessing_spark.operators.mapshed import template_df
 
-    masks = fx.mask_all_df(spark)
-    masks = masks.filter(masks.aoi_id.isin(multi.shapes))
+    if multi.shapes and multi.shapes[0].lstrip().startswith("{"):
+        geometry.validate_crs(multi.shape_crs)
+        shape_labels = [f"shape_{i}" for i in range(len(multi.shapes))]
+        parts_masks = []
+        for label, gj in zip(shape_labels, multi.shapes):
+            polys = geometry.parse_multipolygon(gj)
+            parts_masks.append(
+                geometry.rasterize_polygons(spark, polys).withColumn(
+                    "aoi_id", F.lit(label)
+                )
+            )
+        masks = parts_masks[0]
+        for p in parts_masks[1:]:
+            masks = masks.unionByName(p)
+    else:
+        shape_labels = list(multi.shapes)
+        masks = fx.mask_all_df(spark)
+        masks = masks.filter(masks.aoi_id.isin(multi.shapes))
 
     parts = []
     for op in multi.operations:
@@ -176,7 +199,7 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
     for p in parts[1:]:
         union = union.unionAll(p)
 
-    out: dict[str, dict] = {shape: {} for shape in multi.shapes}
+    out: dict[str, dict] = {label: {} for label in shape_labels}
     for r in union.collect():
         out[r["aoi_id"]].setdefault(r["op_label"], {})[r["list_key"]] = r["value"]
     return out

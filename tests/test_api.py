@@ -114,3 +114,40 @@ def test_geometry_path_rasterized_mask(spark, tables):
         ),
     )
     assert sum(res.values()) == 256
+
+
+def test_multi_geojson_shapes_path(spark, tables):
+    """/multi with GeoJSON shapes (the reference's wire form,
+    Geoprocessing.scala:23-26): shapes are rasterized to per-shape
+    masks; results keyed shape_{i} in input order; grouped-count totals
+    equal each shape's pixel count."""
+    import json
+
+    from mmw_geoprocessing_spark.plans.api import multi_request
+    from mmw_geoprocessing_spark.plans.model import MultiInput, Operation
+
+    def square(x0, y0, x1, y1):
+        return json.dumps(
+            {"type": "Polygon",
+             "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
+        )
+
+    out = multi_request(
+        spark,
+        MultiInput(
+            shapes=[square(0, 0, 4, 4), square(8, 0, 14, 3)],
+            operations=[
+                Operation(name="RasterGroupedCount", label="nlcd", rasters=["nlcd"]),
+                Operation(
+                    name="RasterGroupedAverage", label="avg_slope",
+                    rasters=[], target_raster="slope",
+                ),
+            ],
+            shape_crs="ConusAlbers",
+        ),
+    )
+    assert set(out) == {"shape_0", "shape_1"}
+    # 4x4 and 6x3 pixel squares
+    assert sum(out["shape_0"]["nlcd"].values()) == 16
+    assert sum(out["shape_1"]["nlcd"].values()) == 18
+    assert out["shape_0"]["avg_slope"]["List(0)"] > 0

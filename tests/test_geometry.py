@@ -240,3 +240,19 @@ def test_latlng_request_matches_native_crs_request(spark):
     cells_native = {tuple(r) for r in _mask(spark, native).collect()}
     cells_reproj = {tuple(r) for r in _mask(spark, reproj).collect()}
     assert cells_native and cells_native == cells_reproj
+
+
+def test_overlap_union_holds_in_area_mode(spark):
+    """PixelIsArea sampling must also treat overlapping polygons as a
+    union: the shared boundary region is included once, never XOR'd."""
+    polys = geometry.parse_multipolygon(
+        '{"type":"MultiPolygon","coordinates":['
+        "[[[0.2,0.2],[3.8,0.2],[3.8,3.8],[0.2,3.8],[0.2,0.2]]],"
+        "[[[2.2,2.2],[5.8,2.2],[5.8,5.8],[2.2,5.8],[2.2,2.2]]]"
+        "]}"
+    )
+    ar = _mask_set(spark, polys, pixel_is_area=True)
+    # both squares' full pixel footprints, overlap counted once
+    sq1 = {(0, 0, c, r) for c in range(4) for r in range(4)}
+    sq2 = {(0, 0, c, r) for c in range(2, 6) for r in range(2, 6)}
+    assert ar == sq1 | sq2

@@ -51,3 +51,38 @@ def test_partitioned_write_prunes_at_scan(spark, tables):
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "yr" in plan.split("PartitionFilters")[1][:120]
     assert one_year.count() > 0
+
+
+def test_orc_roundtrip(spark, tables):
+    """ORC source/sink parity (the other columnar format Spark ships)."""
+    import tempfile
+
+    df = tables["nation"]
+    path = tempfile.mkdtemp(prefix="snk_orc_")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_bucketed_sink_roundtrip(spark, tables):
+    """Bucketed table sink: written spec is honored on read-back
+    (companion to tests/test_bucketing.py's plan assertions)."""
+    import shutil
+
+    path = "/tmp/snk_bucketed_orders"
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        tables["orders"].limit(1000)
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", path).mode("overwrite").saveAsTable("snk_orders_bkt")
+    )
+    try:
+        back = spark.table("snk_orders_bkt")
+        assert back.count() == 1000
+        # bucket metadata visible to the catalog
+        desc = spark.sql("DESCRIBE EXTENDED snk_orders_bkt").collect()
+        text = "\n".join(f"{r[0]} {r[1]}" for r in desc)
+        assert "o_custkey" in text and "4" in text
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snk_orders_bkt")
+        shutil.rmtree(path, ignore_errors=True)
