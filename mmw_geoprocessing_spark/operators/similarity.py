@@ -63,19 +63,32 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataF
     """Brute-force cosine top-k: query rows (vec_id < n_queries) against
     the whole corpus. The query side is broadcast; ranking is a window
     partitioned by query id.
+
+    Norms are precomputed ONCE per side before the pair join —
+    ``dot/(nq*nc)`` evaluates the identical float ops as the naive
+    per-pair ``dot/(norm(q)*norm(c))`` (same fold, same sqrt, same
+    multiply), so values stay bit-identical to the oracle while the
+    join stops re-folding both norms for every candidate pair (~3x
+    less array work in the hot loop).
     Output: ``(q_id, vec_id, cosine, rank)``.
     """
     from pyspark.sql import Window
 
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("qv")
-    )
-    c = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+    ).withColumn("nq", _norm(F.col("qv")))
+    c = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("cv")
+    ).withColumn("nc", _norm(F.col("cv")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         F.broadcast(q)
         .join(c, F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -103,11 +116,19 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     baseline; the LSH variant below is the scale path.
     Output: ``(v1, v2, cosine)``.
     """
-    a = embeddings.select(F.col("vec_id").alias("v1"), _as_double(F.col("embedding")).alias("e1"))
-    b = embeddings.select(F.col("vec_id").alias("v2"), _as_double(F.col("embedding")).alias("e2"))
+    a = embeddings.select(
+        F.col("vec_id").alias("v1"), _as_double(F.col("embedding")).alias("e1")
+    ).withColumn("n1", _norm(F.col("e1")))
+    b = embeddings.select(
+        F.col("vec_id").alias("v2"), _as_double(F.col("embedding")).alias("e2")
+    ).withColumn("n2", _norm(F.col("e2")))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", cosine(F.col("e1"), F.col("e2")).alias("cosine"))
+        .select(
+            "v1",
+            "v2",
+            (_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -148,18 +169,24 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Data
     """
     from pyspark.sql import Window
 
-    with_bucket = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    with_bucket = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v")))
+        .withColumn("nv", _norm(F.col("v")))
+    )
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "bucket"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         F.broadcast(q)
         .join(with_bucket, "bucket")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -325,12 +352,16 @@ def ann_ivf_topk(
 
     cents = _centroids(embeddings)
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    with_cell = base.withColumn("cell", _cell_assign(F.col("v"), cents))
+    with_cell = base.withColumn("cell", _cell_assign(F.col("v"), cents)).withColumn(
+        "nv", _norm(F.col("v"))
+    )
     q = (
         base.filter(F.col("vec_id") < n_queries)
+        .withColumn("nq", _norm(F.col("v")))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
+            "nq",
             F.explode(_cell_topn(F.col("v"), cents, nprobe)).alias("cell"),
         )
     )
@@ -339,7 +370,11 @@ def ann_ivf_topk(
         F.broadcast(q)
         .join(with_cell, "cell")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
