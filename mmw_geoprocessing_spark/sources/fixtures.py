@@ -272,6 +272,12 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
     return _FIXTURE_CACHE[key]
 
 
+def clear_fixture_cache() -> None:
+    """Drop memoized fixture DataFrames (used when switching between the
+    localCheckpoint and bucketed materialization modes in one process)."""
+    _FIXTURE_CACHE.clear()
+
+
 def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:
     return fixture_df(spark, f"r_{raster_id}")
 
