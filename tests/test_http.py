@@ -152,3 +152,20 @@ def test_request_timeout_503(spark, tables):
         assert status == 503 and body["error"] == "RequestTimeout"
     finally:
         srv.stop()
+
+
+def test_concurrent_requests(server):
+    """The threaded server + worker pool must serve parallel requests
+    (Spark accepts concurrent job submission from multiple threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    doc = {
+        "operationType": "RasterGroupedCount",
+        "rasters": ["nlcd"],
+        "aoiIds": ["huc12_01"],
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(lambda _: _post(server, "/run", doc), range(4)))
+    assert all(status == 200 for status, _ in results)
+    bodies = [b for _, b in results]
+    assert all(b == bodies[0] for b in bodies)

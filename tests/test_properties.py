@@ -113,3 +113,39 @@ def test_grouped_count_totals_invariant(spark, a, mask):
     extent = {c for c, v in zip(CELLS, a) if v != -1}
     want = len([i for i in mask if CELLS[i] in extent])
     assert total == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    g=_layer_strategy(),
+    t=_layer_strategy(),
+    mask=st.sets(st.integers(min_value=0, max_value=len(CELLS) - 1), min_size=1),
+)
+def test_grouped_average_union_key_set_matches_reference(spark, g, t, mask):
+    """O4 union key-set semantics (joinCollectionLayers(target +: layers)):
+    the pixel universe is (group-keys UNION target-keys) ∩ mask; pixels
+    the group layer misses group under NODATA; missing/NULL target -> 0.0
+    counted in the denominator."""
+    lg, lt = _mk_layer(spark, g), _mk_layer(spark, t)
+    m = _mk_mask(spark, mask)
+    got = {
+        r["list_key"]: r["avg_value"]
+        for r in zonal.raster_grouped_average([lg], lt, m).collect()
+    }
+
+    dg = {c: v for c, v in zip(CELLS, g) if v != -1}
+    dt = {c: v for c, v in zip(CELLS, t) if v != -1}
+    sums: dict[str, list[float]] = {}
+    for i in mask:
+        c = CELLS[i]
+        if c not in dg and c not in dt:
+            continue  # in neither layer -> outside the key union
+        vg = dg.get(c)
+        vg = NODATA_INT if (c not in dg or vg is None) else vg
+        tv = dt.get(c)
+        tv = 0.0 if (c not in dt or tv is None) else float(tv)
+        sums.setdefault(f"List({vg})", []).append(tv)
+    want = {k: sum(v) / len(v) for k, v in sums.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
