@@ -39,13 +39,15 @@ HEADLINE = [
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
-# Production fixture layout: pixel tables bucketed on the pixel key ->
-# exchange-free layer joins (fixtures._bucketed_fixture; the one-time
-# write happens during warm-up). Halves the zonal query times at sf0.1.
-os.environ.setdefault("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
-
 
 def main() -> None:
+    # Production fixture layout: pixel tables bucketed on the pixel key
+    # -> exchange-free layer joins (fixtures._bucketed_fixture; the
+    # one-time write happens during warm-up). Halves the zonal query
+    # times at sf0.1. Set here (not at import) so merely importing this
+    # module never flips the mode for a host process.
+    os.environ.setdefault("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+
     import __spark_entry__ as entrymod
     from mmw_geoprocessing_spark.session import get_spark
 
