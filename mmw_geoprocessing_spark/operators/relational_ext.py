@@ -405,6 +405,36 @@ def pandas_udf_showcase_sql() -> str:
     """
 
 
+def grouped_zscore(orders: DataFrame) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-priority z-scores of order
+    totals — the remaining UDF-surface shape (scalar pandas_udf, UDTF,
+    mapInPandas, applyInPandasWithState are covered elsewhere). Each
+    group arrives as one pandas DataFrame; stats are computed with
+    numpy inside the Arrow batch. Deterministic contract is pinned in
+    pytest against a Spark-side reference (population std), not the
+    DuckDB oracle — float mean/std are summation-order-dependent.
+    Output: ``(o_orderkey, o_orderpriority, zscore)``.
+    """
+    import pandas as pd
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        std = x.std(ddof=0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "zscore": (x - x.mean()) / (std if std else 1.0),
+            }
+        )
+
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(z, "o_orderkey long, o_orderpriority string, zscore double")
+    )
+
+
 def regexp_functions_showcase(part: DataFrame) -> DataFrame:
     """Regexp scalar family: capture-group extraction, global replace,
     and pattern predicates — all JVM-side."""

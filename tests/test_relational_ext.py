@@ -61,3 +61,34 @@ def test_correlated_subquery_decorrelates(spark, tables):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in plan  # decorrelated to aggregate + join
     assert df.count() > 0
+
+
+def test_grouped_zscore_applyinpandas(spark, tables):
+    """Grouped-map applyInPandas surface: z-scores are mean-0/std-1 per
+    group and match a window-function reference within float tolerance."""
+    from pyspark.sql import Window
+
+    out = rex.grouped_zscore(tables["orders"])
+    stats = (
+        out.groupBy("o_orderpriority")
+        .agg(
+            F.avg("zscore").alias("mu"),
+            F.stddev_pop("zscore").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert abs(r["mu"]) < 1e-9 and abs(r["sd"] - 1.0) < 1e-9 and r["n"] > 1
+
+    # spot-check against a JVM-side window reference
+    w = Window.partitionBy("o_orderpriority")
+    ref = tables["orders"].select(
+        "o_orderkey",
+        ((F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+         / F.stddev_pop("o_totalprice").over(w)).alias("ref_z"),
+    )
+    joined = out.join(ref, "o_orderkey")
+    max_diff = joined.agg(F.max(F.abs(F.col("zscore") - F.col("ref_z")))).collect()[0][0]
+    assert max_diff < 1e-6
