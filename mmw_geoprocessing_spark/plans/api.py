@@ -168,21 +168,31 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
     if multi.shapes and multi.shapes[0].lstrip().startswith("{"):
         geometry.validate_crs(multi.shape_crs)
         shape_labels = [f"shape_{i}" for i in range(len(multi.shapes))]
-        parts_masks = []
-        for label, gj in zip(shape_labels, multi.shapes):
-            polys = geometry.parse_multipolygon(gj)
-            parts_masks.append(
-                geometry.rasterize_polygons(spark, polys).withColumn(
+        polys_per_shape = [geometry.parse_multipolygon(g) for g in multi.shapes]
+
+        # rasterize once per sampling mode actually requested (each op
+        # carries its own pixelIsArea, Utils.scala:109-118)
+        def masks_for(pixel_is_area: bool):
+            parts_masks = [
+                geometry.rasterize_polygons(spark, polys, pixel_is_area).withColumn(
                     "aoi_id", F.lit(label)
                 )
-            )
-        masks = parts_masks[0]
-        for p in parts_masks[1:]:
-            masks = masks.unionByName(p)
+                for label, polys in zip(shape_labels, polys_per_shape)
+            ]
+            out = parts_masks[0]
+            for p in parts_masks[1:]:
+                out = out.unionByName(p)
+            return out
+
+        masks_by_mode = {
+            mode: masks_for(mode) for mode in {op.pixel_is_area for op in multi.operations}
+        }
     else:
         shape_labels = list(multi.shapes)
-        masks = fx.mask_all_df(spark)
-        masks = masks.filter(masks.aoi_id.isin(multi.shapes))
+        m = fx.mask_all_df(spark)
+        m = m.filter(m.aoi_id.isin(multi.shapes))
+        masks_by_mode = None
+        masks = m
 
     parts = []
     for op in multi.operations:
@@ -192,8 +202,9 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
             kind = _MULTI_KINDS[op.name]
         else:
             raise InvalidOperationError(f"/multi does not support {op.name!r}")
+        op_masks = masks_by_mode[op.pixel_is_area] if masks_by_mode is not None else masks
         parts.append(
-            template_df(spark, op.label, kind, list(op.rasters), op.target_raster, masks)
+            template_df(spark, op.label, kind, list(op.rasters), op.target_raster, op_masks)
         )
     union = parts[0]
     for p in parts[1:]:

@@ -151,3 +151,35 @@ def test_multi_geojson_shapes_path(spark, tables):
     assert sum(out["shape_0"]["nlcd"].values()) == 16
     assert sum(out["shape_1"]["nlcd"].values()) == 18
     assert out["shape_0"]["avg_slope"]["List(0)"] > 0
+
+
+def test_multi_geojson_respects_per_op_pixel_is_area(spark, tables):
+    """Each /multi operation carries its own pixelIsArea (reference
+    Utils.scala:109-118): an area-sampled count over a corner-clipping
+    shape must see MORE pixels than the point-sampled count."""
+    import json
+
+    from mmw_geoprocessing_spark.plans.api import multi_request
+    from mmw_geoprocessing_spark.plans.model import MultiInput, Operation
+
+    shape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0.9, 0.9], [3.1, 0.9], [3.1, 3.1], [0.9, 3.1], [0.9, 0.9]]]}
+    )
+    out = multi_request(
+        spark,
+        MultiInput(
+            shapes=[shape],
+            operations=[
+                Operation(name="RasterGroupedCount", label="pt", rasters=["nlcd"]),
+                Operation(
+                    name="RasterGroupedCount", label="ar", rasters=["nlcd"],
+                    pixel_is_area=True,
+                ),
+            ],
+            shape_crs="ConusAlbers",
+        ),
+    )
+    n_pt = sum(out["shape_0"]["pt"].values())
+    n_ar = sum(out["shape_0"]["ar"].values())
+    assert n_pt == 4 and n_ar == 16
