@@ -7,9 +7,21 @@ wrapper around a Catalyst plan, exercised over the driver's TPC-H-ish
 tables and hash-checked against a DuckDB oracle.
 
 Numeric determinism for cross-engine hashing: money aggregates are
-summed as DECIMAL(18,6) (order-independent, exact) and cast to DOUBLE at
-the end. Spark and DuckDB both round the double->decimal cast to nearest
-and the inputs are 2-decimal quantities, so the per-row casts agree.
+summed as BIGINT fixed-point ("cents"). Inputs are 2-decimal doubles, so
+``x * scale`` is mathematically an integer when ``scale`` covers the
+exact decimal width of the expression (100 for raw money, 10^4 for
+2-factor products like price*(1-disc), 10^6 for 3-factor charge).
+ROUND recovers that integer from the float product tie-free (the true
+value IS an integer, so the computed double is int±1e-5, never a .5
+tie), both engines truncate the integral double to BIGINT identically,
+and a BIGINT sum is exact and order-independent. The final
+``CAST(sum AS DOUBLE)/scale`` converts the same integer on both sides.
+This replaces the round-2 DECIMAL(18,6) sums: Spark's decimal
+accumulator is a boxed-BigDecimal path ~4x slower than primitive long
+adds, while DuckDB uses int128 natively — BIGINT cents puts both
+engines on their integer fast path. Overflow headroom: sum(charge)*10^6
+is ~2.3e16 at sf0.1 and ~2.3e18 at sf10 vs the 9.2e18 BIGINT limit; at
+sf100+ switch the scale-10^6 sums back to DECIMAL or pre-aggregate.
 
 Scale notes:
 - Dimension joins (region/nation/customer) are broadcast-size by
@@ -33,6 +45,27 @@ def _money(col: F.Column) -> F.Column:
     return col.cast(DEC)
 
 
+def _cents(col: F.Column, scale: int) -> F.Column:
+    """Exact integer fixed-point for a money expression whose true value
+    has at most log10(scale) decimal digits (see module docstring)."""
+    return F.round(col * F.lit(float(scale))).cast("bigint")
+
+
+def _sum_money(col: F.Column, scale: int) -> F.Column:
+    """Order-independent exact money sum: BIGINT cents, back to double."""
+    return F.sum(_cents(col, scale)).cast("double") / F.lit(float(scale))
+
+
+def sum_money_sql(expr: str, scale: int) -> str:
+    """DuckDB mirror of :func:`_sum_money` — identical expression tree so
+    the per-row doubles, the rounded integers, and the final division are
+    bit-identical across engines."""
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {scale}.0) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -43,34 +76,36 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     grouped by two low-cardinality keys (the engine-category analogue of
     the reference's grouped count/sum/avg kernels, Geoprocessing.scala:
     338-368)."""
-    disc_price = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    charge = _money(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            _sum_money(F.col("l_quantity"), 100).alias("sum_qty"),
+            _sum_money(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            _sum_money(disc_price, 10000).alias("sum_disc_price"),
+            _sum_money(charge, 1000000).alias("sum_charge"),
+            (_sum_money(F.col("l_quantity"), 100) / F.count(F.lit(1))).alias("avg_qty"),
+            (_sum_money(F.col("l_extendedprice"), 100) / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
 def pricing_summary_sql() -> str:
-    return """
+    qty = sum_money_sql("l_quantity", 100)
+    base = sum_money_sql("l_extendedprice", 100)
+    disc = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
+    charge = sum_money_sql("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 1000000)
+    return f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           {qty} AS sum_qty,
+           {base} AS sum_base_price,
+           {disc} AS sum_disc_price,
+           {charge} AS sum_charge,
+           {qty} / COUNT(*) AS avg_qty,
+           {base} / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -83,21 +118,22 @@ def top_customers_by_revenue(
 ) -> DataFrame:
     """Join + aggregate + top-k. orderBy().limit(k) plans
     TakeOrderedAndProject — per-partition k-row heaps, no global sort."""
-    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_money(rev, 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
 
 
 def top_customers_sql(k: int = 10) -> str:
+    rev = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
     return f"""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {rev} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -115,21 +151,22 @@ def revenue_by_region(
     """Star-schema join chain with explicitly broadcast dimensions — the
     standard 100 TB shape: one big fact scan, all dims broadcast, single
     shuffle for the final aggregate."""
-    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_money(rev, 10000).alias("revenue"))
     )
 
 
 def revenue_by_region_sql() -> str:
-    return """
+    rev = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
+    return f"""
     SELECT r_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {rev} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -189,7 +226,9 @@ def running_total_per_customer(orders: DataFrame) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_money(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        (F.sum(_cents(F.col("o_totalprice"), 100)).over(w).cast("double") / 100.0).alias(
+            "running_total"
+        ),
         F.datediff(
             F.col("o_orderdate"), F.lag("o_orderdate", 1).over(ordering)
         ).alias("days_since_prev"),
@@ -199,9 +238,9 @@ def running_total_per_customer(orders: DataFrame) -> DataFrame:
 def running_total_sql() -> str:
     return """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           CAST(SUM(CAST(ROUND((o_totalprice) * 100.0) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total,
            CAST(DATE_DIFF('day',
                LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey),
@@ -265,7 +304,7 @@ def rollup_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
 ) -> DataFrame:
     """ROLLUP over (region, nation): hierarchy subtotals + grand total."""
-    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -274,7 +313,7 @@ def rollup_revenue(
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_money(rev, 10000).alias("revenue"))
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
@@ -284,9 +323,10 @@ def rollup_revenue(
 
 
 def rollup_revenue_sql() -> str:
-    return """
+    rev = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
+    return f"""
     SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {rev} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -320,11 +360,12 @@ def cube_order_counts_sql() -> str:
 def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS ((flag,status),(flag),()) via Spark SQL."""
     lineitem.createOrReplaceTempView("_gs_lineitem")
+    qty = sum_money_sql("l_quantity", 100)
     return spark.sql(
-        """
+        f"""
         SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               {qty} AS sum_qty
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -332,10 +373,11 @@ def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
 
 
 def grouping_sets_revenue_sql() -> str:
-    return """
+    qty = sum_money_sql("l_quantity", 100)
+    return f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
            COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           {qty} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """

@@ -170,9 +170,10 @@ def aggregate_variants(orders: DataFrame) -> DataFrame:
         F.max_by("o_orderkey", argkey).alias("biggest_order"),
         F.min_by("o_orderkey", argkey).alias("smallest_order"),
         F.count(F.when(hi, 1)).alias("hi_value_rows"),
-        F.sum(F.when(hi, F.col("o_totalprice").cast("decimal(18,6)")))
-        .cast("double")
-        .alias("hi_value_total"),
+        (
+            F.sum(F.when(hi, F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")))
+            .cast("double") / F.lit(100.0)
+        ).alias("hi_value_total"),
     )
 
 
@@ -187,8 +188,8 @@ def aggregate_variants_sql() -> str:
            arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS biggest_order,
            arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS smallest_order,
            COUNT(*) FILTER (WHERE o_totalprice > 150000) AS hi_value_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                FILTER (WHERE o_totalprice > 150000) AS DOUBLE) AS hi_value_total
+           CAST(SUM(CAST(ROUND((o_totalprice) * 100.0) AS BIGINT))
+                FILTER (WHERE o_totalprice > 150000) AS DOUBLE) / 100.0 AS hi_value_total
     FROM orders GROUP BY o_orderpriority
     """
 
@@ -308,9 +309,10 @@ def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.when(disc > 0.05, 1)).alias("hi_discount_rows"),
         F.count(F.when(disc <= 0.05, 1)).alias("lo_discount_rows"),
-        F.sum(
-            F.when(disc > 0.05, F.col("l_quantity").cast("decimal(18,6)"))
-        ).cast("double").alias("hi_discount_qty"),
+        (
+            F.sum(F.when(disc > 0.05, F.round(F.col("l_quantity") * F.lit(100.0)).cast("bigint")))
+            .cast("double") / F.lit(100.0)
+        ).alias("hi_discount_qty"),
     )
 
 
@@ -319,7 +321,7 @@ def conditional_aggregates_sql() -> str:
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS hi_discount_rows,
            COUNT(*) FILTER (WHERE l_discount <= 0.05) AS lo_discount_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS hi_discount_qty
+           CAST(SUM(CAST(ROUND((l_quantity) * 100.0) AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100.0 AS hi_discount_qty
     FROM lineitem GROUP BY l_returnflag
     """
 
@@ -385,7 +387,10 @@ def pandas_udf_showcase(orders: DataFrame) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint"))
+                .cast("double") / F.lit(100.0)
+            ).alias("total"),
         )
     )
 
@@ -400,7 +405,7 @@ def pandas_udf_showcase_sql() -> str:
     return """
     SELECT LEAST(round_even(o_totalprice / 10000.0, 0), 50) AS bucket,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           CAST(SUM(CAST(ROUND((o_totalprice) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY 1
     """
 

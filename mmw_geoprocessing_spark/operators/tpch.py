@@ -8,14 +8,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,6)"
+from .relational import _sum_money, sum_money_sql
+
+REV_SQL = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
 
 
 def q3_shipping_priority(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING"
 ) -> DataFrame:
     """TPC-H Q3: unshipped-order revenue by order, top 10."""
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         customer.filter(F.col("c_mktsegment") == segment)
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -23,7 +25,7 @@ def q3_shipping_priority(
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_money(rev, 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -32,7 +34,7 @@ def q3_shipping_priority(
 def q3_sql(segment: str = "BUILDING") -> str:
     return f"""
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {REV_SQL} AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE c_mktsegment = '{segment}'
@@ -54,7 +56,7 @@ def q5_local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5: revenue through local suppliers (customer and supplier
     share a nation), per nation within one region."""
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -64,14 +66,14 @@ def q5_local_supplier_volume(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == region_name)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_money(rev, 10000).alias("revenue"))
     )
 
 
 def q5_sql(region_name: str = "ASIA") -> str:
     return f"""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {REV_SQL} AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey

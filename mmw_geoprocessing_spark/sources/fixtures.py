@@ -224,12 +224,22 @@ def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     the full pixel key: layer/mask joins then plan with NO Exchange on
     the bucketed sides (tests/test_bucketing.py pins the planner
     contract). One-time write per (session, sf); paid during warm-up.
-    Measured at sf0.1: raster_grouped_count 1.34 s -> 0.66 s."""
-    import hashlib
+    Measured at sf0.1: raster_grouped_count 1.34 s -> 0.66 s.
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    The table name is keyed on a content fingerprint (source parquet
+    mtime + size), so regenerating the testdata within one process
+    invalidates previously written bucketed copies instead of silently
+    serving stale pixels."""
+    import hashlib
+    import os as _os
+
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "lineitem.parquet"))
+        fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = sf_dir
+    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     tbl = f"sgb_{tag}_{name}"
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     if not spark.catalog.tableExists(tbl):
         df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name))
         (
@@ -265,6 +275,15 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key not in _FIXTURE_CACHE:
         if os.environ.get("SPARK_GRAFT_BUCKETED_FIXTURES", "0") == "1":
+            # Bucketed-fixture mode is a SESSION mode (opted into via the
+            # env flag, bench.py / conftest set it deliberately): scans of
+            # the bucketed tables only stay Exchange-free while
+            # autoBucketedScan is off, so the conf is part of the mode's
+            # contract — set here, visibly, when the mode is entered, not
+            # as a hidden side effect of one table read.
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
             df = _bucketed_fixture(spark, name, sf_dir)
         else:
             df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()

@@ -60,12 +60,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _TABLE_CACHE[key]
 
 
+# (session id, sf_dir) already registered — registering temp views and
+# re-pointing the fixture dir per query call is pure catalog churn.
+_VIEWS_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (for spark.sql plans)."""
+    """Register every fixture table as a temp view (for spark.sql plans).
+
+    Idempotent and memoized per (session, sf_dir): repeated calls from
+    query wrappers are no-ops after the first."""
     from mmw_geoprocessing_spark.sources import fixtures
 
     dfs = load_tables(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key in _VIEWS_REGISTERED:
+        fixtures.set_active_dir(sf_dir, spark)
+        return dfs
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     fixtures.set_active_dir(sf_dir, spark)
+    _VIEWS_REGISTERED.add(key)
     return dfs

@@ -11,7 +11,8 @@ a source and stops — deterministic end state).
 Event-time semantics: window starts are epoch-aligned, so results are
 independent of partitioning and arrival order; the batch and streaming
 plans produce identical rows once the stream drains. Aggregated values
-use the same DECIMAL-sum determinism rules as the relational surface.
+use the same BIGINT-cents determinism rules as the relational surface
+(``value`` is 2-decimal, so ROUND(value*100) is an exact integer).
 """
 
 from __future__ import annotations
@@ -20,6 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
+
+
+def _sum_value():
+    """Exact order-independent sum of the 2-decimal ``value`` column:
+    BIGINT cents (primitive long adds, no boxed decimal accumulator)."""
+    return (
+        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("bigint")).cast("double")
+        / F.lit(100.0)
+    )
+
+
+SUM_VALUE_SQL = "CAST(SUM(CAST(ROUND((value) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0"
 
 
 def _epoch(col):
@@ -36,7 +49,7 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
         events.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            _sum_value().alias("sum_value"),
         )
         .select(_epoch(F.col("w.start")).alias("win_start"), "event_type", "cnt", "sum_value")
     )
@@ -46,7 +59,7 @@ def tumbling_counts_sql(width_min: int = 5) -> str:
     return f"""
     SELECT CAST(epoch(time_bucket(INTERVAL {width_min} MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
            event_type, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           {SUM_VALUE_SQL} AS sum_value
     FROM events GROUP BY 1, 2
     """
 
@@ -61,7 +74,7 @@ def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5
         events.groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            _sum_value().alias("sum_value"),
         )
         .select(_epoch(F.col("w.start")).alias("win_start"), "cnt", "sum_value")
     )
@@ -80,7 +93,7 @@ def sliding_counts_sql(width_min: int = 10, slide_min: int = 5) -> str:
               - (i * {slide_min * 60}) + {width_min * 60} > epoch(CAST(ts AS TIMESTAMP))
     )
     SELECT CAST(win_start AS BIGINT) AS win_start, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           {SUM_VALUE_SQL} AS sum_value
     FROM starts GROUP BY 1
     """
 
@@ -159,7 +172,7 @@ def windows_showcase(events: DataFrame) -> DataFrame:
         events.groupBy(F.col("user_id"), w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            _sum_value().alias("sum_value"),
         )
         .select(
             F.lit("session").alias("win_kind"),
@@ -173,7 +186,7 @@ def windows_showcase(events: DataFrame) -> DataFrame:
 
 
 def windows_showcase_sql() -> str:
-    session = """
+    session = f"""
     WITH ordered AS (
       SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER
@@ -193,7 +206,7 @@ def windows_showcase_sql() -> str:
     SELECT 'session' AS win_kind, CAST(user_id AS VARCHAR) AS grp,
            CAST(floor(epoch(MIN(ts))) AS BIGINT) AS win_start,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           {SUM_VALUE_SQL} AS sum_value
     FROM numbered GROUP BY user_id, session_id
     """
     tumbling = f"""
@@ -233,7 +246,7 @@ def stream_tumbling_counts(
         .groupBy(F.window(F.col("ts"), width).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            _sum_value().alias("sum_value"),
         )
         .select(_epoch(F.col("w.start")).alias("win_start"), "event_type", "cnt", "sum_value")
     )
