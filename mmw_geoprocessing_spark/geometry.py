@@ -77,6 +77,32 @@ class GridLayout:
 
 DEFAULT_LAYOUT = GridLayout()
 
+# Zoom -> grid frame. The reference selects the tile layer (and with it
+# the grid) by zoom: layer ids are suffixed with the 512 tile size and
+# served from a pyramid whose cell size halves per zoom step
+# (scripts/benchmark-mapshed:31-34 "nlcd-2011-30m-epsg5070-512";
+# Geoprocessing.scala:219-221 derives the layout from the layer).
+# Engine convention: zoom 0 is the fixture frame (8x8 tiles, unit
+# cells); positive zooms use 512x512 tiles with a 30 m cell at the
+# native zoom 13, doubling per step down. Deployments with real layer
+# pyramids extend ZOOM_LAYOUTS with their measured frames.
+ZOOM_TILE_SIZE = 512
+ZOOM_NATIVE = 13  # the reference's 30 m NLCD native level
+ZOOM_NATIVE_CELLSIZE = 30.0
+
+ZOOM_LAYOUTS: dict[int, GridLayout] = {0: DEFAULT_LAYOUT}
+
+
+def layout_for_zoom(zoom: int) -> GridLayout:
+    """Resolve the grid frame for a request zoom (plans/model.py
+    ``InputData.zoom``): registry hit first, else the pyramid formula."""
+    if zoom in ZOOM_LAYOUTS:
+        return ZOOM_LAYOUTS[zoom]
+    return GridLayout(
+        tile_size=ZOOM_TILE_SIZE,
+        cellsize=ZOOM_NATIVE_CELLSIZE * 2.0 ** (ZOOM_NATIVE - zoom),
+    )
+
 
 def parse_multipolygon(geojson: str) -> list[list[list[tuple[float, float]]]]:
     """GeoJSON -> list of polygons, each a list of rings (outer first).

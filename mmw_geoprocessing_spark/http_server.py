@@ -69,6 +69,7 @@ def multi_input_from_json(doc: dict) -> MultiInput:
             for op in doc.get("operations", [])
         ],
         shape_crs=doc.get("shapeCRS", "LatLng"),
+        raster_crs=doc.get("rasterCRS", "ConusAlbers"),
     )
 
 

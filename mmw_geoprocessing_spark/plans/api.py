@@ -48,7 +48,10 @@ def _mask(spark: SparkSession, input_data: InputData):
             polys = projection.reproject_polygons(
                 polys, input_data.shape_crs, input_data.raster_crs
             )
-        layout = input_data.layout or geometry.DEFAULT_LAYOUT
+        # explicit layout wins; else the request zoom picks the frame
+        # (reference: zoom selects the tile layer and thus the grid,
+        # scripts/benchmark-mapshed:31-34)
+        layout = input_data.layout or geometry.layout_for_zoom(input_data.zoom)
         return geometry.rasterize_polygons(
             spark, polys, input_data.pixel_is_area, layout=layout
         )
@@ -72,7 +75,7 @@ def _lines(spark: SparkSession, input_data: InputData):
             lines = projection.reproject_lines(
                 lines, input_data.shape_crs or "LatLng", input_data.raster_crs
             )
-        layout = input_data.layout or geometry.DEFAULT_LAYOUT
+        layout = input_data.layout or geometry.layout_for_zoom(input_data.zoom)
         return geometry.rasterize_lines(spark, lines, layout=layout)
     raise MissingStreamLinesError("RasterLinesJoin requires streamLines")
 
@@ -169,6 +172,15 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
         geometry.validate_crs(multi.shape_crs)
         shape_labels = [f"shape_{i}" for i in range(len(multi.shapes))]
         polys_per_shape = [geometry.parse_multipolygon(g) for g in multi.shapes]
+        # normalize into the raster frame (reference Geoprocessing.scala:
+        # 23-24 normalizeHuc; Utils.scala:96-98): the wire default is
+        # LatLng shapes against a ConusAlbers grid
+        if multi.raster_crs and multi.raster_crs != multi.shape_crs:
+            geometry.validate_crs(multi.raster_crs)
+            polys_per_shape = [
+                projection.reproject_polygons(polys, multi.shape_crs, multi.raster_crs)
+                for polys in polys_per_shape
+            ]
 
         # rasterize once per sampling mode actually requested (each op
         # carries its own pixelIsArea, Utils.scala:109-118)

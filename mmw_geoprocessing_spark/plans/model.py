@@ -39,7 +39,10 @@ class InputData:
     aoi_ids: list[str] | None = None
     use_line_pixels: bool = False
     pixel_is_area: bool = False  # Utils.scala:109-118
-    zoom: int = 0  # accepted for schema parity; layout is fixed in fixtures
+    # zoom selects the grid frame for GeoJSON rasterization via
+    # geometry.layout_for_zoom (0 = fixture frame; >0 = 512-tile
+    # pyramid) — mirroring the reference's zoom-suffixed layer ids
+    zoom: int = 0
     # raster frame: when set and != shape_crs, vector geometry is
     # reprojected shape_crs -> raster_crs before rasterizing (reference
     # Utils.scala:96-98,131-132). None = geometry already in the raster
@@ -67,3 +70,11 @@ class MultiInput:
     shapes: list[str]  # aoi ids (or GeoJSON when geometry path is active)
     operations: list[Operation] = field(default_factory=list)
     shape_crs: str | None = "LatLng"
+    # Raster frame for GeoJSON shapes. The reference normalizes every
+    # /multi shape into the raster grid's CRS unconditionally
+    # (Geoprocessing.scala:23-24 normalizeHuc -> Utils.scala:96-98
+    # toConusAlbers), so the default is ConusAlbers: a LatLng payload
+    # (the wire default) is reprojected before rasterizing, while a
+    # payload already in the raster frame (shape_crs == raster_crs)
+    # passes through untouched.
+    raster_crs: str | None = "ConusAlbers"

@@ -183,3 +183,102 @@ def test_multi_geojson_respects_per_op_pixel_is_area(spark, tables):
     n_pt = sum(out["shape_0"]["pt"].values())
     n_ar = sum(out["shape_0"]["ar"].values())
     assert n_pt == 4 and n_ar == 16
+
+
+def test_multi_geojson_latlng_reprojected_matches_native(spark, tables):
+    """A /multi payload carrying LatLng shapes against the ConusAlbers
+    raster frame (the reference's wire default, Geoprocessing.scala:
+    23-24 normalizeHuc) must produce the SAME result as the equivalent
+    request whose shapes are already in the raster frame."""
+    import json
+
+    from mmw_geoprocessing_spark import projection
+    from mmw_geoprocessing_spark.plans.api import multi_request
+    from mmw_geoprocessing_spark.plans.model import MultiInput, Operation
+
+    native_rings = [
+        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+        [[8, 0], [14, 0], [14, 3], [8, 3], [8, 0]],
+    ]
+
+    def poly(ring):
+        return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+    ops = [Operation(name="RasterGroupedCount", label="nlcd", rasters=["nlcd"])]
+
+    native = multi_request(
+        spark,
+        MultiInput(
+            shapes=[poly(r) for r in native_rings],
+            operations=ops,
+            shape_crs="ConusAlbers",  # == raster_crs default -> no reprojection
+        ),
+    )
+
+    latlng_rings = [
+        [list(projection.conus_albers_to_latlng(x, y)) for x, y in ring]
+        for ring in native_rings
+    ]
+    via_latlng = multi_request(
+        spark,
+        MultiInput(
+            shapes=[poly(r) for r in latlng_rings],
+            operations=ops,
+            shape_crs="LatLng",  # wire default; normalized -> ConusAlbers
+        ),
+    )
+    assert native == via_latlng
+    assert sum(native["shape_0"]["nlcd"].values()) == 16
+
+
+def test_multi_geojson_rejects_unknown_raster_crs(spark, tables):
+    import json
+
+    shape = json.dumps(
+        {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+    )
+    with pytest.raises(UnknownCRSError):
+        api.multi_request(
+            spark,
+            MultiInput(
+                shapes=[shape],
+                operations=[Operation("RasterGroupedCount", "n", rasters=["nlcd"])],
+                shape_crs="LatLng",
+                raster_crs="Mars2000",
+            ),
+        )
+
+
+def test_run_zoom_selects_grid_layout(spark, tables):
+    """Two /run requests differing only in zoom rasterize the same
+    GeoJSON AOI onto DIFFERENT grids (reference: zoom picks the tile
+    layer and its layout, scripts/benchmark-mapshed:31-34). Zoom 0 is
+    the unit-cell fixture frame; zoom 12 is the 512-tile pyramid frame
+    with 60 m cells, so a 64x64-unit square covers 64*64 cells at zoom 0
+    but exactly one cell at zoom 12."""
+    import json
+
+    from mmw_geoprocessing_spark import geometry
+    from mmw_geoprocessing_spark.plans.api import _mask
+
+    shape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [64, 0], [64, 64], [0, 64], [0, 0]]]}
+    )
+
+    def mask_at(zoom):
+        return _mask(
+            spark,
+            InputData(
+                "RasterGroupedCount", rasters=["nlcd"],
+                shape_geojson=[shape], shape_crs="ConusAlbers",
+                raster_crs=None, zoom=zoom,
+            ),
+        )
+
+    assert mask_at(0).count() == 64 * 64
+    assert mask_at(12).count() == 1
+
+    lay12 = geometry.layout_for_zoom(12)
+    assert lay12.tile_size == 512 and lay12.cellsize == 60.0
+    assert geometry.layout_for_zoom(0) is geometry.DEFAULT_LAYOUT
