@@ -275,6 +275,68 @@ def rasterize_polygons(
     )
 
 
+def _point_in_polys(px: float, py: float, polys) -> bool:
+    """Scalar union containment: even-odd per polygon, OR across
+    polygons — the same rule the rasterization kernels apply."""
+    res = False
+    for poly in polys:
+        crossings = 0
+        for ring in poly:
+            for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+                if (ay > py) != (by > py):
+                    xin = ax + (py - ay) / (by - ay) * (bx - ax)
+                    if px < xin:
+                        crossings += 1
+        res |= crossings % 2 == 1
+    return res
+
+
+def clip_lines(lines, polys):
+    """Clip polylines to the union of polygons — the reference's
+    geometric clip-before-rasterize (Utils.scala:196-198
+    ``line.intersection(shape)``), not a cell-level mask semi-join.
+
+    Exact parameter-interval clipping (works for arbitrary, also
+    non-convex, polygons where Sutherland-Hodgman does not): every
+    crossing of a segment with a polygon edge splits the segment's
+    [0, 1] parameter range; each sub-interval is kept iff its midpoint
+    lies inside the union. Request-sized input (a handful of lines and
+    one AOI boundary) -> pure-python driver-side, like reprojection.
+
+    Returns a list of 2-point segments (``rasterize_lines`` accepts any
+    polyline list and dedups cells).
+    """
+    edges = [
+        (ax, ay, bx, by)
+        for poly in polys
+        for ring in poly
+        for (ax, ay), (bx, by) in zip(ring, ring[1:])
+    ]
+    out: list[list[tuple[float, float]]] = []
+    for line in lines:
+        for (x0, y0), (x1, y1) in zip(line, line[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            ts = {0.0, 1.0}
+            for ax, ay, bx, by in edges:
+                ex, ey = bx - ax, by - ay
+                den = dx * ey - dy * ex
+                if den == 0.0:
+                    continue  # parallel/collinear: midpoint test decides
+                # solve P0 + t*d = A + u*e
+                t = ((ax - x0) * ey - (ay - y0) * ex) / den
+                u = ((ax - x0) * dy - (ay - y0) * dx) / den
+                if 0.0 < t < 1.0 and 0.0 <= u <= 1.0:
+                    ts.add(t)
+            cuts = sorted(ts)
+            for ta, tb in zip(cuts, cuts[1:]):
+                tm = (ta + tb) / 2.0
+                if _point_in_polys(x0 + dx * tm, y0 + dy * tm, polys):
+                    out.append(
+                        [(x0 + dx * ta, y0 + dy * ta), (x0 + dx * tb, y0 + dy * tb)]
+                    )
+    return out
+
+
 def rasterize_lines(
     spark, lines: list[list[tuple[float, float]]], layout: GridLayout = DEFAULT_LAYOUT
 ) -> DataFrame:

@@ -28,6 +28,28 @@ def ping() -> str:
     return "pong"
 
 
+def _aoi_polys(input_data: InputData):
+    """Parse + reproject the request's GeoJSON AOI into the raster
+    frame; None when the request uses pre-rasterized aoi_ids."""
+    if not input_data.shape_geojson:
+        return None
+    geometry.validate_crs(input_data.shape_crs)
+    polys = [p for g in input_data.shape_geojson for p in geometry.parse_multipolygon(g)]
+    if input_data.raster_crs and input_data.raster_crs != input_data.shape_crs:
+        geometry.validate_crs(input_data.raster_crs)
+        polys = projection.reproject_polygons(
+            polys, input_data.shape_crs, input_data.raster_crs
+        )
+    return polys
+
+
+def _layout(input_data: InputData):
+    # explicit layout wins; else the request zoom picks the frame
+    # (reference: zoom selects the tile layer and thus the grid,
+    # scripts/benchmark-mapshed:31-34)
+    return input_data.layout or geometry.layout_for_zoom(input_data.zoom)
+
+
 def _mask(spark: SparkSession, input_data: InputData):
     if input_data.aoi_ids:
         if len(input_data.aoi_ids) == 1:
@@ -40,20 +62,10 @@ def _mask(spark: SparkSession, input_data: InputData):
             .drop("aoi_id")
             .dropDuplicates(zonal.PIXEL_KEY)
         )
-    if input_data.shape_geojson:
-        geometry.validate_crs(input_data.shape_crs)
-        polys = [p for g in input_data.shape_geojson for p in geometry.parse_multipolygon(g)]
-        if input_data.raster_crs and input_data.raster_crs != input_data.shape_crs:
-            geometry.validate_crs(input_data.raster_crs)
-            polys = projection.reproject_polygons(
-                polys, input_data.shape_crs, input_data.raster_crs
-            )
-        # explicit layout wins; else the request zoom picks the frame
-        # (reference: zoom selects the tile layer and thus the grid,
-        # scripts/benchmark-mapshed:31-34)
-        layout = input_data.layout or geometry.layout_for_zoom(input_data.zoom)
+    polys = _aoi_polys(input_data)
+    if polys is not None:
         return geometry.rasterize_polygons(
-            spark, polys, input_data.pixel_is_area, layout=layout
+            spark, polys, input_data.pixel_is_area, layout=_layout(input_data)
         )
     raise MissingVectorError("operation requires an AOI (aoi_ids or shape GeoJSON)")
 
@@ -75,8 +87,15 @@ def _lines(spark: SparkSession, input_data: InputData):
             lines = projection.reproject_lines(
                 lines, input_data.shape_crs or "LatLng", input_data.raster_crs
             )
-        layout = input_data.layout or geometry.layout_for_zoom(input_data.zoom)
-        return geometry.rasterize_lines(spark, lines, layout=layout)
+        # geometric clip to the AOI before rasterizing (reference
+        # Utils.scala:196-198): a segment that crosses a mask cell only
+        # where the AOI does not must contribute nothing to that cell —
+        # the cell-level mask semi-join in raster_lines_join cannot
+        # distinguish that case.
+        polys = _aoi_polys(input_data)
+        if polys is not None:
+            lines = geometry.clip_lines(lines, polys)
+        return geometry.rasterize_lines(spark, lines, layout=_layout(input_data))
     raise MissingStreamLinesError("RasterLinesJoin requires streamLines")
 
 

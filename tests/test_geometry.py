@@ -256,3 +256,29 @@ def test_overlap_union_holds_in_area_mode(spark):
     sq1 = {(0, 0, c, r) for c in range(4) for r in range(4)}
     sq2 = {(0, 0, c, r) for c in range(2, 6) for r in range(2, 6)}
     assert ar == sq1 | sq2
+
+
+def test_clip_lines_convex_and_notched():
+    """Parameter-interval clipping: exact sub-segments inside the AOI
+    union (reference Utils.scala:196-198 clips geometrically before
+    rasterizing)."""
+    import pytest
+
+    from mmw_geoprocessing_spark.geometry import clip_lines
+
+    square = [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]
+    segs = clip_lines([[(-2.0, 2.0), (6.0, 2.0)]], square)
+    assert len(segs) == 1
+    (xa, ya), (xb, yb) = segs[0]
+    assert (xa, ya, xb, yb) == pytest.approx((0.0, 2.0, 4.0, 2.0))
+
+    # non-convex U shape: horizontal line crosses the notch -> 2 pieces
+    u_shape = [[[(0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (4.0, 4.0), (4.0, 1.0),
+                 (2.0, 1.0), (2.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]
+    segs = clip_lines([[(-1.0, 2.0), (7.0, 2.0)]], u_shape)
+    assert len(segs) == 2
+    spans = sorted((round(a[0], 9), round(b[0], 9)) for a, b in segs)
+    assert spans == [(0.0, 2.0), (4.0, 6.0)]
+
+    # fully-outside segment clips to nothing
+    assert clip_lines([[(10.0, 10.0), (12.0, 10.0)]], square) == []
