@@ -10,9 +10,12 @@ shapely/pyproj, so:
   ray-casting test inside an Arrow-batched ``mapInPandas`` — the
   executor-side kernel the reference runs via GeoTrellis'
   ``Rasterizer.foreachCellByMultiPolygon`` (Geoprocessing.scala:356);
-- ``buffer(0)`` regularization and true reprojection upgrade
-  automatically when shapely/pyproj are importable (gated imports);
-  with the fixture layout, CRS handling is label validation only.
+- ``buffer(0)`` regularization is pure-python: a self-crossing
+  (invalid) ring is detected by ``ring_is_simple`` and filled by the
+  NONZERO-WINDING rule instead of even-odd — pointwise the region GEOS
+  ``buffer(0)`` resolves a dirty ring to (a bowtie fills both lobes, a
+  doubly-wound loop fills once; even-odd would drop the doubly-wound
+  interior). Valid rings keep even-odd, so holes still subtract.
 
 Scan pruning: the AOI bounding box is converted to (key_col, key_row)
 ranges *before* the scan — the Spark analogue of the reference's
@@ -47,13 +50,6 @@ from pyspark.sql import functions as F
 
 from mmw_geoprocessing_spark.errors import MissingVectorCRSError, UnknownCRSError
 from mmw_geoprocessing_spark.plans.model import VALID_CRS
-
-try:  # optional exact-geometry upgrade
-    import shapely  # noqa: F401
-
-    HAVE_SHAPELY = True
-except ImportError:
-    HAVE_SHAPELY = False
 
 TILE = 8  # fixture-layout tile size (DEFAULT_LAYOUT below)
 
@@ -133,6 +129,33 @@ def validate_crs(crs: str | None) -> str:
     return crs
 
 
+def ring_is_simple(ring) -> bool:
+    """True iff no two non-adjacent edges of the closed ring properly
+    cross (O(E^2) — ring vertex counts are request-sized). A ring that
+    fails this is 'invalid' in the OGC sense and triggers the winding
+    repair below, the pure-python equivalent of the reference's
+    ``buffer(0)`` regularization (Utils.scala:137-143)."""
+    pts = list(ring)
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+
+    def orient(a, b, p):
+        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue  # adjacent edges share a vertex
+            c, d = pts[j], pts[(j + 1) % n]
+            o1, o2 = orient(a, b, c), orient(a, b, d)
+            o3, o4 = orient(c, d, a), orient(c, d, b)
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                return False
+    return True
+
+
 def bbox(polys) -> tuple[float, float, float, float]:
     xs = [x for poly in polys for ring in poly for x, _ in ring]
     ys = [y for poly in polys for ring in poly for _, y in ring]
@@ -181,6 +204,11 @@ def rasterize_polygons(
     )
 
     all_rings = [ring for poly in poly_rings for ring in poly]
+    # winding-repair flags: an invalid (self-crossing) ring fills by the
+    # NONZERO-WINDING rule — the region GEOS buffer(0) resolves a dirty
+    # ring to (bowtie -> both lobes, winding ±1; doubly-wound ring ->
+    # filled once, winding ±2) — while valid rings keep even-odd.
+    poly_simple = [[ring_is_simple(ring) for ring in poly] for poly in poly_rings]
 
     def contains_batch(batches: Iterator) -> Iterator:
         import numpy as np
@@ -191,27 +219,44 @@ def rasterize_polygons(
             cx = (pdf.key_col.values * T + pdf.cell_col.values + 0.5).astype(np.float64)
             cy = (pdf.key_row.values * T + pdf.cell_row.values + 0.5).astype(np.float64)
 
-            def inside_one(px, py, rings):
-                """Even-odd containment for ONE polygon (its own rings)."""
+            def inside_one(px, py, rings, simple_flags):
+                """Containment for ONE polygon: XOR across rings of the
+                per-ring fill (even-odd for simple rings, nonzero
+                winding for self-crossing rings — the buffer(0) repair)."""
                 acc = np.zeros(len(px), dtype=bool)
-                for ring in rings:
+                for ring, simple in zip(rings, simple_flags):
                     r = np.asarray(ring, dtype=np.float64)
                     xs, ys = r[:, 0], r[:, 1]
-                    xj, yj = np.roll(xs, 1), np.roll(ys, 1)
-                    for i in range(len(xs)):
-                        cond = (ys[i] > py) != (yj[i] > py)
-                        denom = yj[i] - ys[i]
-                        if denom == 0:
-                            continue
-                        xint = xs[i] + (py - ys[i]) / denom * (xj[i] - xs[i])
-                        acc ^= cond & (px < xint)
+                    xj, yj = np.roll(xs, 1), np.roll(ys, 1)  # edge: j -> i
+                    if simple:
+                        ring_fill = np.zeros(len(px), dtype=bool)
+                        for i in range(len(xs)):
+                            cond = (ys[i] > py) != (yj[i] > py)
+                            denom = yj[i] - ys[i]
+                            if denom == 0:
+                                continue
+                            xint = xs[i] + (py - ys[i]) / denom * (xj[i] - xs[i])
+                            ring_fill ^= cond & (px < xint)
+                    else:
+                        wn = np.zeros(len(px), dtype=np.int64)
+                        for i in range(len(xs)):
+                            denom = yj[i] - ys[i]
+                            if denom == 0:
+                                continue
+                            xint = xs[i] + (py - ys[i]) / denom * (xj[i] - xs[i])
+                            left = px < xint
+                            up = (ys[i] <= py) & (yj[i] > py)
+                            down = (yj[i] <= py) & (ys[i] > py)
+                            wn += np.where(up & left, 1, 0) - np.where(down & left, 1, 0)
+                        ring_fill = wn != 0
+                    acc ^= ring_fill
                 return acc
 
             def inside(px, py):
-                """Union across polygons: even-odd per polygon, OR."""
+                """Union across polygons: per-polygon fill, OR."""
                 res = np.zeros(len(px), dtype=bool)
-                for rings in poly_rings:
-                    res |= inside_one(px, py, rings)
+                for rings, flags in zip(poly_rings, poly_simple):
+                    res |= inside_one(px, py, rings, flags)
                 return res
 
             mask = inside(cx, cy)
@@ -276,18 +321,36 @@ def rasterize_polygons(
 
 
 def _point_in_polys(px: float, py: float, polys) -> bool:
-    """Scalar union containment: even-odd per polygon, OR across
-    polygons — the same rule the rasterization kernels apply."""
+    """Scalar union containment, same rules as the rasterization
+    kernel: per ring even-odd when simple, nonzero winding when
+    self-crossing (the buffer(0) repair); XOR across a polygon's
+    rings, OR across polygons."""
     res = False
     for poly in polys:
-        crossings = 0
+        fill = False
         for ring in poly:
-            for (ax, ay), (bx, by) in zip(ring, ring[1:]):
-                if (ay > py) != (by > py):
+            if ring_is_simple(ring):
+                crossings = 0
+                for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+                    if (ay > py) != (by > py):
+                        xin = ax + (py - ay) / (by - ay) * (bx - ax)
+                        if px < xin:
+                            crossings += 1
+                ring_fill = crossings % 2 == 1
+            else:
+                wn = 0
+                for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+                    if ay == by:
+                        continue
                     xin = ax + (py - ay) / (by - ay) * (bx - ax)
                     if px < xin:
-                        crossings += 1
-        res |= crossings % 2 == 1
+                        if ay <= py < by:
+                            wn += 1
+                        elif by <= py < ay:
+                            wn -= 1
+                ring_fill = wn != 0
+            fill ^= ring_fill
+        res |= fill
     return res
 
 

@@ -95,10 +95,13 @@ def test_hole_still_subtracts_within_its_polygon(spark):
 
 
 def test_bowtie_even_odd_matches_buffer0_lobes(spark):
-    """Self-intersecting 'bowtie' ring: even-odd fills exactly the two
-    lobes — the same region shapely/GEOS buffer(0) (the reference's
-    repair, Utils.scala:137-143) resolves the ring to. Pins the declared
-    behavior for invalid rings."""
+    """Self-intersecting 'bowtie' ring: the winding repair (pure-python
+    buffer(0), triggered because ring_is_simple is False) fills exactly
+    the two lobes — the region GEOS buffer(0) (the reference's repair,
+    Utils.scala:137-143) resolves the ring to, and identical to the
+    formerly-pinned even-odd mask for this shape (lobes have winding
+    ±1). The divergent case — winding 2 — is pinned by the pentagram
+    test below."""
     polys = geometry.parse_multipolygon(
         '{"type":"Polygon","coordinates":[[[0,0],[8,8],[8,0],[0,8],[0,0]]]}'
     )
@@ -282,3 +285,45 @@ def test_clip_lines_convex_and_notched():
 
     # fully-outside segment clips to nothing
     assert clip_lines([[(10.0, 10.0), (12.0, 10.0)]], square) == []
+
+
+def test_ring_is_simple_detection():
+    square = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    bowtie = [(0.0, 0.0), (8.0, 8.0), (8.0, 0.0), (0.0, 8.0), (0.0, 0.0)]
+    assert geometry.ring_is_simple(square)
+    assert not geometry.ring_is_simple(bowtie)
+
+
+def test_pentagram_winding_repair_fills_center(spark):
+    """The canonical buffer(0) case even-odd gets WRONG: a pentagram
+    drawn as one self-crossing ring. Its center pentagon has winding 2 —
+    GEOS buffer(0) (Utils.scala:137-143) resolves the ring to the full
+    star including the center; plain even-odd drops the center. The
+    winding repair must fill the center cell."""
+    import math as m
+
+    cx0, cy0, r = 4.0, 4.0, 4.0
+    pts = [
+        (cx0 + r * m.cos(m.radians(90 + 72 * k)), cy0 + r * m.sin(m.radians(90 + 72 * k)))
+        for k in range(5)
+    ]
+    star_order = [0, 2, 4, 1, 3, 0]  # connect every second vertex
+    ring = [pts[i] for i in star_order]
+    assert not geometry.ring_is_simple(ring)
+
+    import json as j
+
+    polys = geometry.parse_multipolygon(
+        j.dumps({"type": "Polygon", "coordinates": [[list(p) for p in ring]]})
+    )
+    cells = _mask_set(spark, polys, pixel_is_area=False)
+    # center cell (4,4) has its center (4.5,4.5) just off the exact
+    # star center — winding 2 region, even-odd parity 0
+    assert (0, 0, 4, 4) in cells
+    # a star-arm cell (winding 1) must stay filled
+    assert (0, 0, 2, 4) in cells
+    # and the scalar helper agrees (clip_lines consistency)
+    from mmw_geoprocessing_spark.geometry import _point_in_polys
+
+    assert _point_in_polys(4.5, 4.5, polys)
+    assert not _point_in_polys(7.9, 7.9, polys)
