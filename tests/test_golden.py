@@ -33,20 +33,38 @@ def test_mapshed_suite_matches_golden(spark, tables):
         assert abs(g[3] - w[3]) <= TOL, (g, w)
 
 
+import glob
+
 import pytest
 
+_SNAPSHOT_NAMES = sorted(
+    os.path.basename(p)[: -len("_sf0.001.json")]
+    for p in glob.glob(os.path.join(GOLDEN_DIR, "*_sf0.001.json"))
+    if not os.path.basename(p).startswith("mapshed")
+)
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "events_windows_showcase"])
+
+def _coerce(v):
+    if isinstance(v, bytes):
+        return {"__hex__": v.hex()}
+    if hasattr(v, "isoformat"):
+        return {"__ts__": v.isoformat()}
+    return v
+
+
+@pytest.mark.parametrize("name", _SNAPSHOT_NAMES)
 def test_query_matches_golden(spark, tables, name):
-    """One golden per major capability family beyond zonal (dedup,
-    streaming windows) — same frozen-snapshot strategy."""
+    """One frozen snapshot per operator family (zonal suite, relational,
+    dedup, similarity, text, multimodal, event-time windows) —
+    regenerated only via tools/make_goldens.py, diffed at 1e-8."""
     import __spark_entry__ as m
 
     rows = m.queries()[name](spark, "/root/testdata/sf0.001").collect()
     with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
         golden = json.load(f)
     cols = golden["columns"]
-    got = sorted([r[c] for c in cols] for r in rows)
+    got = [[_coerce(r[c]) for c in cols] for r in rows]
+    got.sort(key=lambda row: json.dumps(row, default=str))
     want = golden["rows"]
     assert len(got) == len(want), (len(got), len(want))
     for g, w in zip(got, want):
