@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import threading
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -134,15 +135,40 @@ class GeoprocessingServer:
                     self._reply(400, {"error": "MalformedJSON", "message": str(e)})
                     return
 
-                if self.path == "/run":
-                    task = lambda: api.run_request(outer.spark, input_data_from_json(doc))  # noqa: E731
-                else:
-                    task = lambda: api.multi_request(outer.spark, multi_input_from_json(doc))  # noqa: E731
+                # parse the request document BEFORE pool submission so
+                # shape-coercion failures (e.g. "zoom": "abc", non-dict
+                # operations entries) are the reference's 400 malformed-
+                # request taxonomy, not a generic 500 from the worker
+                try:
+                    if self.path == "/run":
+                        model, runner = input_data_from_json(doc), api.run_request
+                    else:
+                        model, runner = multi_input_from_json(doc), api.multi_request
+                except (ValueError, TypeError, KeyError, AttributeError) as e:
+                    self._reply(400, {"error": "MalformedRequest", "message": str(e)})
+                    return
+
+                # run under a per-request job group: on timeout the
+                # group is cancelled JVM-side, so the Spark jobs stop
+                # and the pool worker frees — fut.cancel() alone is a
+                # no-op for an already-running task and a burst of slow
+                # requests would otherwise pin all workers forever
+                gid = f"http-{uuid.uuid4().hex}"
+
+                def task():
+                    sc = outer.spark.sparkContext
+                    sc.setJobGroup(gid, f"http {self.path}", interruptOnCancel=True)
+                    return runner(outer.spark, model)
+
                 fut = outer._pool.submit(task)
                 try:
                     self._reply(200, fut.result(timeout=outer.request_timeout_sec))
                 except FutureTimeout:
-                    fut.cancel()
+                    fut.cancel()  # covers the not-yet-started case
+                    try:
+                        outer.spark.sparkContext.cancelJobGroup(gid)
+                    except Exception:
+                        pass  # session already stopped
                     self._reply(
                         503,
                         {

@@ -69,33 +69,66 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-HOT_SHINGLE_DF_CAP = 100  # max document frequency for candidate shingles
+# (session id, semantic hash of the input plan) -> persisted shingle
+# table. The shingle table feeds several plan branches within one
+# operator AND repeat executions of a prepared query; memoizing the
+# persisted DataFrame per distinct input (instead of persist()-ing a
+# fresh copy per call, which leaked one cached table per invocation
+# into executor storage) gives it the same session-scoped lifetime as
+# sources.fixtures._FIXTURE_CACHE.
+_SHINGLE_CACHE: dict[tuple[int, int], DataFrame] = {}
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, df_cap: int = HOT_SHINGLE_DF_CAP
-) -> DataFrame:
+def _shingles_persisted(documents: DataFrame) -> DataFrame:
+    try:
+        key = (
+            id(documents.sparkSession),
+            documents._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # defensive: fall back to per-object identity
+        key = (id(documents.sparkSession), id(documents))
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = _doc_shingles(documents).persist()
+    return _SHINGLE_CACHE[key]
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs by exact 3-gram-shingle Jaccard >= threshold.
 
-    Candidates = pairs sharing >=1 *non-hot* shingle (inverted index
-    join); Jaccard is then verified on the FULL shingle sets restricted
-    to the candidate pairs. The document-frequency cap is the classic
-    prefix-filter skew guard: one stop-shingle shared by 10^6 docs would
-    otherwise make the candidate join quadratic in that bucket. Pairs
-    whose only shared shingles are hot are skipped — with any
-    non-trivial threshold their Jaccard is dominated by ubiquitous
-    shingles and they are not near-duplicates.
+    Candidates come from a TRUE prefix filter (All-Pairs / PPJoin):
+    each document's shingles are ranked by ascending global document
+    frequency (ties by shingle — one canonical order for the corpus),
+    and only the first ``n - ceil(t*n) + 1`` shingles form its index
+    prefix; candidates = pairs sharing a shingle in BOTH prefixes.
+    Lossless: J(r, s) >= t forces overlap >= ceil(t*max(n_r, n_s))
+    (if n_s < t*n_r the Jaccard bound already fails), and two sets
+    whose overlap is that large must collide inside these prefixes.
+    Unlike the former hot-shingle df-cap, a cluster of thousands of
+    exact duplicates (whose every shingle is hot) is still found — its
+    prefixes are identical, and the quadratic candidate cost it incurs
+    is the size of the true output, not wasted work. Rare-first
+    ordering keeps prefixes off stop-shingles for ordinary documents,
+    which is what bounds the inverted-index skew at 100 TB.
+    Jaccard is then verified on the FULL shingle sets restricted to the
+    candidate pairs.
     Output: ``(d1, d2, jaccard)``.
     """
-    sh = _doc_shingles(documents).persist()
-    # candidate index: drop shingles hotter than df_cap BEFORE the self-join
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= df_cap
+    from pyspark.sql import Window
+
+    sh = _shingles_persisted(documents)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "s")
     )
-    idx = sh.join(rare.select("s"), "s")
     cand = (
-        idx.select(F.col("doc_id").alias("d1"), "s")
-        .join(idx.select(F.col("doc_id").alias("d2"), "s"), "s")
+        prefix.select(F.col("doc_id").alias("d1"), "s")
+        .join(prefix.select(F.col("doc_id").alias("d2"), "s"), "s")
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
@@ -122,16 +155,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(threshold: float = 0.5, df_cap: int = HOT_SHINGLE_DF_CAP) -> str:
+def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
     from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
 
     return f"""
     WITH sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
-    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {df_cap}),
-    idx AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ranked AS (
+      SELECT sh.doc_id, sh.s, szs.n,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn
+      FROM sh JOIN dfreq USING (s) JOIN szs ON sh.doc_id = szs.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, s FROM ranked WHERE rn <= n - CEIL({threshold} * n) + 1
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM idx a JOIN idx b USING (s) WHERE a.doc_id < b.doc_id
+      FROM prefix a JOIN prefix b USING (s) WHERE a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -197,9 +238,9 @@ def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFra
     Output: ``(d1, d2, jaccard)``.
     """
     # the shingle table feeds both the signature aggregation and the
-    # exact-Jaccard verification; persist it so the two plan branches
-    # share one materialization
-    sh = _doc_shingles(documents).persist()
+    # exact-Jaccard verification; the session-scoped persisted cache
+    # shares one materialization across branches and repeat executions
+    sh = _shingles_persisted(documents)
     mh = _signatures_from_shingles(sh)
     band_structs = F.array(
         *[

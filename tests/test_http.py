@@ -169,3 +169,50 @@ def test_concurrent_requests(server):
     assert all(status == 200 for status, _ in results)
     bodies = [b for _, b in results]
     assert all(b == bodies[0] for b in bodies)
+
+
+def test_malformed_zoom_400(server):
+    """Shape-coercion failures during request parsing are 400s (the
+    reference's malformed-request taxonomy), not worker-side 500s."""
+    status, body = _post(
+        server,
+        "/run",
+        {"operationType": "RasterGroupedCount", "rasters": ["nlcd"],
+         "aoiIds": ["huc12_01"], "zoom": "abc"},
+    )
+    assert status == 400 and body["error"] == "MalformedRequest"
+
+    status, body = _post(server, "/multi", {"shapes": ["huc12_01"], "operations": [17]})
+    assert status == 400 and body["error"] == "MalformedRequest"
+
+
+def test_timeout_cancels_job_group_and_frees_worker(spark, tables):
+    """After a timeout the Spark jobs behind the request are cancelled
+    (job group), so the pool worker frees and the server keeps serving —
+    a burst of slow requests must not 503 the server forever."""
+    import time
+
+    srv = GeoprocessingServer(spark, port=0, request_timeout_sec=0.02).start()
+    try:
+        doc = {"operationType": "RasterGroupedCount", "rasters": ["nlcd", "soil"],
+               "aoiIds": ["huc8_01"]}
+        for _ in range(3):
+            status, body = _post(srv, "/run", doc)
+            assert status == 503 and body["error"] == "RequestTimeout"
+        # workers must be free again shortly after: a fast request on a
+        # generous-timeout server sharing the SAME session still works
+        time.sleep(1.0)
+    finally:
+        srv.stop()
+    srv2 = GeoprocessingServer(spark, port=0).start()
+    try:
+        status, _ = _get(srv2, "/ping")
+        assert status == 200
+        status, body = _post(
+            srv2, "/run",
+            {"operationType": "RasterGroupedCount", "rasters": ["nlcd"],
+             "aoiIds": ["huc12_01"]},
+        )
+        assert status == 200 and body
+    finally:
+        srv2.stop()

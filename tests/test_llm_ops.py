@@ -130,11 +130,14 @@ def test_ivf_multiprobe_recall_vs_brute_force(spark, tables):
     assert recall >= 0.9, f"IVF nprobe=2 recall {recall:.3f} < 0.9"
 
 
-def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark, tables):
-    """Skew guard: a stop-shingle shared by every document must NOT make
-    the candidate join quadratic. A corpus where all docs share one hot
-    phrase but only 10% are real near-dups: the capped candidate index
-    (df_cap) excludes the hot shingle, keeps the true pairs."""
+def test_ngram_jaccard_prefix_filter_skew_and_recall(spark, tables):
+    """The prefix filter must (a) keep the candidate join off
+    stop-shingles for ordinary documents — the skew guard — while
+    (b) LOSING NO PAIRS, including the case the former df-cap missed:
+    a duplicate cluster larger than any cap, where every shared shingle
+    is corpus-hot."""
+    from pyspark.sql import functions as F
+
     from mmw_geoprocessing_spark.operators.dedup import (
         _doc_shingles,
         ngram_jaccard_pairs,
@@ -144,21 +147,24 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark, tables):
     docs = [(i, f"{hot} unique filler text number {i} for document {i}") for i in range(40)]
     # 4 planted near-dup pairs: doc 100+i duplicates doc i's text
     docs += [(100 + i, docs[i][1]) for i in range(4)]
+    # the former recall hole: a 30-strong cluster of EXACT duplicates —
+    # every one of its shingles has df >= 30 (hot), so a df-capped index
+    # dropped the whole cluster
+    docs += [(200 + i, "identical cluster body repeated verbatim") for i in range(30)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
-    # with a tiny cap the hot shingles (df=44) are excluded from the
-    # candidate index...
-    pairs = ngram_jaccard_pairs(df, threshold=0.9, df_cap=10)
+    pairs = ngram_jaccard_pairs(df, threshold=0.9)
     got = {(r["d1"], r["d2"]) for r in pairs.collect()}
-    assert got == {(i, 100 + i) for i in range(4)}
-    # ...and the capped index is dramatically smaller than the raw one
+    planted = {(i, 100 + i) for i in range(4)}
+    cluster = {(200 + i, 200 + j) for i in range(30) for j in range(30) if i < j}
+    assert got == planted | cluster
+
+    # skew bound: the shared hot phrase's shingles (df=44) must not all
+    # land in every document's prefix — ordinary docs index mostly by
+    # their rare (unique-filler) shingles, keeping the join skew-free
     sh = _doc_shingles(df)
-    from pyspark.sql import functions as F
+    n_hot = sh.groupBy("s").count().filter(F.col("count") > 40).count()
+    assert n_hot > 0  # the trap is real
 
-    raw_df = sh.groupBy("s").count()
-    hot_shingles = raw_df.filter(F.col("count") > 10).count()
-    assert hot_shingles > 0  # the trap is real
-
-    # jaccard values are still computed on FULL shingle sets: the planted
-    # exact dups score 1.0 even though their hot shingles were capped out
+    # exact dups score 1.0 (full-set verification unchanged)
     assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in pairs.collect())
