@@ -340,15 +340,17 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     """Prepared-query cache: memoize the built DataFrame handle per
     (session, sf_dir).
 
-    A DataFrame is a PLAN, not a result — re-invoking the returned
-    callable re-executes the full job (scan → shuffle → agg → collect)
-    every time; only the py4j expression construction, Catalyst
-    analysis/optimization, and whole-stage-codegen compile are paid
-    once. This is the standard serving-engine shape (DuckDB prepared
-    statements, Spark applications holding DataFrame handles): measured
-    at sf0.1, a rebuilt pricing_summary plan costs ~0.8 s of which only
-    ~0.06 s is execution. The correctness gate calls each query once, so
-    it always covers the full build+execute path.
+    Skips py4j expression construction + Catalyst analysis/optimization
+    + codegen compile on repeat calls (~0.3-0.8 s/plan). Note the
+    re-execution caveat: Spark keeps a live handle's shuffle map outputs
+    alive (ShuffleExchangeExec caches its ShuffledRowRDD), so
+    re-invoking re-runs only the stages downstream of existing shuffle
+    files — fast steady-state serving for repeated identical requests,
+    but NOT a full re-execution. bench.py therefore times fresh
+    ``prepared=False`` builders for its headline and reports the
+    memoized-handle number separately (``queries_prepared_exec``). The
+    correctness gate calls each query once, so it always covers the
+    full build+execute path.
     """
     cache: dict[tuple[int, str], DataFrame] = {}
 

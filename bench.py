@@ -2,17 +2,23 @@
 wall-clock seconds; reference scripts/benchmark-sync:38-49) over the
 engine's headline queries at $SPARK_GRAFT_SF_DIR.
 
-Timing model: ``queries()`` hands out PREPARED plans (DataFrame handles
-memoized per session+sf_dir — see ``__spark_entry__._prepared``). The
-warm-up call pays py4j plan construction + Catalyst analysis + codegen
-compile (recorded per query as ``queries_build``); each timed run then
-re-executes the full job — scan, shuffle, aggregate, Arrow collect —
-against that handle. That is the serving shape of a real engine
-(prepared statements / long-lived DataFrame handles), and it is what
-scales: plan build is a constant ~0.3-0.8 s regardless of data size,
-while execution is the part that grows 100x at 100 TB. DuckDB gets the
-mirror-image treatment: same process, same window, warmed once, same
-oracle SQL re-executed per run.
+Timing model: each timed run builds a FRESH DataFrame (raw
+``queries(prepared=False)`` builders) and executes it end-to-end —
+py4j plan construction, Catalyst analysis/optimization, scan, shuffle,
+aggregate, Arrow collect. That is this engine's per-request serving
+shape (the HTTP layer builds a plan per request, like the reference's
+Akka service). A warm-up call first pays one-time costs that a live
+session amortizes (codegen compile cache, fixture materialization,
+bucketed-table write), recorded per query as ``queries_build``.
+
+Re-timing a MEMOIZED handle is deliberately NOT the headline: Spark
+keeps a prepared handle's shuffle map outputs alive (ShuffleExchangeExec
+caches its ShuffledRowRDD, so re-execution skips every map stage —
+scan and partial agg included). That steady-state number is real for
+repeated identical requests and is reported separately as
+``queries_prepared_exec``, but it measures final-stage + collect, not
+query execution. DuckDB gets the mirror of the headline: same process,
+same window, warmed once, full oracle SQL re-executed per run.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total mean sec>, "unit": "sec",
@@ -84,10 +90,11 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
-    qs = entrymod.queries()
+    qs = entrymod.queries(prepared=False)
     results: dict[str, float] = {}
     floors: dict[str, float] = {}
     builds: dict[str, float] = {}
+    prepared_exec: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         # materialize via Arrow (toPandas): the engine's result fast
@@ -95,15 +102,24 @@ def main() -> None:
         # collect() pays a py4j per-row tax that is transport, not
         # query execution (window_running_total: 0.72 s -> 0.28 s)
         t0 = time.time()
-        fn(spark, sf_dir).toPandas()  # warm-up: plan build + first execute
+        handle = fn(spark, sf_dir)
+        handle.toPandas()  # warm-up: codegen compile + fixture materialization
         builds[name] = round(time.time() - t0, 4)
         times = []
         for _ in range(RUNS):
             t0 = time.time()
-            fn(spark, sf_dir).toPandas()
+            fn(spark, sf_dir).toPandas()  # fresh plan: full build + execute
             times.append(time.time() - t0)
         results[name] = round(sum(times) / len(times), 4)
         floors[name] = round(min(times), 4)
+        # informational: steady-state re-execution of the warmed handle
+        # (prepared-statement serving; upstream shuffle stages reused)
+        pe = []
+        for _ in range(2):
+            t0 = time.time()
+            handle.toPandas()
+            pe.append(time.time() - t0)
+        prepared_exec[name] = round(min(pe), 4)
 
     total = round(sum(results.values()), 4)
 
@@ -175,9 +191,13 @@ def main() -> None:
                 # headline per the reference's 5-run protocol)
                 "value_min": round(sum(floors.values()), 4),
                 "queries_min": floors,
-                # one-time prepare cost per query (plan build + analysis
-                # + codegen + first execution), paid before timing starts
+                # one-time warm-up cost per query (codegen compile +
+                # fixture materialization + first execution)
                 "queries_build": builds,
+                # steady-state re-execution of a memoized handle
+                # (prepared-statement serving path; shuffle map stages
+                # reused) — informational, NOT the headline
+                "queries_prepared_exec": prepared_exec,
                 "prev_delta": prev_delta,
                 # same-window DuckDB oracle baseline + noise-symmetric ratio
                 "duck_total": duck_total,

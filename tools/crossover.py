@@ -35,6 +35,7 @@ QUERIES = [
     "top_customers_by_revenue",
     "window_running_total",
     "events_windows_showcase",
+    "similarity_cosine_topk",
     "raster_grouped_count",
 ]
 
@@ -44,6 +45,7 @@ OFFSETS = {
     "lineitem": {"l_orderkey": 100_000_000},
     "orders": {"o_orderkey": 100_000_000},
     "events": {"event_id": 100_000_000},
+    "embeddings": {"vec_id": 100_000_000},
     # customers/parts/suppliers stay identical: revenue per customer
     # grows 10x, which is fine — both engines see the same data
 }
@@ -97,7 +99,10 @@ def bench_spark(sf_dir: str) -> dict[str, float]:
     # ships for real data sizes; measured 16.3 s -> 5.9 s on the zonal
     # join vs the sf0.1-tuned static config. Size-appropriate config per
     # scale IS the point of this table.
-    qs = m.queries()
+    # raw builders: timed runs must build a FRESH plan each time — a
+    # memoized handle's shuffle map outputs stay alive and re-execution
+    # would skip every upstream stage (see bench.py timing model)
+    qs = m.queries(prepared=False)
     out = {}
     for name in QUERIES:
         fn = qs[name]
