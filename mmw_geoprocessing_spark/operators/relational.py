@@ -117,13 +117,31 @@ def top_customers_by_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
     """Join + aggregate + top-k. orderBy().limit(k) plans
-    TakeOrderedAndProject — per-partition k-row heaps, no global sort."""
+    TakeOrderedAndProject — per-partition k-row heaps, no global sort.
+
+    Partial aggregation is pushed BELOW the join (Catalyst does not do
+    this rewrite itself): revenue cents are pre-summed per l_orderkey,
+    so the orders join shuffles ~#orders narrow rows instead of the full
+    ~4x-wider lineitem fact, and the customer dim joins broadcast onto
+    an already-aggregated per-custkey table. BIGINT-cents sums are exact
+    integers, so sum-of-partial-sums is bit-identical to the flat sum
+    (the oracle SQL keeps the flat join shape and must hash-match)."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(_cents(rev, 10000)).alias("rev_cents")
+    )
+    per_cust = (
+        rev_per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(_sum_money(rev, 10000).alias("revenue"))
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
@@ -303,17 +321,27 @@ def lag_lead_order_gaps_sql() -> str:
 def rollup_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
 ) -> DataFrame:
-    """ROLLUP over (region, nation): hierarchy subtotals + grand total."""
+    """ROLLUP over (region, nation): hierarchy subtotals + grand total.
+
+    Aggregation is staged below the joins (exact BIGINT-cents partial
+    sums commute): per-orderkey, then per-custkey, so the rollup and the
+    dim joins run over a ~#customers table, not the raw lineitem fact."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents(rev, 10000)).alias("rev_cents"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+    )
     joined = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(_sum_money(rev, 10000).alias("revenue"))
+        .agg((F.sum("rev_cents").cast("double") / F.lit(10000.0)).alias("revenue"))
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),

@@ -106,13 +106,17 @@ def bench_spark(sf_dir: str) -> dict[str, float]:
     out = {}
     for name in QUERIES:
         fn = qs[name]
-        fn(spark, sf_dir).collect()
+        # Arrow materialization (toPandas), symmetric with DuckDB's .df():
+        # row collect() pays a py4j per-row tax that is transport, not
+        # query execution (~10 s alone on window_running_total's 1.5 M
+        # result rows at sf1~)
+        fn(spark, sf_dir).toPandas()
         ts = []
         for _ in range(RUNS):
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             ts.append(time.time() - t0)
-        out[name] = round(sum(ts) / len(ts), 3)
+        out[name] = {"mean": round(sum(ts) / len(ts), 3), "min": round(min(ts), 3)}
     spark.stop()
     return out
 
@@ -132,27 +136,40 @@ def bench_duck(sf_dir: str) -> dict[str, float]:
     out = {}
     for name in QUERIES:
         sql = oracles[name]
-        con.execute(sql).fetchall()
+        con.execute(sql).df()
         ts = []
         for _ in range(RUNS):
             t0 = time.time()
-            con.execute(sql).fetchall()
+            con.execute(sql).df()
             ts.append(time.time() - t0)
-        out[name] = round(sum(ts) / len(ts), 3)
+        out[name] = {"mean": round(sum(ts) / len(ts), 3), "min": round(min(ts), 3)}
     con.close()
     return out
 
 
 def main() -> None:
+    # production fixture layout, as in bench.py (exchange-free zonal joins)
+    os.environ.setdefault("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
     build_replica()
     rows = []
     for sf_label, sf_dir in (("sf0.1", SRC), ("sf1~", DST)):
         duck = bench_duck(sf_dir)
         spark = bench_spark(sf_dir)
         for q in QUERIES:
-            ratio = round(spark[q] / duck[q], 2) if duck[q] else None
+            # ratio on MINS: this box carries ±2-4× co-tenant bursts and a
+            # 5-run mean at sf1~ (runs are seconds long) almost always
+            # catches one; the per-query min is the reproducible cost
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
             rows.append(
-                {"sf": sf_label, "query": q, "spark_s": spark[q], "duck_s": duck[q], "ratio": ratio}
+                {
+                    "sf": sf_label,
+                    "query": q,
+                    "spark_s": spark[q]["min"],
+                    "spark_mean_s": spark[q]["mean"],
+                    "duck_s": duck[q]["min"],
+                    "duck_mean_s": duck[q]["mean"],
+                    "ratio": ratio,
+                }
             )
             print(json.dumps(rows[-1]))
     print("\n| query | sf0.1 spark | sf0.1 duck | ratio | sf1~ spark | sf1~ duck | ratio |")
