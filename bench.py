@@ -9,23 +9,21 @@ aggregate, Arrow collect. That is this engine's per-request serving
 shape (the HTTP layer builds a plan per request, like the reference's
 Akka service). A warm-up call first pays one-time costs that a live
 session amortizes (codegen compile cache, fixture materialization,
-bucketed-table write), recorded per query as ``queries_build``.
+bucketed-table write), recorded per query in the sidecar as
+``queries_build``.
 
-Re-timing a MEMOIZED handle is deliberately NOT the headline: Spark
-keeps a prepared handle's shuffle map outputs alive (ShuffleExchangeExec
-caches its ShuffledRowRDD, so re-execution skips every map stage —
-scan and partial agg included). That steady-state number is real for
-repeated identical requests and is reported separately as
-``queries_prepared_exec``, but it measures final-stage + collect, not
-query execution. DuckDB gets the mirror of the headline: same process,
-same window, warmed once, full oracle SQL re-executed per run.
+Noise symmetry: this box carries ±2× co-tenant bursts, so Spark and
+DuckDB are timed INTERLEAVED PER QUERY — for each headline query the
+Spark runs and the DuckDB runs of the SAME oracle SQL execute
+back-to-back in one adjacent window. A burst then hits both engines'
+numbers for that query, not one phase wholesale (round-3 lesson:
+all-Spark-then-all-Duck phases let a burst land on one side only).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total mean sec>, "unit": "sec",
-   "queries": {name: mean_sec, ...}, "sf": ...,
-   "queries_min": floors, "queries_build": one-time prepare cost,
-   "duck_queries"/"duck_total"/"ratio_vs_duck": same-window baseline,
-   "prev_delta": {name: {mean, min} - prior BENCH_r*.json}}
+Output contract: prints ONE compact JSON line (metric/value/queries/
+queries_min/duck_queries/ratio only — guaranteed to fit the driver's
+capture limit). Informational detail (per-query build cost, memoized
+prepared-exec timing, deltas vs the prior round, per-phase timestamps)
+goes to the sidecar file ``BENCH_SIDECAR.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -91,20 +89,42 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
     qs = entrymod.queries(prepared=False)
+    oracles = entrymod.oracle_sql()
+
+    # DuckDB baseline connection over the identical parquet inputs.
+    con = None
+    try:
+        import duckdb
+
+        from mmw_geoprocessing_spark.sources.tables import TABLE_NAMES
+
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    except Exception:
+        con = None
+
     results: dict[str, float] = {}
     floors: dict[str, float] = {}
     builds: dict[str, float] = {}
     prepared_exec: dict[str, float] = {}
+    duck_results: dict[str, float] = {}
+    phase_ts: dict[str, dict[str, float]] = {}
+    bench_t0 = time.time()
+
     for name in HEADLINE:
         fn = qs[name]
         # materialize via Arrow (toPandas): the engine's result fast
-        # path, symmetric with DuckDB's native .df()/fetchall — row
-        # collect() pays a py4j per-row tax that is transport, not
-        # query execution (window_running_total: 0.72 s -> 0.28 s)
+        # path, symmetric with DuckDB's native .df() — row collect()
+        # pays a py4j per-row tax that is transport, not query
+        # execution (window_running_total: 0.72 s -> 0.28 s)
         t0 = time.time()
         handle = fn(spark, sf_dir)
         handle.toPandas()  # warm-up: codegen compile + fixture materialization
         builds[name] = round(time.time() - t0, 4)
+        spark_t0 = time.time() - bench_t0
         times = []
         for _ in range(RUNS):
             t0 = time.time()
@@ -112,6 +132,26 @@ def main() -> None:
             times.append(time.time() - t0)
         results[name] = round(sum(times) / len(times), 4)
         floors[name] = round(min(times), 4)
+        # Same-window DuckDB runs of the identical oracle SQL,
+        # IMMEDIATELY after this query's Spark runs (noise-symmetric).
+        duck_t0 = time.time() - bench_t0
+        if con is not None and name in oracles:
+            try:
+                sql = oracles[name]
+                con.execute(sql).df()  # warm-up
+                dtimes = []
+                for _ in range(RUNS):
+                    t0 = time.time()
+                    con.execute(sql).df()
+                    dtimes.append(time.time() - t0)
+                duck_results[name] = round(sum(dtimes) / len(dtimes), 4)
+            except Exception:
+                pass
+        phase_ts[name] = {
+            "spark_start": round(spark_t0, 3),
+            "duck_start": round(duck_t0, 3),
+            "end": round(time.time() - bench_t0, 3),
+        }
         # informational: steady-state re-execution of the warmed handle
         # (prepared-statement serving; upstream shuffle stages reused)
         pe = []
@@ -121,53 +161,24 @@ def main() -> None:
             pe.append(time.time() - t0)
         prepared_exec[name] = round(min(pe), 4)
 
-    total = round(sum(results.values()), 4)
-
-    # Same-window DuckDB baseline on the identical oracle SQL: this box
-    # carries +-2x co-tenant noise bursts, so a Spark total measured in
-    # a loud window vs a DuckDB total measured in a quiet one is not a
-    # comparison. Running both engines back-to-back in one process makes
-    # the ratio noise-symmetric.
-    duck_results: dict[str, float] = {}
-    try:
-        import duckdb
-
-        from mmw_geoprocessing_spark.sources.tables import TABLE_NAMES
-
-        oracles = entrymod.oracle_sql()
-        con = duckdb.connect()
-        for t in TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        for name in HEADLINE:
-            sql = oracles[name]
-            con.execute(sql).df()  # warm-up
-            times = []
-            for _ in range(RUNS):
-                t0 = time.time()
-                con.execute(sql).df()
-                times.append(time.time() - t0)
-            duck_results[name] = round(sum(times) / len(times), 4)
+    if con is not None:
         con.close()
-    except Exception:
-        duck_results = {}
 
+    total = round(sum(results.values()), 4)
     duck_total = round(sum(duck_results.values()), 4) if duck_results else None
 
-    # Regression hygiene: per-query mean/min deltas vs the most recent
-    # recorded round, so burst-hit rows are self-diagnosing (a mean that
-    # regressed while its min held = co-tenant noise, not a plan change).
+    # Regression hygiene vs the most recent recorded round -> sidecar.
     prev_delta: dict[str, dict[str, float]] = {}
     try:
         import glob
 
-        prior = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
         if prior:
             with open(prior[-1]) as f:
-                prev = json.load(f).get("parsed", {})
+                prev = (json.load(f).get("parsed") or {})
             for name in HEADLINE:
-                if name in prev.get("queries", {}):
+                if name in (prev.get("queries") or {}):
                     prev_delta[name] = {
                         "mean": round(results[name] - prev["queries"][name], 4),
                         "min": round(
@@ -177,6 +188,22 @@ def main() -> None:
     except Exception:
         prev_delta = {}
 
+    sidecar = {
+        "queries_build": builds,
+        "queries_prepared_exec": prepared_exec,
+        "prev_delta": prev_delta,
+        "phase_timestamps_sec": phase_ts,
+        "interleaving": "per-query: spark warm+runs then duck warm+runs adjacently",
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"), "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except Exception:
+        pass
+
+    # Compact primary line — the driver-recorded artifact. Keep it lean:
+    # round-3's line was truncated by the capture limit because it
+    # carried every informational dict inline.
     print(
         json.dumps(
             {
@@ -186,24 +213,16 @@ def main() -> None:
                 "queries": results,
                 "sf": sf,
                 "runs": RUNS,
-                # noise floor: this box shows +-2x co-tenant bursts; the
-                # per-query MIN is the reproducible cost (mean stays the
-                # headline per the reference's 5-run protocol)
+                # noise floor: per-query MIN is the reproducible cost
+                # (mean stays the headline per the 5-run protocol)
                 "value_min": round(sum(floors.values()), 4),
                 "queries_min": floors,
-                # one-time warm-up cost per query (codegen compile +
-                # fixture materialization + first execution)
-                "queries_build": builds,
-                # steady-state re-execution of a memoized handle
-                # (prepared-statement serving path; shuffle map stages
-                # reused) — informational, NOT the headline
-                "queries_prepared_exec": prepared_exec,
-                "prev_delta": prev_delta,
-                # same-window DuckDB oracle baseline + noise-symmetric ratio
+                # per-query same-window DuckDB baseline (interleaved)
                 "duck_total": duck_total,
                 "duck_queries": duck_results,
                 "ratio_vs_duck": round(total / duck_total, 3) if duck_total else None,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

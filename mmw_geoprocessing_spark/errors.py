@@ -33,3 +33,10 @@ class MissingStreamLinesError(GeoprocessingError):
 
 class UnknownCRSError(GeoprocessingError):
     """CRS outside {LatLng, WebMercator, ConusAlbers} (Utils.scala:208-213)."""
+
+
+class InvalidZoomError(GeoprocessingError):
+    """Request zoom has no registered layer layout. The reference derives
+    the grid from the tile layer itself (Geoprocessing.scala:219-221), so
+    mask and layer frames can never diverge; serving a zoom whose layer
+    frame is unknown would silently join mismatched pixel keys."""

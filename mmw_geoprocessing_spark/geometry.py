@@ -12,10 +12,14 @@ shapely/pyproj, so:
   ``Rasterizer.foreachCellByMultiPolygon`` (Geoprocessing.scala:356);
 - ``buffer(0)`` regularization is pure-python: a self-crossing
   (invalid) ring is detected by ``ring_is_simple`` and filled by the
-  NONZERO-WINDING rule instead of even-odd — pointwise the region GEOS
-  ``buffer(0)`` resolves a dirty ring to (a bowtie fills both lobes, a
+  NONZERO-WINDING rule instead of even-odd — our pinned repair
+  convention (test-pinned on the bowtie), matching GEOS ``buffer(0)``
+  for positively-wound regions (a bowtie fills both lobes, a
   doubly-wound loop fills once; even-odd would drop the doubly-wound
-  interior). Valid rings keep even-odd, so holes still subtract.
+  interior). GEOS/JTS is orientation- and version-dependent for
+  negatively-wound lobes, so this is a convention, not pointwise
+  ``buffer(0)`` equality. Valid rings keep even-odd, so holes still
+  subtract.
 
 Scan pruning: the AOI bounding box is converted to (key_col, key_row)
 ranges *before* the scan — the Spark analogue of the reference's
@@ -205,9 +209,13 @@ def rasterize_polygons(
 
     all_rings = [ring for poly in poly_rings for ring in poly]
     # winding-repair flags: an invalid (self-crossing) ring fills by the
-    # NONZERO-WINDING rule — the region GEOS buffer(0) resolves a dirty
-    # ring to (bowtie -> both lobes, winding ±1; doubly-wound ring ->
-    # filled once, winding ±2) — while valid rings keep even-odd.
+    # NONZERO-WINDING rule — OUR pinned repair convention (test-pinned
+    # on the bowtie), matching GEOS buffer(0) for positively-wound
+    # regions (bowtie -> both lobes, winding ±1; doubly-wound ring ->
+    # filled once, winding ±2). GEOS itself is orientation- and
+    # version-dependent for negatively-wound lobes, so this is a
+    # convention, not pointwise buffer(0) equality. Valid rings keep
+    # even-odd.
     poly_simple = [[ring_is_simple(ring) for ring in poly] for poly in poly_rings]
 
     def contains_batch(batches: Iterator) -> Iterator:

@@ -93,6 +93,20 @@ class GeoprocessingServer:
         self.spark = spark
         self.request_timeout_sec = request_timeout_sec
         self.max_body_bytes = max_body_bytes
+        # Per-request setJobGroup/cancelJobGroup isolation relies on
+        # PySpark pinned-thread mode (each Python thread pinned to its
+        # own JVM thread; default ON since Spark 3.2). With it disabled,
+        # pool threads share JVM thread-locals and a timeout cancel
+        # could kill a CONCURRENT request's jobs — refuse to start.
+        import os as _os
+
+        if _os.environ.get("PYSPARK_PIN_THREAD", "true").lower() in ("false", "0", "no"):
+            raise RuntimeError(
+                "GeoprocessingServer requires PySpark pinned-thread mode "
+                "(PYSPARK_PIN_THREAD must not be disabled): per-request "
+                "job-group cancellation is only thread-isolated when each "
+                "Python worker thread maps to its own JVM thread"
+            )
         self._pool = ThreadPoolExecutor(max_workers=8)
         outer = self
 
@@ -158,7 +172,18 @@ class GeoprocessingServer:
                 def task():
                     sc = outer.spark.sparkContext
                     sc.setJobGroup(gid, f"http {self.path}", interruptOnCancel=True)
-                    return runner(outer.spark, model)
+                    try:
+                        return runner(outer.spark, model)
+                    finally:
+                        # clear the group so the pool thread's next
+                        # request never inherits a stale group id (a
+                        # later cancel of THIS gid must not touch it)
+                        try:
+                            sc.setLocalProperty("spark.jobGroup.id", None)
+                            sc.setLocalProperty("spark.job.description", None)
+                            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+                        except Exception:
+                            pass
 
                 fut = outer._pool.submit(task)
                 try:

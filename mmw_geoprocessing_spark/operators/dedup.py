@@ -75,8 +75,13 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
 # persisted DataFrame per distinct input (instead of persist()-ing a
 # fresh copy per call, which leaked one cached table per invocation
 # into executor storage) gives it the same session-scoped lifetime as
-# sources.fixtures._FIXTURE_CACHE.
-_SHINGLE_CACHE: dict[tuple[int, int], DataFrame] = {}
+# sources.fixtures._FIXTURE_CACHE. Bounded LRU: long-lived sessions
+# processing many distinct corpora evict (and unpersist) the oldest
+# entry rather than accumulating persisted tables unboundedly.
+from collections import OrderedDict
+
+_SHINGLE_CACHE: OrderedDict[tuple[int, int], DataFrame] = OrderedDict()
+_SHINGLE_CACHE_MAX = 8
 
 
 def _shingles_persisted(documents: DataFrame) -> DataFrame:
@@ -85,11 +90,34 @@ def _shingles_persisted(documents: DataFrame) -> DataFrame:
             id(documents.sparkSession),
             documents._jdf.queryExecution().analyzed().semanticHash(),
         )
-    except Exception:  # defensive: fall back to per-object identity
-        key = (id(documents.sparkSession), id(documents))
-    if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = _doc_shingles(documents).persist()
+    except Exception:
+        # No stable identity for this plan -> do NOT cache (an id()-based
+        # key can collide after GC id reuse and would leak a persisted
+        # table per call). The caller still gets correct results; the
+        # plan's branches just recompute shingles.
+        return _doc_shingles(documents)
+    if key in _SHINGLE_CACHE:
+        _SHINGLE_CACHE.move_to_end(key)
+        return _SHINGLE_CACHE[key]
+    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+        _, evicted = _SHINGLE_CACHE.popitem(last=False)
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:
+            pass
+    _SHINGLE_CACHE[key] = _doc_shingles(documents).persist()
     return _SHINGLE_CACHE[key]
+
+
+def clear_shingle_cache() -> None:
+    """Explicit invalidate hook: unpersist and drop every cached shingle
+    table (e.g. between corpora in a long-lived service session)."""
+    while _SHINGLE_CACHE:
+        _, df = _SHINGLE_CACHE.popitem(last=False)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -14,6 +14,7 @@ from pyspark.sql import SparkSession
 from mmw_geoprocessing_spark import geometry, projection
 from mmw_geoprocessing_spark.errors import (
     InvalidOperationError,
+    InvalidZoomError,
     MissingStreamLinesError,
     MissingTargetRasterError,
     MissingVectorError,
@@ -44,10 +45,21 @@ def _aoi_polys(input_data: InputData):
 
 
 def _layout(input_data: InputData):
-    # explicit layout wins; else the request zoom picks the frame
-    # (reference: zoom selects the tile layer and thus the grid,
-    # scripts/benchmark-mapshed:31-34)
-    return input_data.layout or geometry.layout_for_zoom(input_data.zoom)
+    # Explicit layout wins (caller vouches it matches its layers); else
+    # the request zoom must resolve to a REGISTERED layer layout. The
+    # reference derives the grid from the tile layer itself
+    # (Geoprocessing.scala:219-221), so mask and layer frames cannot
+    # diverge; rasterizing a mask in the raw pyramid formula's frame
+    # while fixture layers are keyed in the zoom-0 frame would join
+    # mismatched pixel keys and return silently wrong counts.
+    if input_data.layout:
+        return input_data.layout
+    if input_data.zoom not in geometry.ZOOM_LAYOUTS:
+        raise InvalidZoomError(
+            f"zoom {input_data.zoom} has no registered layer layout; "
+            f"registered zooms: {sorted(geometry.ZOOM_LAYOUTS)}"
+        )
+    return geometry.ZOOM_LAYOUTS[input_data.zoom]
 
 
 def _mask(spark: SparkSession, input_data: InputData):

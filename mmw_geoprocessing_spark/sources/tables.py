@@ -60,25 +60,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _TABLE_CACHE[key]
 
 
-# (session id, sf_dir) already registered — registering temp views and
-# re-pointing the fixture dir per query call is pure catalog churn.
-_VIEWS_REGISTERED: set[tuple[int, str]] = set()
+# session id -> sf_dir whose views are CURRENTLY registered. Temp views
+# are global per session name, so the memo must track the LAST registered
+# dir, not an "ever registered" set: alternating sf dirs (A, B, A) must
+# re-register A's views or spark.sql plans silently read B's data.
+_VIEWS_LAST: dict[int, str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (for spark.sql plans).
 
-    Idempotent and memoized per (session, sf_dir): repeated calls from
-    query wrappers are no-ops after the first."""
+    Memoized on the session's last-registered sf_dir: repeated calls for
+    the same dir are no-ops; a different dir re-registers every view so
+    the session's views always match the active fixture dir."""
     from mmw_geoprocessing_spark.sources import fixtures
 
     dfs = load_tables(spark, sf_dir)
-    key = (id(spark), sf_dir)
-    if key in _VIEWS_REGISTERED:
+    if _VIEWS_LAST.get(id(spark)) == sf_dir:
         fixtures.set_active_dir(sf_dir, spark)
         return dfs
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     fixtures.set_active_dir(sf_dir, spark)
-    _VIEWS_REGISTERED.add(key)
+    _VIEWS_LAST[id(spark)] = sf_dir
     return dfs

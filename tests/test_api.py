@@ -250,15 +250,20 @@ def test_multi_geojson_rejects_unknown_raster_crs(spark, tables):
 
 
 def test_run_zoom_selects_grid_layout(spark, tables):
-    """Two /run requests differing only in zoom rasterize the same
-    GeoJSON AOI onto DIFFERENT grids (reference: zoom picks the tile
-    layer and its layout, scripts/benchmark-mapshed:31-34). Zoom 0 is
-    the unit-cell fixture frame; zoom 12 is the 512-tile pyramid frame
-    with 60 m cells, so a 64x64-unit square covers 64*64 cells at zoom 0
-    but exactly one cell at zoom 12."""
+    """Zoom resolves to a REGISTERED layer layout only (the reference
+    derives the grid from the tile layer, Geoprocessing.scala:219-221):
+    zoom 0 rasterizes in the fixture frame; a zoom with no registered
+    layer (12) is a typed 400 — the fixture rasters are keyed in the
+    zoom-0 frame, so serving a pyramid-frame mask against them would
+    join mismatched pixel keys and return silently wrong counts. The
+    pyramid formula itself stays available for deployments that DO
+    register multi-zoom layers (explicit layout= or ZOOM_LAYOUTS)."""
     import json
 
+    import pytest
+
     from mmw_geoprocessing_spark import geometry
+    from mmw_geoprocessing_spark.errors import InvalidZoomError
     from mmw_geoprocessing_spark.plans.api import _mask
 
     shape = json.dumps(
@@ -277,11 +282,25 @@ def test_run_zoom_selects_grid_layout(spark, tables):
         )
 
     assert mask_at(0).count() == 64 * 64
-    assert mask_at(12).count() == 1
+    with pytest.raises(InvalidZoomError):
+        mask_at(12)
 
+    # The pyramid formula (512-tile, 30 m @ z13, doubling per step down)
+    # still drives explicit-layout rasterization: a registered zoom-12
+    # layer would see the 64x64-unit square as exactly one 60 m cell.
     lay12 = geometry.layout_for_zoom(12)
     assert lay12.tile_size == 512 and lay12.cellsize == 60.0
     assert geometry.layout_for_zoom(0) is geometry.DEFAULT_LAYOUT
+    polys = geometry.parse_multipolygon(shape)
+    assert geometry.rasterize_polygons(spark, polys, layout=lay12).count() == 1
+
+    # Registering the layer layout makes the zoom servable (deployment
+    # extension point, geometry.py ZOOM_LAYOUTS).
+    geometry.ZOOM_LAYOUTS[12] = lay12
+    try:
+        assert mask_at(12).count() == 1
+    finally:
+        del geometry.ZOOM_LAYOUTS[12]
 
 
 def test_lines_join_geometric_clip_boundary_cell(spark, tables):
