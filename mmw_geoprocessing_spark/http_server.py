@@ -82,6 +82,31 @@ class GeoprocessingServer:
     job submission (each request becomes independent Spark jobs).
     """
 
+    @staticmethod
+    def _pinned_thread_mode(spark: SparkSession) -> bool:
+        """True iff the RUNNING context launched its JVM gateway in
+        pinned-thread mode. py4j's ClientServer is the pinned transport
+        (one JVM thread per Python thread); JavaGateway is the legacy
+        shared-thread transport. Falls back to env var + version when the
+        gateway is not observable (e.g. Spark Connect has no gateway and
+        no shared JVM thread-locals, so pinning is moot -> True)."""
+        try:
+            gateway = spark.sparkContext._gateway
+        except Exception:
+            return True
+        try:
+            from py4j.clientserver import ClientServer
+
+            return isinstance(gateway, ClientServer)
+        except Exception:
+            import os as _os
+
+            env = _os.environ.get("PYSPARK_PIN_THREAD")
+            if env is not None:
+                return env.lower() not in ("false", "0", "no")
+            major, minor = (int(x) for x in spark.version.split(".")[:2])
+            return (major, minor) >= (3, 2)
+
     def __init__(
         self,
         spark: SparkSession,
@@ -98,12 +123,16 @@ class GeoprocessingServer:
         # own JVM thread; default ON since Spark 3.2). With it disabled,
         # pool threads share JVM thread-locals and a timeout cancel
         # could kill a CONCURRENT request's jobs — refuse to start.
-        import os as _os
-
-        if _os.environ.get("PYSPARK_PIN_THREAD", "true").lower() in ("false", "0", "no"):
+        # The mode is fixed when the SparkContext's JVM gateway launches,
+        # so probe the LIVE gateway (pinned mode uses py4j's ClientServer;
+        # legacy mode uses JavaGateway) rather than trusting the env var,
+        # which may have changed since context creation and whose unset
+        # default is only ON for Spark >= 3.2.
+        if not self._pinned_thread_mode(spark):
             raise RuntimeError(
                 "GeoprocessingServer requires PySpark pinned-thread mode "
-                "(PYSPARK_PIN_THREAD must not be disabled): per-request "
+                "(set PYSPARK_PIN_THREAD=true BEFORE SparkContext creation; "
+                "its default is ON only for Spark >= 3.2): per-request "
                 "job-group cancellation is only thread-isolated when each "
                 "Python worker thread maps to its own JVM thread"
             )

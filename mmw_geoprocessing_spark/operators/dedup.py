@@ -78,10 +78,15 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
 # sources.fixtures._FIXTURE_CACHE. Bounded LRU: long-lived sessions
 # processing many distinct corpora evict (and unpersist) the oldest
 # entry rather than accumulating persisted tables unboundedly.
+import threading
 from collections import OrderedDict
 
 _SHINGLE_CACHE: OrderedDict[tuple[int, int], DataFrame] = OrderedDict()
 _SHINGLE_CACHE_MAX = 8
+# Eviction makes the LRU a mutating structure: without a lock, a
+# concurrent popitem between another thread's membership check and its
+# lookup raises KeyError, and racing inserts double-persist one plan.
+_SHINGLE_CACHE_LOCK = threading.Lock()
 
 
 def _shingles_persisted(documents: DataFrame) -> DataFrame:
@@ -96,24 +101,31 @@ def _shingles_persisted(documents: DataFrame) -> DataFrame:
         # table per call). The caller still gets correct results; the
         # plan's branches just recompute shingles.
         return _doc_shingles(documents)
-    if key in _SHINGLE_CACHE:
-        _SHINGLE_CACHE.move_to_end(key)
-        return _SHINGLE_CACHE[key]
-    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-        _, evicted = _SHINGLE_CACHE.popitem(last=False)
+    with _SHINGLE_CACHE_LOCK:
+        cached = _SHINGLE_CACHE.get(key)
+        if cached is not None:
+            _SHINGLE_CACHE.move_to_end(key)
+            return cached
+        evicted = []
+        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            evicted.append(_SHINGLE_CACHE.popitem(last=False)[1])
+        df = _doc_shingles(documents).persist()
+        _SHINGLE_CACHE[key] = df
+    for old in evicted:
         try:
-            evicted.unpersist(blocking=False)
+            old.unpersist(blocking=False)
         except Exception:
             pass
-    _SHINGLE_CACHE[key] = _doc_shingles(documents).persist()
-    return _SHINGLE_CACHE[key]
+    return df
 
 
 def clear_shingle_cache() -> None:
     """Explicit invalidate hook: unpersist and drop every cached shingle
     table (e.g. between corpora in a long-lived service session)."""
-    while _SHINGLE_CACHE:
-        _, df = _SHINGLE_CACHE.popitem(last=False)
+    with _SHINGLE_CACHE_LOCK:
+        dropped = list(_SHINGLE_CACHE.values())
+        _SHINGLE_CACHE.clear()
+    for df in dropped:
         try:
             df.unpersist(blocking=False)
         except Exception:

@@ -207,6 +207,10 @@ def with_fixtures(body: str, *names: str, extra_ctes: str = "") -> str:
 # (Geoprocessing.scala:28-37, CHANGELOG.md:82-91).
 _FIXTURE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _ACTIVE_DIR: dict[int, str] = {}
+# session id -> (SparkSession, conf value before bucketed mode flipped
+# autoBucketedScan off). Restored by clear_fixture_cache() so leaving
+# bucketed-fixture mode never strands a session-wide conf change.
+_SAVED_AUTO_BUCKETED: dict[int, tuple[SparkSession, str | None]] = {}
 
 
 def set_active_dir(sf_dir: str, spark: SparkSession | None = None) -> None:
@@ -280,10 +284,17 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
             # the bucketed tables only stay Exchange-free while
             # autoBucketedScan is off, so the conf is part of the mode's
             # contract — set here, visibly, when the mode is entered, not
-            # as a hidden side effect of one table read.
-            spark.conf.set(
-                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-            )
+            # as a hidden side effect of one table read. The pre-mode
+            # value is saved (once per session) and restored by
+            # clear_fixture_cache() when the mode is exited.
+            conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            if id(spark) not in _SAVED_AUTO_BUCKETED:
+                try:
+                    prior = spark.conf.get(conf_key)
+                except Exception:
+                    prior = None
+                _SAVED_AUTO_BUCKETED[id(spark)] = (spark, prior)
+            spark.conf.set(conf_key, "false")
             df = _bucketed_fixture(spark, name, sf_dir)
         else:
             df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()
@@ -293,8 +304,22 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
 
 def clear_fixture_cache() -> None:
     """Drop memoized fixture DataFrames (used when switching between the
-    localCheckpoint and bucketed materialization modes in one process)."""
+    localCheckpoint and bucketed materialization modes in one process)
+    and restore any session conf the bucketed mode changed
+    (autoBucketedScan), so exiting the mode leaves each session exactly
+    as it was found."""
     _FIXTURE_CACHE.clear()
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    while _SAVED_AUTO_BUCKETED:
+        _, (spark, prior) = _SAVED_AUTO_BUCKETED.popitem()
+        try:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        except Exception:
+            # session already stopped — nothing to restore
+            pass
 
 
 def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:

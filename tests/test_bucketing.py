@@ -73,6 +73,25 @@ def test_unbucketed_join_needs_exchange_control(spark, tables):
     assert "Exchange" in plan
 
 
+def test_bucketed_mode_flip_restores_auto_bucketed_scan_conf(spark, tables, monkeypatch):
+    """Entering bucketed-fixture mode flips autoBucketedScan off for the
+    session; clear_fixture_cache() must restore the pre-mode value, so a
+    long-lived session that toggles modes is left exactly as found."""
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(conf_key, "true")
+    fx.clear_fixture_cache()  # fresh mode state
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+    try:
+        fx.raster_df(spark, "nlcd")  # enters bucketed mode -> conf off
+        assert spark.conf.get(conf_key) == "false"
+        fx.clear_fixture_cache()  # exits mode -> conf restored
+        assert spark.conf.get(conf_key) == "true"
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BUCKETED_FIXTURES", raising=False)
+        fx.clear_fixture_cache()
+        spark.conf.unset(conf_key)
+
+
 def test_bucketed_aggregation_avoids_exchange_on_bucket_keys(spark, bucketed_tables):
     """Aggregation grouped by the full bucket key also plans without a
     shuffle (map-side-complete aggregation over co-located buckets)."""
