@@ -1,0 +1,118 @@
+"""External partitioned layer-catalog reader (sources/catalog.py).
+
+Pins the production-source contract: a ``layer=/key_col=/key_row=``
+parquet directory reads back into zonal-compatible pixel tables, an
+AOI bbox becomes PARTITION pruning (PartitionFilters in the scan, the
+Spark analogue of the reference's Intersects() pushdown,
+Utils.scala:241-248), and catalog-fed zonal queries agree exactly with
+the fixture-fed ones.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import zonal
+from mmw_geoprocessing_spark.sources import catalog, fixtures as fx
+
+CATALOG_ROOT = "/tmp/spark_graft_layer_catalog"
+
+
+@pytest.fixture(scope="module")
+def layer_catalog(spark, tables):
+    """Write the nlcd + soil fixture pixel tables into a real partitioned
+    catalog directory, as a deployment's ingest job would."""
+    shutil.rmtree(CATALOG_ROOT, ignore_errors=True)
+    for rid in ("nlcd", "soil"):
+        catalog.write_layer(fx.raster_df(spark, rid), CATALOG_ROOT, rid)
+    yield CATALOG_ROOT
+    shutil.rmtree(CATALOG_ROOT, ignore_errors=True)
+
+
+def _scan_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_catalog_roundtrip_matches_fixture(spark, layer_catalog):
+    """Unpruned read returns exactly the written pixel set."""
+    got = catalog.read_layer(spark, layer_catalog, "nlcd")
+    want = fx.raster_df(spark, "nlcd")
+    assert got.columns == ["key_col", "key_row", "cell_col", "cell_row", "value"]
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bbox_read_has_partition_filters(spark, layer_catalog):
+    """The key-window predicates must land in PartitionFilters (directory
+    pruning), NOT as data filters evaluated per row."""
+    df = catalog.read_layer(spark, layer_catalog, "nlcd", key_bounds=(2, 5, 0, 1))
+    plan = _scan_plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    for frag in ("key_col", "key_row"):
+        assert frag in pf, pf
+    # the window predicates are partition-level: no key_col/key_row in
+    # the post-scan Filter over data columns
+    assert df.count() > 0
+    vals = df.select(
+        F.min("key_col"), F.max("key_col"), F.min("key_row"), F.max("key_row")
+    ).first()
+    assert vals[0] >= 2 and vals[1] <= 5 and vals[2] >= 0 and vals[3] <= 1
+
+
+def test_bbox_read_prunes_discovery_paths(spark, layer_catalog):
+    """Driver-side key_col pruning: out-of-range key_col subtrees are not
+    even handed to partition discovery."""
+    paths = catalog._pruned_layer_paths(layer_catalog, "nlcd", (2, 5, 0, 0))
+    assert len(paths) == 4
+    assert all(f"key_col={c}" in p for c, p in zip((2, 3, 4, 5), paths))
+    # fully out-of-range window -> no paths -> empty, schema-stable DF
+    empty = catalog.read_layer(spark, layer_catalog, "nlcd", key_bounds=(999, 1000, 0, 0))
+    assert empty.count() == 0
+    assert empty.columns == ["key_col", "key_row", "cell_col", "cell_row", "value"]
+
+
+def test_key_bounds_for_polys_matches_rasterize_window(spark):
+    """Bounds derivation agrees with the rasterizer's candidate window."""
+    # unit-cell fixture layout: tile size 8 -> a polygon spanning
+    # x in [3, 20], y in [9, 17] touches key_col 0..2, key_row 1..2
+    polys = [[[(3.0, 9.0), (20.0, 9.0), (20.0, 17.0), (3.0, 17.0), (3.0, 9.0)]]]
+    assert catalog.key_bounds_for_polys(polys) == (0, 2, 1, 2)
+
+
+def test_catalog_fed_zonal_query_matches_fixture_fed(spark, layer_catalog, tables):
+    """RasterGroupedCount over catalog-read layers == over fixtures: the
+    catalog is a drop-in production source for every zonal operator."""
+    mask = fx.mask_df(spark, "huc8_01")
+    from_fixtures = zonal.raster_grouped_count(
+        [fx.raster_df(spark, "nlcd"), fx.raster_df(spark, "soil")], mask
+    )
+    # AOI covers the whole fixture grid -> bounds from the mask extent
+    ext = mask.select(F.max("key_col"), F.max("key_row")).first()
+    layers = [
+        catalog.read_layer(spark, layer_catalog, rid, key_bounds=(0, ext[0], 0, ext[1]))
+        for rid in ("nlcd", "soil")
+    ]
+    from_catalog = zonal.raster_grouped_count(layers, mask)
+    a = {(r["list_key"]): r["cnt"] for r in from_fixtures.collect()}
+    b = {(r["list_key"]): r["cnt"] for r in from_catalog.collect()}
+    assert a == b
+
+
+def test_read_layers_for_aoi_dedups_and_prunes(spark, layer_catalog):
+    """U2/U3 parity: duplicate layer ids are one read; AOI polys derive
+    the pruning window."""
+    polys = [[[(0.0, 0.0), (15.0, 0.0), (15.0, 15.0), (0.0, 15.0), (0.0, 0.0)]]]
+    layers = catalog.read_layers_for_aoi(
+        spark, layer_catalog, ["nlcd", "soil", "nlcd"], polys
+    )
+    assert len(layers) == 3
+    assert layers[0] is layers[2]  # memoized, fetched once
+    plan = _scan_plan(layers[0])
+    assert "PartitionFilters" in plan
+    ext = layers[0].select(F.max("key_col"), F.max("key_row")).first()
+    assert ext[0] <= 1 and ext[1] <= 1
