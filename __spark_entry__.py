@@ -51,7 +51,10 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_neardup(_t(s, d)["documents"]),
     "dedup_simhash_neardup": lambda s, d: dd.simhash_neardup(_t(s, d)["documents"]),
     "similarity_cosine_topk": lambda s, d: sim.cosine_topk(_t(s, d)["embeddings"]),
-    "similarity_cosine_neardup": lambda s, d: sim.cosine_neardup(_t(s, d)["embeddings"]),
+    # registered plan is the banded-LSH candidate-then-verify shape (the
+    # scale path); the exact all-pairs cosine_neardup stays as the lib
+    # oracle baseline (tests assert subset + recall)
+    "similarity_cosine_neardup": lambda s, d: sim.cosine_neardup_lsh(_t(s, d)["embeddings"]),
     "similarity_ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_t(s, d)["embeddings"]),
     "similarity_ann_ivf_topk": lambda s, d: sim.ann_ivf_topk(_t(s, d)["embeddings"]),
     "text_token_counts": lambda s, d: ta.token_counts(_t(s, d)["documents"]),
@@ -68,7 +71,7 @@ _LLM_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": dd.minhash_lsh_neardup_sql(),
     "dedup_simhash_neardup": dd.simhash_neardup_sql(),
     "similarity_cosine_topk": sim.cosine_topk_sql(),
-    "similarity_cosine_neardup": sim.cosine_neardup_sql(),
+    "similarity_cosine_neardup": sim.cosine_neardup_lsh_sql(),
     "similarity_ann_lsh_topk": sim.ann_lsh_topk_sql(),
     "similarity_ann_ivf_topk": sim.ann_ivf_topk_sql(),
     "text_token_counts": ta.token_counts_sql(),

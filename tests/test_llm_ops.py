@@ -80,6 +80,48 @@ def test_ann_lsh_is_subset_of_corpus(spark, tables):
     assert rows and all(r["rank"] <= 3 for r in rows)
 
 
+def test_ann_lsh_topk_recall_vs_brute_force(spark, tables):
+    """Banded-LSH top-k quality gate (the 16x4 calibration in the
+    docstring): recall >= 0.85 vs brute force on the fixture corpus."""
+    emb = tables["embeddings"]
+    truth = {(r["q_id"], r["vec_id"]) for r in sim.cosine_topk(emb).collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in sim.ann_lsh_topk(emb).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"banded-LSH topk recall {recall:.3f} < 0.85"
+
+
+def test_cosine_neardup_lsh_subset_recall_and_plan_shape(spark, tables):
+    """The registered neardup is banded-LSH candidate-then-verify: its
+    pairs must be a strict SUBSET of the exact all-pairs result
+    (precision 1.0), recall the calibrated >=0.9 on the fixture corpus,
+    and the physical plan must contain NO cross product — candidates
+    come from an equi-join on (band, band_key)."""
+    emb = tables["embeddings"]
+    lsh_df = sim.cosine_neardup_lsh(emb)
+    got = {(r["v1"], r["v2"]): r["cosine"] for r in lsh_df.collect()}
+    exact = {(r["v1"], r["v2"]): r["cosine"] for r in sim.cosine_neardup(emb).collect()}
+    assert set(got) <= set(exact)
+    for pair, c in got.items():
+        assert c == exact[pair]  # verification is exact, not approximate
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"banded-LSH recall {recall:.3f} < 0.9"
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_planes_are_distinct_and_balanced():
+    """Regression pin for the round-4 parity bug: the Knuth-low-bit
+    derivation made EVERY hyperplane identical (bucket structures
+    collapsed to 2 effective buckets). md5-derived signs must give all
+    distinct, roughly balanced planes."""
+    planes = sim._neardup_planes()
+    assert len({tuple(p) for p in planes}) == len(planes)
+    for p in planes:
+        pos = sum(1 for c in p if c > 0)
+        assert 16 <= pos <= 48  # not degenerate
+
+
 def test_quality_scores_ranges(spark, tables):
     rows = ta.quality_scores(tables["documents"]).collect()
     for r in rows:
