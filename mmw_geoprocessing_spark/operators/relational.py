@@ -19,9 +19,22 @@ and a BIGINT sum is exact and order-independent. The final
 This replaces the round-2 DECIMAL(18,6) sums: Spark's decimal
 accumulator is a boxed-BigDecimal path ~4x slower than primitive long
 adds, while DuckDB uses int128 natively — BIGINT cents puts both
-engines on their integer fast path. Overflow headroom: sum(charge)*10^6
-is ~2.3e16 at sf0.1 and ~2.3e18 at sf10 vs the 9.2e18 BIGINT limit; at
-sf100+ switch the scale-10^6 sums back to DECIMAL or pre-aggregate.
+engines on their integer fast path.
+
+Overflow guard (automatic): sum(charge)*10^6 is ~3.1e16 at sf0.1 and
+crosses the 9.2e18 BIGINT limit around sf30 — a silent wraparound,
+since the accumulator is a primitive long. ``_sum_money`` therefore
+inspects the SOURCE DataFrame's optimized-plan size estimate at plan
+build time (no action) and switches the ACCUMULATOR to DECIMAL(38,0)
+— per-row arithmetic stays the identical double->round->BIGINT cents,
+so the summed integer (hence the final double) is bit-identical on
+both paths and the DuckDB oracle (whose BIGINT sums always widen to
+int128) never needs to know which path Spark chose. The flip is
+deliberately early (see ``_MONEY_GUARD`` constants: bytes-derived row
+overestimate x a generous per-row money bound, ~30x before actual
+overflow, around sf1 for the 10^6-scale sums): the cost is the 4x
+slower decimal accumulator on data already far past the sub-second
+regime, the payoff is that no configuration reaches the wrap.
 
 Scale notes:
 - Dimension joins (region/nation/customer) are broadcast-size by
@@ -51,9 +64,44 @@ def _cents(col: F.Column, scale: int) -> F.Column:
     return F.round(col * F.lit(float(scale))).cast("bigint")
 
 
-def _sum_money(col: F.Column, scale: int) -> F.Column:
-    """Order-independent exact money sum: BIGINT cents, back to double."""
-    return F.sum(_cents(col, scale)).cast("double") / F.lit(float(scale))
+# Overflow-guard constants (documented worst-case bounds, not tuning):
+# - rows are overestimated as sizeInBytes / 4 (lineitem parquet rows
+#   compress to ~18 bytes, so this overestimates ~4.5x);
+# - |money expression| per row is bounded by 2e5 (TPC-H charge maxes
+#   at ~1.2e5);
+# - SAFETY 2 halves the usable BIGINT range.
+# Flip condition: est_rows * 2e5 * scale > (2^63-1) / 2.
+_MONEY_GUARD = {"min_row_bytes": 4, "row_bound": 2.0e5, "safety": 2.0}
+_BIGINT_MAX = (1 << 63) - 1
+
+
+def _est_source_rows(source: DataFrame) -> float:
+    """Upper-bound row estimate from Catalyst plan statistics — available
+    at plan build time with NO action (parquet scans report file bytes)."""
+    try:
+        size = float(source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return float("inf")  # unknown stats -> assume huge (safe path)
+    return size / _MONEY_GUARD["min_row_bytes"]
+
+
+def money_sum_overflow_possible(source: DataFrame, scale: int) -> bool:
+    """True when the BIGINT-cents accumulator cannot be proven safe for
+    summing a scale-``scale`` money expression over ``source``."""
+    bound = _est_source_rows(source) * _MONEY_GUARD["row_bound"] * scale
+    return bound > _BIGINT_MAX / _MONEY_GUARD["safety"]
+
+
+def _sum_money(col: F.Column, scale: int, source: DataFrame | None = None) -> F.Column:
+    """Order-independent exact money sum: BIGINT cents, back to double.
+
+    With ``source`` given, the accumulator auto-widens to DECIMAL(38,0)
+    when the plan-statistics bound says the BIGINT sum could wrap (see
+    module docstring) — same per-row integers, same final double."""
+    cents = _cents(col, scale)
+    if source is not None and money_sum_overflow_possible(source, scale):
+        cents = cents.cast("decimal(38,0)")
+    return F.sum(cents).cast("double") / F.lit(float(scale))
 
 
 def sum_money_sql(expr: str, scale: int) -> str:
@@ -82,12 +130,12 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _sum_money(F.col("l_quantity"), 100).alias("sum_qty"),
-            _sum_money(F.col("l_extendedprice"), 100).alias("sum_base_price"),
-            _sum_money(disc_price, 10000).alias("sum_disc_price"),
-            _sum_money(charge, 1000000).alias("sum_charge"),
-            (_sum_money(F.col("l_quantity"), 100) / F.count(F.lit(1))).alias("avg_qty"),
-            (_sum_money(F.col("l_extendedprice"), 100) / F.count(F.lit(1))).alias("avg_price"),
+            _sum_money(F.col("l_quantity"), 100, lineitem).alias("sum_qty"),
+            _sum_money(F.col("l_extendedprice"), 100, lineitem).alias("sum_base_price"),
+            _sum_money(disc_price, 10000, lineitem).alias("sum_disc_price"),
+            _sum_money(charge, 1000000, lineitem).alias("sum_charge"),
+            (_sum_money(F.col("l_quantity"), 100, lineitem) / F.count(F.lit(1))).alias("avg_qty"),
+            (_sum_money(F.col("l_extendedprice"), 100, lineitem) / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -127,13 +175,18 @@ def top_customers_by_revenue(
     integers, so sum-of-partial-sums is bit-identical to the flat sum
     (the oracle SQL keeps the flat join shape and must hash-match)."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev_per_order = lineitem.groupBy("l_orderkey").agg(
-        F.sum(_cents(rev, 10000)).alias("rev_cents")
-    )
+    # same overflow guard as _sum_money: per-order partials stay BIGINT
+    # (bounded by one order's lineitems), but their TOTAL across orders
+    # reaches the same magnitude as the flat sum — widen the upper level
+    # when plan stats can't prove the BIGINT range safe
+    wide = money_sum_overflow_possible(lineitem, 10000)
+    partial = F.sum(_cents(rev, 10000)).alias("rev_cents")
+    rev_per_order = lineitem.groupBy("l_orderkey").agg(partial)
+    upper = F.col("rev_cents").cast("decimal(38,0)") if wide else F.col("rev_cents")
     per_cust = (
         rev_per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("rev_cents").alias("rev_cents"))
+        .agg(F.sum(upper).alias("rev_cents"))
     )
     return (
         per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -176,7 +229,7 @@ def revenue_by_region(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(_sum_money(rev, 10000).alias("revenue"))
+        .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
     )
 
 

@@ -25,7 +25,7 @@ def q3_shipping_priority(
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_sum_money(rev, 10000).alias("revenue"))
+        .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -66,7 +66,7 @@ def q5_local_supplier_volume(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == region_name)
         .groupBy("n_name")
-        .agg(_sum_money(rev, 10000).alias("revenue"))
+        .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
     )
 
 
