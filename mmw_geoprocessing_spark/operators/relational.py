@@ -167,26 +167,30 @@ def top_customers_by_revenue(
     """Join + aggregate + top-k. orderBy().limit(k) plans
     TakeOrderedAndProject — per-partition k-row heaps, no global sort.
 
-    Partial aggregation is pushed BELOW the join (Catalyst does not do
-    this rewrite itself): revenue cents are pre-summed per l_orderkey,
-    so the orders join shuffles ~#orders narrow rows instead of the full
-    ~4x-wider lineitem fact, and the customer dim joins broadcast onto
-    an already-aggregated per-custkey table. BIGINT-cents sums are exact
-    integers, so sum-of-partial-sums is bit-identical to the flat sum
-    (the oracle SQL keeps the flat join shape and must hash-match)."""
+    Plan shape (round-5 crossover measurement, BASELINE.md): project
+    lineitem to (orderkey, revenue-cents) and orders to (orderkey,
+    custkey) BEFORE the join — both sides narrow, so Catalyst
+    auto-broadcasts the orders projection under the threshold (and
+    degrades to a shuffle join above it, the right call at 100 TB) —
+    then ONE aggregation directly on custkey whose map-side partial
+    collapses lineitems before the only required shuffle. This beat the
+    previous two-level (pre-agg per orderkey, join, re-agg) plan 21% at
+    sf0.1 and 13% at sf1~: one hash-aggregation pass and one shuffle
+    fewer. BIGINT-cents sums are exact integers, so any grouping order
+    is bit-identical to the oracle's flat join+agg; the accumulator
+    widens to DECIMAL(38,0) under the module's overflow guard."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # same overflow guard as _sum_money: per-order partials stay BIGINT
-    # (bounded by one order's lineitems), but their TOTAL across orders
-    # reaches the same magnitude as the flat sum — widen the upper level
-    # when plan stats can't prove the BIGINT range safe
-    wide = money_sum_overflow_possible(lineitem, 10000)
-    partial = F.sum(_cents(rev, 10000)).alias("rev_cents")
-    rev_per_order = lineitem.groupBy("l_orderkey").agg(partial)
-    upper = F.col("rev_cents").cast("decimal(38,0)") if wide else F.col("rev_cents")
+    cents = _cents(rev, 10000)
+    if money_sum_overflow_possible(lineitem, 10000):
+        cents = cents.cast("decimal(38,0)")
     per_cust = (
-        rev_per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.select("l_orderkey", cents.alias("rc"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("o_custkey")
-        .agg(F.sum(upper).alias("rev_cents"))
+        .agg(F.sum("rc").alias("rev_cents"))
     )
     return (
         per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
