@@ -90,7 +90,23 @@ ZOOM_TILE_SIZE = 512
 ZOOM_NATIVE = 13  # the reference's 30 m NLCD native level
 ZOOM_NATIVE_CELLSIZE = 30.0
 
-ZOOM_LAYOUTS: dict[int, GridLayout] = {0: DEFAULT_LAYOUT}
+# Registered ladder. Zoom 0 is the synthetic fixture frame (unit cells).
+# Zooms 13 and 12 are REAL registered levels over the same fixture
+# layers: the reference's NLCD pyramid convention (zoom 13 native at
+# 30 m, cell size doubling each step down — scripts/benchmark-mapshed:
+# 31-34 layer naming), with the grid's tile size taken from the LAYER
+# (8x8 fixture tiles), exactly how the reference derives the layout
+# from the tile layer rather than from the zoom alone
+# (Geoprocessing.scala:219-221). A /run at zoom 13 therefore expects
+# world coordinates in meters-like units; the mask it rasterizes joins
+# the same pixel keyspace as zoom 0 (parity pinned in tests/test_api).
+# Deployments reading an external catalog extend this dict from layer
+# metadata via sources.catalog.register_zoom_layouts.
+ZOOM_LAYOUTS: dict[int, GridLayout] = {
+    0: DEFAULT_LAYOUT,
+    13: GridLayout(tile_size=TILE, cellsize=ZOOM_NATIVE_CELLSIZE),
+    12: GridLayout(tile_size=TILE, cellsize=ZOOM_NATIVE_CELLSIZE * 2.0),
+}
 
 
 def layout_for_zoom(zoom: int) -> GridLayout:

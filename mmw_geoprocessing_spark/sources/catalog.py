@@ -47,13 +47,25 @@ PIXEL_KEY = ["key_col", "key_row", "cell_col", "cell_row"]
 PIXEL_COLS = [*PIXEL_KEY, "value"]
 
 
-def write_layer(pixels: DataFrame, root: str, layer_id: str) -> None:
+def write_layer(
+    pixels: DataFrame,
+    root: str,
+    layer_id: str,
+    layout: GridLayout | None = None,
+    zoom: int | None = None,
+) -> None:
     """Materialize one pixel table into the catalog layout.
 
     ``pixels``: ``(key_col, key_row, cell_col, cell_row, value)``.
     Rows are repartitioned by tile key before the write so each tile
     directory receives one file from one task (no small-file spray when
     the input partitioning doesn't align with the key grid).
+
+    ``layout``/``zoom``: optional grid metadata persisted as a
+    ``_layout.json`` sidecar in the layer directory — the catalog
+    equivalent of the reference deriving ``TileLayerMetadata`` from the
+    stored layer (Geoprocessing.scala:219-221); readers recover it with
+    :func:`read_layer_layout` / :func:`register_zoom_layouts`.
     """
     (
         pixels.select(PIXEL_COLS)
@@ -63,6 +75,58 @@ def write_layer(pixels: DataFrame, root: str, layer_id: str) -> None:
         .mode("append")
         .parquet(root)
     )
+    if layout is not None:
+        import json
+
+        meta = {
+            "tile_size": layout.tile_size,
+            "origin_x": layout.origin_x,
+            "origin_y": layout.origin_y,
+            "cellsize": layout.cellsize,
+        }
+        if zoom is not None:
+            meta["zoom"] = zoom
+        with open(os.path.join(root, f"layer={layer_id}", "_layout.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]:
+    """Recover the grid frame a layer was written with (the reference
+    derives the grid FROM the layer, never from the request alone)."""
+    import json
+
+    with open(os.path.join(root, f"layer={layer_id}", "_layout.json")) as f:
+        meta = json.load(f)
+    layout = GridLayout(
+        tile_size=int(meta["tile_size"]),
+        origin_x=float(meta["origin_x"]),
+        origin_y=float(meta["origin_y"]),
+        cellsize=float(meta["cellsize"]),
+    )
+    return layout, meta.get("zoom")
+
+
+def register_zoom_layouts(root: str, layer_ids: list[str]) -> dict[int, GridLayout]:
+    """Extend ``geometry.ZOOM_LAYOUTS`` from catalog layer metadata so
+    requests at those zooms resolve to the layers' own grids (the
+    production path for the zoom ladder). Conflicting registrations for
+    one zoom raise rather than silently overwrite."""
+    from mmw_geoprocessing_spark import geometry
+
+    added: dict[int, GridLayout] = {}
+    for lid in layer_ids:
+        layout, zoom = read_layer_layout(root, lid)
+        if zoom is None:
+            continue
+        existing = geometry.ZOOM_LAYOUTS.get(zoom, added.get(zoom))
+        if existing is not None and existing != layout:
+            raise ValueError(
+                f"layer {lid!r} declares zoom {zoom} with layout {layout}, "
+                f"but that zoom is already registered as {existing}"
+            )
+        geometry.ZOOM_LAYOUTS[zoom] = layout
+        added[zoom] = layout
+    return added
 
 
 def key_bounds_for_polys(

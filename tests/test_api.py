@@ -249,58 +249,89 @@ def test_multi_geojson_rejects_unknown_raster_crs(spark, tables):
         )
 
 
+def _zoom_shape(scale: float) -> str:
+    import json
+
+    c = 64.0 * scale
+    return json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [c, 0], [c, c], [0, c], [0, 0]]]}
+    )
+
+
+def _mask_at(spark, zoom, shape):
+    from mmw_geoprocessing_spark.plans.api import _mask
+
+    return _mask(
+        spark,
+        InputData(
+            "RasterGroupedCount", rasters=["nlcd"],
+            shape_geojson=[shape], shape_crs="ConusAlbers",
+            raster_crs=None, zoom=zoom,
+        ),
+    )
+
+
 def test_run_zoom_selects_grid_layout(spark, tables):
     """Zoom resolves to a REGISTERED layer layout only (the reference
     derives the grid from the tile layer, Geoprocessing.scala:219-221):
-    zoom 0 rasterizes in the fixture frame; a zoom with no registered
-    layer (12) is a typed 400 — the fixture rasters are keyed in the
-    zoom-0 frame, so serving a pyramid-frame mask against them would
-    join mismatched pixel keys and return silently wrong counts. The
-    pyramid formula itself stays available for deployments that DO
-    register multi-zoom layers (explicit layout= or ZOOM_LAYOUTS)."""
-    import json
-
+    the ladder registers 0 (fixture frame), 13 (native 30 m) and 12
+    (60 m); an unregistered zoom is a typed 400 — serving a mask in an
+    unmatched frame would join mismatched pixel keys and return
+    silently wrong counts. The pyramid formula stays available for
+    deployments registering their own layers."""
     import pytest
 
     from mmw_geoprocessing_spark import geometry
     from mmw_geoprocessing_spark.errors import InvalidZoomError
-    from mmw_geoprocessing_spark.plans.api import _mask
 
-    shape = json.dumps(
-        {"type": "Polygon",
-         "coordinates": [[[0, 0], [64, 0], [64, 64], [0, 64], [0, 0]]]}
-    )
+    assert _mask_at(spark, 0, _zoom_shape(1.0)).count() == 64 * 64
+    with pytest.raises(InvalidZoomError):
+        _mask_at(spark, 5, _zoom_shape(1.0))
 
-    def mask_at(zoom):
-        return _mask(
+    # registered ladder: grid tile size comes from the LAYER (8x8
+    # fixture tiles), cell size from the pyramid level
+    assert geometry.ZOOM_LAYOUTS[13].cellsize == 30.0
+    assert geometry.ZOOM_LAYOUTS[12].cellsize == 60.0
+    assert geometry.layout_for_zoom(0) is geometry.DEFAULT_LAYOUT
+    # unregistered levels still resolve via the 512-tile formula for
+    # explicit-layout callers
+    lay5 = geometry.layout_for_zoom(5)
+    assert lay5.tile_size == 512 and lay5.cellsize == 30.0 * 2.0 ** 8
+
+
+def test_zoom_ladder_mask_parity(spark, tables):
+    """Mask parity across the ladder: the same WORLD region rasterized
+    at zoom 13 (30 m cells) / zoom 12 (60 m cells) covers exactly the
+    pixel keys of the equivalent zoom-0 request — the fixture layers
+    are keyed once, the zoom only changes the world->grid frame."""
+    base = {tuple(r) for r in _mask_at(spark, 0, _zoom_shape(1.0)).collect()}
+    z13 = {tuple(r) for r in _mask_at(spark, 13, _zoom_shape(30.0)).collect()}
+    z12 = {tuple(r) for r in _mask_at(spark, 12, _zoom_shape(60.0)).collect()}
+    assert z13 == base
+    assert z12 == base
+
+
+def test_run_request_at_zoom_13(spark, tables):
+    """A full /run at zoom != 0: grouped counts over a GeoJSON AOI given
+    in the zoom-13 world frame (meters) equal the zoom-0 counts of the
+    equivalent AOI — end-to-end proof the ladder serves real requests."""
+    def run_at(zoom, scale):
+        return api.run_request(
             spark,
             InputData(
-                "RasterGroupedCount", rasters=["nlcd"],
-                shape_geojson=[shape], shape_crs="ConusAlbers",
+                "RasterGroupedCount", rasters=["nlcd", "soil"],
+                shape_geojson=[_zoom_shape(scale)], shape_crs="ConusAlbers",
                 raster_crs=None, zoom=zoom,
             ),
         )
 
-    assert mask_at(0).count() == 64 * 64
-    with pytest.raises(InvalidZoomError):
-        mask_at(12)
-
-    # The pyramid formula (512-tile, 30 m @ z13, doubling per step down)
-    # still drives explicit-layout rasterization: a registered zoom-12
-    # layer would see the 64x64-unit square as exactly one 60 m cell.
-    lay12 = geometry.layout_for_zoom(12)
-    assert lay12.tile_size == 512 and lay12.cellsize == 60.0
-    assert geometry.layout_for_zoom(0) is geometry.DEFAULT_LAYOUT
-    polys = geometry.parse_multipolygon(shape)
-    assert geometry.rasterize_polygons(spark, polys, layout=lay12).count() == 1
-
-    # Registering the layer layout makes the zoom servable (deployment
-    # extension point, geometry.py ZOOM_LAYOUTS).
-    geometry.ZOOM_LAYOUTS[12] = lay12
-    try:
-        assert mask_at(12).count() == 1
-    finally:
-        del geometry.ZOOM_LAYOUTS[12]
+    base = run_at(0, 1.0)
+    # counts cover mask ∩ layer-present pixels (inner join; sf0.001's
+    # pixel space is smaller than the 64x64 AOI)
+    assert base and sum(base.values()) > 0
+    assert run_at(13, 30.0) == base
+    assert run_at(12, 60.0) == base
 
 
 def test_lines_join_geometric_clip_boundary_cell(spark, tables):

@@ -103,6 +103,44 @@ def test_catalog_fed_zonal_query_matches_fixture_fed(spark, layer_catalog, table
     assert a == b
 
 
+def test_layout_metadata_roundtrip_and_zoom_registration(spark, tables):
+    """Layer-derived grid frames (the reference derives the layout FROM
+    the layer, Geoprocessing.scala:219-221): write_layer persists the
+    grid sidecar, read_layer_layout recovers it, register_zoom_layouts
+    extends the ladder, and conflicting zoom declarations raise."""
+    import shutil
+
+    from mmw_geoprocessing_spark import geometry
+    from mmw_geoprocessing_spark.geometry import GridLayout
+
+    root = "/tmp/spark_graft_zoom_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    lay = GridLayout(tile_size=8, cellsize=15.0)
+    try:
+        catalog.write_layer(
+            fx.raster_df(spark, "nlcd").limit(100), root, "nlcd-15m", layout=lay, zoom=14
+        )
+        got, zoom = catalog.read_layer_layout(root, "nlcd-15m")
+        assert got == lay and zoom == 14
+        assert 14 not in geometry.ZOOM_LAYOUTS
+        added = catalog.register_zoom_layouts(root, ["nlcd-15m"])
+        assert added == {14: lay}
+        assert geometry.ZOOM_LAYOUTS[14] == lay
+        # conflicting declaration for the same zoom must raise
+        catalog.write_layer(
+            fx.raster_df(spark, "soil").limit(100), root, "soil-7m",
+            layout=GridLayout(tile_size=8, cellsize=7.5), zoom=14,
+        )
+        with pytest.raises(ValueError):
+            catalog.register_zoom_layouts(root, ["soil-7m"])
+        # the sidecar must not break the pixel reader (underscore files
+        # are metadata to Spark's file index)
+        assert catalog.read_layer(spark, root, "nlcd-15m").count() == 100
+    finally:
+        geometry.ZOOM_LAYOUTS.pop(14, None)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_read_layers_for_aoi_dedups_and_prunes(spark, layer_catalog):
     """U2/U3 parity: duplicate layer ids are one read; AOI polys derive
     the pruning window."""
