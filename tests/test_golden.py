@@ -37,11 +37,16 @@ import glob
 
 import pytest
 
-_SNAPSHOT_NAMES = sorted(
+_ALL_SNAPSHOTS = sorted(
     os.path.basename(p)[: -len("_sf0.001.json")]
     for p in glob.glob(os.path.join(GOLDEN_DIR, "*_sf0.001.json"))
-    if not os.path.basename(p).startswith("mapshed")
 )
+# "mapshed" (legacy 4-tuple format, test above) is separate; huc12_*
+# snapshots are built by tools.make_goldens.huc12_case, not the registry
+_SNAPSHOT_NAMES = [
+    n for n in _ALL_SNAPSHOTS if n != "mapshed" and not n.startswith("huc12_")
+]
+_HUC12_NAMES = [n for n in _ALL_SNAPSHOTS if n.startswith("huc12_")]
 
 
 def _coerce(v):
@@ -52,20 +57,35 @@ def _coerce(v):
     return v
 
 
-@pytest.mark.parametrize("name", _SNAPSHOT_NAMES)
-def test_query_matches_golden(spark, tables, name):
-    """One frozen snapshot per operator family (zonal suite, relational,
-    dedup, similarity, text, multimodal, event-time windows) —
-    regenerated only via tools/make_goldens.py, diffed at 1e-8."""
-    import __spark_entry__ as m
-
-    rows = m.queries()[name](spark, "/root/testdata/sf0.001").collect()
+def _assert_matches_golden(df, name):
     with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
         golden = json.load(f)
     cols = golden["columns"]
-    got = [[_coerce(r[c]) for c in cols] for r in rows]
+    got = [[_coerce(r[c]) for c in cols] for r in df.collect()]
     got.sort(key=lambda row: json.dumps(row, default=str))
     want = golden["rows"]
     assert len(got) == len(want), (len(got), len(want))
     for g, w in zip(got, want):
         assert all(_close(x, y) for x, y in zip(g, w)), (g, w)
+
+
+@pytest.mark.parametrize("name", _SNAPSHOT_NAMES)
+def test_query_matches_golden(spark, tables, name):
+    """One frozen snapshot per REGISTRY query (all 50) — regenerated
+    only via tools/make_goldens.py, diffed at 1e-8."""
+    import __spark_entry__ as m
+
+    _assert_matches_golden(
+        m.queries()[name](spark, "/root/testdata/sf0.001"), name
+    )
+
+
+@pytest.mark.parametrize("name", _HUC12_NAMES)
+def test_huc12_case_matches_golden(spark, tables, name):
+    """Per-HUC-12 zonal goldens (8 subbasins x 2 templates) — the
+    reference's per-HUC golden discipline
+    (scripts/benchmark-subbasin:110-121, huc12_*_nlcd_streams.json)."""
+    from tools.make_goldens import huc12_case
+
+    aoi, tpl = name.rsplit("_", 2)[0], "_".join(name.split("_")[2:])
+    _assert_matches_golden(huc12_case(spark, aoi, tpl), name)

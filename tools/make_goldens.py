@@ -2,6 +2,14 @@
 sf0.001, the engine's analogue of the reference's 434 checked-in golden
 JSONs (scripts/benchmark-mapshed:146, SURVEY.md §5).
 
+Round 5 widens the corpus from 14 to the full discipline:
+- EVERY registry query (one frozen snapshot per `queries()` entry,
+  50 files) — a second, oracle-independent line of defense;
+- per-HUC-12 zonal goldens (8 subbasins x {nlcd_soil grouped count,
+  nlcd_streams lines join}, 16 files) — the reference's per-HUC golden
+  naming (`huc12_54842_nlcd_streams.json`,
+  scripts/benchmark-subbasin:110-121).
+
 Run deliberately (results are then frozen in git and diffed at 1e-8 by
 tests/test_golden.py); never run from tests. The snapshot format is
 ``{"columns": [...], "rows": [[...], ...]}`` with rows sorted by their
@@ -23,23 +31,31 @@ GOLDEN_DIR = os.path.join(
 )
 SF_DIR = "/root/testdata/sf0.001"
 
-# one per operator family: zonal suite, relational, window, dedup,
-# similarity, text, multimodal, event-time streaming
-NAMES = [
-    "raster_grouped_count",
-    "raster_grouped_count_many",
-    "raster_grouped_average",
-    "raster_grouped_sum",
-    "raster_lines_join",
-    "raster_summary",
-    "multi_operation",
-    "pricing_summary",
-    "dedup_minhash_lsh",
-    "similarity_cosine_topk",
-    "text_quality_scores",
-    "multimodal_frame_sample",
-    "events_windows_showcase",
-]
+# the reference's per-subbasin benchmark templates we pin per HUC-12
+HUC12_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
+HUC12_TEMPLATES = ("nlcd_soil", "nlcd_streams")
+
+
+def huc12_case(spark, aoi_id: str, template: str):
+    """Build one per-HUC-12 zonal case (shared with tests/test_golden)."""
+    from mmw_geoprocessing_spark.operators import zonal
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+    from mmw_geoprocessing_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    mask = fx.mask_df(spark, aoi_id)
+    if template == "nlcd_soil":
+        layers = [fx.raster_df(spark, "nlcd"), fx.raster_df(spark, "soil")]
+        return zonal.raster_grouped_count(layers, mask)
+    if template == "nlcd_streams":
+        return zonal.raster_lines_join(
+            [fx.raster_df(spark, "nlcd")], fx.line_pixels_df(spark), mask
+        )
+    raise ValueError(template)
+
+
+def huc12_names() -> list[str]:
+    return [f"{aoi}_{tpl}" for aoi in HUC12_AOIS for tpl in HUC12_TEMPLATES]
 
 
 def _coerce(v):
@@ -50,6 +66,17 @@ def _coerce(v):
     return v
 
 
+def snapshot(name: str, df) -> str:
+    cols = df.columns
+    rows = [[_coerce(r[c]) for c in cols] for r in df.collect()]
+    rows.sort(key=lambda row: json.dumps(row, default=str))
+    path = os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")
+    with open(path, "w") as f:
+        json.dump({"columns": cols, "rows": rows}, f)
+    print(f"{path}: {len(rows)} rows x {len(cols)} cols")
+    return path
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from mmw_geoprocessing_spark.session import get_spark
@@ -58,17 +85,16 @@ def main() -> None:
     spark = get_spark(app_name="make-goldens")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    for name in NAMES:
+    for name in sorted(qs):
         if only and name not in only:
             continue
-        df = qs[name](spark, SF_DIR)
-        cols = df.columns
-        rows = [[_coerce(r[c]) for c in cols] for r in df.collect()]
-        rows.sort(key=lambda row: json.dumps(row, default=str))
-        path = os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")
-        with open(path, "w") as f:
-            json.dump({"columns": cols, "rows": rows}, f)
-        print(f"{path}: {len(rows)} rows x {len(cols)} cols")
+        snapshot(name, qs[name](spark, SF_DIR))
+    for aoi in HUC12_AOIS:
+        for tpl in HUC12_TEMPLATES:
+            name = f"{aoi}_{tpl}"
+            if only and name not in only:
+                continue
+            snapshot(name, huc12_case(spark, aoi, tpl))
     spark.stop()
 
 
