@@ -227,11 +227,16 @@ def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
 
 
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    # F.expr strings instead of nested Column ops: each built Column is
+    # a py4j round-trip, and 64 x min((a*h+b)%P) built op-by-op cost
+    # ~0.5 s of plan-CONSTRUCTION time per fresh query (measured r5) —
+    # one parsed string per aggregate is ~10x fewer driver round-trips
+    # with an identical expression tree after parsing.
     hashed = sh.withColumn("h", h28(F.col("s")))
     aggs = []
     for i in range(MINHASH_N):
         a, b = minhash_params(i)
-        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}"))
+        aggs.append(F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
@@ -265,9 +270,11 @@ def minhash_signatures_sql() -> str:
     return f"WITH {_minhash_sql_cte()} SELECT * FROM mh"
 
 
-def _band_key(i: int):
-    cols = [F.col(f"mh{j}").cast("string") for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)]
-    return F.concat_ws("_", *cols)
+def _band_key_sql(i: int) -> str:
+    cols = ", ".join(
+        f"cast(mh{j} as string)" for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)
+    )
+    return f"concat_ws('_', {cols})"
 
 
 def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -282,11 +289,15 @@ def minhash_lsh_neardup(documents: DataFrame, threshold: float = 0.5) -> DataFra
     # shares one materialization across branches and repeat executions
     sh = _shingles_persisted(documents)
     mh = _signatures_from_shingles(sh)
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("band"), _band_key(i).alias("bkey"))
+    # single parsed expression for the 16 (band, key) structs (see the
+    # plan-construction note in _signatures_from_shingles)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {i}, 'bkey', {_band_key_sql(i)})"
             for i in range(N_BANDS)
-        ]
+        )
+        + ")"
     )
     bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")

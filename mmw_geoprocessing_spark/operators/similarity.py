@@ -176,7 +176,7 @@ def cosine_neardup_lsh(
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     bands = base.select(
         "vec_id",
-        F.explode(F.array(*_band_structs(F.col("v"), NEARDUP_BANDS, NEARDUP_ROWS))).alias("bk"),
+        F.explode(_band_structs("v", NEARDUP_BANDS, NEARDUP_ROWS)).alias("bk"),
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     cand = (
         bands.alias("a")
@@ -250,18 +250,31 @@ LSH_TOPK_BANDS = 16
 LSH_TOPK_ROWS = 4  # same 16x4 banding over the 64-plane pool as neardup
 
 
-def _band_structs(col: Column, n_bands: int, rows_per_band: int) -> list[Column]:
-    """(band, band_key) structs from the shared md5 plane pool: band b's
-    key packs the sign bits of planes [b*r, (b+1)*r)."""
-    out = []
+def _dot_plane_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text of the same sequential-fold dot product ``_dot`` builds
+    (ArrayAggregate over zip_with — identical expression tree after
+    parsing, so the sign decisions are bit-identical)."""
+    arr = "array(" + ", ".join(f"{c}D" for c in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _band_structs(vec_col: str, n_bands: int, rows_per_band: int) -> Column:
+    """Array of (band, band_key) structs from the shared md5 plane pool:
+    band b's key packs the sign bits of planes [b*r, (b+1)*r). Built as
+    ONE parsed expression: constructing 64 plane arrays element-by-
+    element over py4j cost ~0.5 s of plan construction per fresh query."""
+    structs = []
     for b in range(n_bands):
-        key = F.lit(0)
-        for i in range(rows_per_band):
-            plane = [_plane_coeff(b * rows_per_band + i, d) for d in range(DIM)]
-            dot = _dot(col, F.array(*[F.lit(c) for c in plane]))
-            key = key + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        out.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    return out
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_plane_sql(vec_col, [_plane_coeff(b * rows_per_band + i, d) for d in range(DIM)])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        structs.append(f"named_struct('band', {b}, 'bkey', {bits})")
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def _band_sql_rows(n_bands: int, rows_per_band: int, src: str = "base") -> str:
@@ -302,7 +315,7 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Data
 
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     bands = base.select(
-        "vec_id", F.explode(F.array(*_band_structs(F.col("v"), LSH_TOPK_BANDS, LSH_TOPK_ROWS))).alias("bk")
+        "vec_id", F.explode(_band_structs("v", LSH_TOPK_BANDS, LSH_TOPK_ROWS)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     qb = bands.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "band", "bkey"

@@ -150,6 +150,30 @@ def test_multimodal_roundtrip_consistency(spark, tables):
         assert r["b"] <= decoded[r["doc_id"]]["n_bytes"]
 
 
+def test_decode_image_gate(spark, tables):
+    """The real-codec path is import-gated: with Pillow absent (this
+    container) it must raise the typed NotImplementedError; with Pillow
+    present it must decode a real PNG. Either branch proves the gate."""
+    media = mm.attach_binary(tables["documents"].limit(3))
+    if not mm.image_codec_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image(media)
+        return
+    # real-codec environment: decode a generated 2x2 PNG end to end
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = mm.decode_image(df).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+
+
 def test_frame_sample_emits_n_frames(spark, tables):
     media = mm.attach_binary(tables["documents"].limit(5))
     counts = mm.frame_sample(media, n_frames=4).groupBy("doc_id").count().collect()
