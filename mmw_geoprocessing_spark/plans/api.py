@@ -111,6 +111,25 @@ def _lines(spark: SparkSession, input_data: InputData):
     raise MissingStreamLinesError("RasterLinesJoin requires streamLines")
 
 
+def _layers(spark: SparkSession, input_data: InputData, raster_ids: list[str]):
+    """Resolve raster layers for a request. Default: the synthetic
+    session fixtures. With ``SPARK_GRAFT_CATALOG_ROOT`` set, layers come
+    from the external partitioned catalog with the AOI's bbox pushed
+    down as partition pruning — the reference's ``cropRastersToAOI``
+    (Utils.scala:34-41): each layer is read once, only Intersects-ing
+    tiles are scanned."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_CATALOG_ROOT")
+    if not root:
+        return [fx.raster_df(spark, r) for r in raster_ids]
+    from mmw_geoprocessing_spark.sources import catalog
+
+    polys = _aoi_polys(input_data) if input_data.shape_geojson else None
+    layout = _layout(input_data) if polys else None
+    return catalog.read_layers_for_aoi(spark, root, raster_ids, polys, layout)
+
+
 def run_request(spark: SparkSession, input_data: InputData) -> dict:
     """POST /run (WebServer.scala:76-93): dispatch on operationType,
     return the reference's ``{"List(...)": value}`` JSON shape."""
@@ -118,7 +137,7 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
     if op not in VALID_OPERATIONS:
         raise InvalidOperationError(f"invalid operationType {op!r}")
 
-    layers = [fx.raster_df(spark, r) for r in input_data.rasters]
+    layers = _layers(spark, input_data, input_data.rasters)
 
     if op == "RasterGroupedCount":
         if not layers:
@@ -142,7 +161,7 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
     if op in ("RasterGroupedAverage", "RasterGroupedSum"):
         if not input_data.target_raster:
             raise MissingTargetRasterError(f"{op} requires targetRaster")
-        target = fx.raster_df(spark, input_data.target_raster)
+        target = _layers(spark, input_data, [input_data.target_raster])[0]
         mask = _mask(spark, input_data)
         if op == "RasterGroupedSum":
             df = zonal.raster_grouped_sum(layers, target, mask)
@@ -160,7 +179,7 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
         return {r["list_key"]: r["cnt"] for r in df.collect()}
 
     if op == "RasterSummary":
-        targets = [fx.raster_df(spark, r) for r in input_data.rasters]
+        targets = layers
         if not targets:
             raise MissingVectorError("RasterSummary requires rasters")
         df = zonal.raster_summary(targets, _mask(spark, input_data))

@@ -103,6 +103,30 @@ def test_catalog_fed_zonal_query_matches_fixture_fed(spark, layer_catalog, table
     assert a == b
 
 
+def test_run_request_served_from_catalog(spark, layer_catalog, tables, monkeypatch):
+    """Production serving path: with SPARK_GRAFT_CATALOG_ROOT set, /run
+    reads its rasters from the external catalog with the AOI bbox
+    pushed down (the reference's cropRastersToAOI, Utils.scala:34-41)
+    and returns results identical to the fixture path."""
+    import json
+
+    from mmw_geoprocessing_spark.plans import api
+    from mmw_geoprocessing_spark.plans.model import InputData
+
+    shape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [40, 0], [40, 24], [0, 24], [0, 0]]]}
+    )
+    req = InputData(
+        "RasterGroupedCount", rasters=["nlcd", "soil"],
+        shape_geojson=[shape], shape_crs="ConusAlbers", raster_crs=None,
+    )
+    from_fixtures = api.run_request(spark, req)
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG_ROOT", layer_catalog)
+    from_cat = api.run_request(spark, req)
+    assert from_cat == from_fixtures and from_cat
+
+
 def test_layout_metadata_roundtrip_and_zoom_registration(spark, tables):
     """Layer-derived grid frames (the reference derives the layout FROM
     the layer, Geoprocessing.scala:219-221): write_layer persists the
