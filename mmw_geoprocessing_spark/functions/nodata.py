@@ -29,3 +29,10 @@ def list_key(*cols: Column) -> Column:
         F.concat_ws(", ", *[c.cast("string") for c in cols]),
         F.lit(")"),
     )
+
+
+def list_key_sql(*names: str) -> str:
+    """``list_key`` as Spark-SQL text (for selectExpr hot paths — one
+    parsed string instead of per-Column py4j round-trips)."""
+    casts = ", ".join(f"cast({n} as string)" for n in names)
+    return f"concat('List(', concat_ws(', ', {casts}), ')')"

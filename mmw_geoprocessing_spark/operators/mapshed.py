@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mmw_geoprocessing_spark.functions.nodata import list_key
 from mmw_geoprocessing_spark.operators.zonal import PIXEL_KEY, join_layers
 from mmw_geoprocessing_spark.sources import fixtures as fx
 
@@ -53,14 +52,19 @@ def template_df(
     key. kind ∈ {grouped_count, lines_join, average, grouped_average,
     grouped_sum}. Output: ``(op_label, aoi_id, list_key, value DOUBLE)``.
     """
-    layers = [fx.raster_df(spark, r) for r in rasters]
-    vals = [F.col(f"v{i}") for i in range(1, len(rasters) + 1)]
+    from mmw_geoprocessing_spark.functions.nodata import list_key_sql
 
-    def _shape(df: DataFrame, key_col=None) -> DataFrame:
-        return df.select(
-            F.lit(label).alias("op_label"),
+    layers = [fx.raster_df(spark, r) for r in rasters]
+    vnames = [f"v{i}" for i in range(1, len(rasters) + 1)]
+    vals = [F.col(n) for n in vnames]
+
+    def _shape(df: DataFrame, key_sql: str | None = None) -> DataFrame:
+        # selectExpr: one parsed projection per template (plan-
+        # construction hot path, see zonal.join_layers note)
+        return df.selectExpr(
+            f"'{label}' AS op_label",
             "aoi_id",
-            (key_col if key_col is not None else list_key(*vals)).alias("list_key"),
+            f"{key_sql if key_sql is not None else list_key_sql(*vnames)} AS list_key",
             "value",
         )
 
@@ -91,7 +95,7 @@ def template_df(
             masks.join(tgt, on=PIXEL_KEY, how="inner")
             .groupBy("aoi_id")
             .agg(F.avg(F.coalesce(F.col("_t"), F.lit(0.0))).alias("value")),
-            key_col=F.lit("List(0)"),
+            key_sql="'List(0)'",
         )
     if kind == "grouped_sum":
         # O8 contract: group-layer key set, target left-joined

@@ -45,15 +45,18 @@ def join_layers(layers: Sequence[DataFrame]) -> DataFrame:
     Returns columns ``key_col,key_row,cell_col,cell_row,v1..vN`` (vi INT,
     NODATA-filled).
     """
-    out = layers[0].select(*PIXEL_KEY, F.col("value").alias("v1"))
+    # selectExpr strings: one parsed call per projection instead of
+    # per-Column py4j round-trips (the N-way join is the hot shared
+    # builder — mapshed constructs it 5x per fresh suite plan)
+    out = layers[0].selectExpr(*PIXEL_KEY, "value AS v1")
     for i, layer in enumerate(layers[1:], start=2):
         out = out.join(
-            layer.select(*PIXEL_KEY, F.col("value").alias(f"v{i}")),
+            layer.selectExpr(*PIXEL_KEY, f"value AS v{i}"),
             on=PIXEL_KEY,
             how="full",
         )
-    fills = [F.coalesce(F.col(f"v{i}"), F.lit(NODATA_INT)).alias(f"v{i}") for i in range(1, len(layers) + 1)]
-    return out.select(*PIXEL_KEY, *fills)
+    fills = [f"coalesce(v{i}, {NODATA_INT}) AS v{i}" for i in range(1, len(layers) + 1)]
+    return out.selectExpr(*PIXEL_KEY, *fills)
 
 
 def _value_cols(n: int) -> list[F.Column]:
