@@ -273,3 +273,60 @@ def multi_operation(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def pyramid_down(
+    pixels: DataFrame, tile_size: int = 8, factor: int = 2, agg: str = "mode"
+) -> DataFrame:
+    """Build the next pyramid level DOWN (coarser) from a pixel table:
+    each ``factor x factor`` block of child cells collapses to one
+    parent cell in the same world frame (parent cellsize = child
+    cellsize * factor — e.g. the zoom-13 -> zoom-12 step of the
+    reference's layer pyramid, whose catalogs store one such level per
+    zoom; scripts/benchmark-mapshed:31-34 layer naming).
+
+    ``agg``:
+    - ``"mode"`` (categorical rasters like NLCD): most frequent child
+      value per block, ties to the SMALLEST value, NULLs (NODATA) not
+      voting; a block of only-NULL children yields NULL.
+    - ``"avg"`` (continuous rasters): mean of non-NULL children.
+
+    Scale shape: one shuffle on the parent pixel key (plus one more for
+    mode's per-value counting) — pyramid building over 100 TB is a
+    single pass per level, and levels halve in size.
+
+    Output: the same pixel-table schema, keyed in the parent grid.
+    """
+    T = tile_size
+    gx = F.col("key_col") * T + F.col("cell_col")
+    gy = F.col("key_row") * T + F.col("cell_row")
+    px = F.floor(gx / factor).cast("int")
+    py = F.floor(gy / factor).cast("int")
+    parented = pixels.select(
+        F.floor(px / T).cast("int").alias("key_col"),
+        F.floor(py / T).cast("int").alias("key_row"),
+        (px % T).cast("int").alias("cell_col"),
+        (py % T).cast("int").alias("cell_row"),
+        "value",
+    )
+    if agg == "avg":
+        return parented.groupBy(*PIXEL_KEY).agg(F.avg("value").alias("value"))
+    if agg != "mode":
+        raise ValueError(f"agg must be 'mode' or 'avg', got {agg!r}")
+    from pyspark.sql import Window
+
+    counts = (
+        parented.where(F.col("value").isNotNull())
+        .groupBy(*PIXEL_KEY, "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*PIXEL_KEY).orderBy(F.col("cnt").desc(), F.col("value").asc())
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*PIXEL_KEY, "value")
+    )
+    # blocks whose children are ALL NODATA still exist at the parent
+    # level (as NODATA cells) — restore them via the distinct parent set
+    parents = parented.select(*PIXEL_KEY).dropDuplicates(PIXEL_KEY)
+    return parents.join(modes, on=PIXEL_KEY, how="left").select(*PIXEL_KEY, "value")

@@ -149,3 +149,67 @@ def test_average_skips_target_absent_tiles(spark, tables):
     n = covered.count()
     assert n < mask.count()  # the trap bites: gwn really is missing tiles
     assert abs(got - total / n) < 1e-12
+
+
+def test_pyramid_down_mode_and_avg_match_oracle(spark, tables, duck):
+    """Pyramid building (zoom-13 -> zoom-12 step): mode/avg downsampling
+    verified against a DuckDB oracle running the identical dialect-
+    neutral SQL over the same fixture CTEs."""
+    from mmw_geoprocessing_spark.operators.zonal import pyramid_down
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    # FLOOR everywhere: DuckDB CAST(double AS INT) ROUNDS, Spark
+    # truncates — the fixture-CTE convention (always CAST(FLOOR(...)))
+    parent = (
+        "SELECT CAST(FLOOR(FLOOR((key_col*8+cell_col)/2) / 8) AS INT) AS key_col, "
+        "CAST(FLOOR(FLOOR((key_row*8+cell_row)/2) / 8) AS INT) AS key_row, "
+        "CAST(CAST(FLOOR((key_col*8+cell_col)/2) AS BIGINT) % 8 AS INT) AS cell_col, "
+        "CAST(CAST(FLOOR((key_row*8+cell_row)/2) AS BIGINT) % 8 AS INT) AS cell_row, "
+        "value FROM {src}"
+    )
+
+    # mode (categorical): per-value counts -> row_number, ties to min value
+    mode_sql = fx.with_fixtures(
+        "SELECT p.key_col, p.key_row, p.cell_col, p.cell_row, m.value FROM "
+        "(SELECT DISTINCT key_col, key_row, cell_col, cell_row FROM parented) p "
+        "LEFT JOIN (SELECT key_col, key_row, cell_col, cell_row, value FROM ("
+        "  SELECT key_col, key_row, cell_col, cell_row, value, "
+        "         ROW_NUMBER() OVER (PARTITION BY key_col, key_row, cell_col, cell_row "
+        "                            ORDER BY cnt DESC, value ASC) AS rn "
+        "  FROM (SELECT key_col, key_row, cell_col, cell_row, value, COUNT(*) AS cnt "
+        "        FROM parented WHERE value IS NOT NULL GROUP BY 1,2,3,4,5)) "
+        " WHERE rn = 1) m USING (key_col, key_row, cell_col, cell_row)",
+        "r_nlcd",
+        extra_ctes="parented AS (" + parent.format(src="r_nlcd") + ")",
+    )
+    want = {tuple(r) for r in duck.execute(mode_sql).fetchall()}
+    got = {tuple(r) for r in pyramid_down(fx.raster_df(spark, "nlcd")).collect()}
+    assert got == want
+
+    # avg (continuous): binary-fraction grid -> exact doubles both sides
+    avg_sql = fx.with_fixtures(
+        "SELECT key_col, key_row, cell_col, cell_row, AVG(value) AS value "
+        "FROM parented GROUP BY 1,2,3,4",
+        "r_slope",
+        extra_ctes="parented AS (" + parent.format(src="r_slope") + ")",
+    )
+    want = {tuple(r) for r in duck.execute(avg_sql).fetchall()}
+    got = {
+        tuple(r)
+        for r in pyramid_down(fx.raster_df(spark, "slope"), agg="avg").collect()
+    }
+    assert got == want
+
+
+def test_pyramid_down_shrinks_and_preserves_world(spark, tables):
+    """Level invariants: the parent level has <= ceil(n/4)-ish cells and
+    every parent cell covers >= 1 child; a parent grid cell's world
+    footprint at zoom 12 equals its children's at zoom 13."""
+    from mmw_geoprocessing_spark.operators.zonal import pyramid_down
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    child = fx.raster_df(spark, "nlcd")
+    par = pyramid_down(child)
+    n_child, n_par = child.count(), par.count()
+    assert n_par <= n_child // 2  # 2x2 blocks: strictly coarser
+    assert n_par > 0
