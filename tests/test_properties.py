@@ -149,3 +149,33 @@ def test_grouped_average_union_key_set_matches_reference(spark, g, t, mask):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=_layer_strategy())
+def test_pyramid_down_mode_matches_python_reference(spark, a):
+    """pyramid_down(mode) == the literal definition: per 2x2 world
+    block, most frequent non-NULL child value, ties to the smallest,
+    all-NULL blocks preserved as NULL parents."""
+    from collections import Counter, defaultdict
+
+    layer = _mk_layer(spark, a)
+    got = {
+        (r.key_col, r.key_row, r.cell_col, r.cell_row): r.value
+        for r in zonal.pyramid_down(layer, tile_size=3).collect()
+    }
+    blocks = defaultdict(list)
+    for (kc, kr, cc, cr), v in zip(CELLS, a):
+        if v == -1:
+            continue  # cell absent from the layer extent
+        px, py = (kc * 3 + cc) // 2, (kr * 3 + cr) // 2
+        blocks[(px // 3, py // 3, px % 3, py % 3)].append(v)
+    want = {}
+    for k, vs in blocks.items():
+        nn = [v for v in vs if v is not None]
+        if not nn:
+            want[k] = None
+        else:
+            cnt = Counter(nn)
+            want[k] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert got == want
