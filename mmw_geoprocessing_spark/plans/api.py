@@ -122,6 +122,14 @@ def _layers(spark: SparkSession, input_data: InputData, raster_ids: list[str]):
 
     root = os.environ.get("SPARK_GRAFT_CATALOG_ROOT")
     if not root:
+        if input_data.zoom not in (0, fx.ZOOM_NATIVE):
+            # serve the REAL per-zoom pyramid level (the reference
+            # fetches a different layer per zoom, not a reframed native
+            # one; coarser levels derived via zonal.pyramid_down)
+            _layout(input_data)  # typed 400 for unregistered zooms
+            return [
+                fx.raster_df_at_zoom(spark, r, input_data.zoom) for r in raster_ids
+            ]
         return [fx.raster_df(spark, r) for r in raster_ids]
     from mmw_geoprocessing_spark.sources import catalog
 

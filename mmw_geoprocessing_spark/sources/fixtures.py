@@ -309,6 +309,7 @@ def clear_fixture_cache() -> None:
     (autoBucketedScan), so exiting the mode leaves each session exactly
     as it was found."""
     _FIXTURE_CACHE.clear()
+    _PYRAMID_CACHE.clear()
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     while _SAVED_AUTO_BUCKETED:
         _, (spark, prior) = _SAVED_AUTO_BUCKETED.popitem()
@@ -324,6 +325,35 @@ def clear_fixture_cache() -> None:
 
 def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:
     return fixture_df(spark, f"r_{raster_id}")
+
+
+# (session id, sf_dir, raster_id, zoom) -> derived pyramid level
+_PYRAMID_CACHE: dict[tuple[int, str, str, int], DataFrame] = {}
+
+ZOOM_NATIVE = 13  # geometry.ZOOM_NATIVE: the fixture grid's native level
+
+
+def raster_df_at_zoom(spark: SparkSession, raster_id: str, zoom: int) -> DataFrame:
+    """Per-zoom layer resolution, the reference's pyramid model: zoom 0
+    and the native level serve the stored pixels; coarser levels are
+    DERIVED via ``zonal.pyramid_down`` (mode for int rasters, avg for
+    double — RASTER_DEFS carries the type) and memoized per session.
+    Each step down halves the grid, so zoom z costs (native - z) chained
+    2x downsamples, built once."""
+    if zoom in (0, ZOOM_NATIVE):
+        return raster_df(spark, raster_id)
+    if not 0 < zoom < ZOOM_NATIVE:
+        raise ValueError(f"no layer pyramid at zoom {zoom}")
+    sf_dir = _ACTIVE_DIR.get(id(spark)) or _ACTIVE_DIR.get(0, "")
+    key = (id(spark), sf_dir, raster_id, zoom)
+    if key not in _PYRAMID_CACHE:
+        from mmw_geoprocessing_spark.operators.zonal import pyramid_down
+
+        is_double = RASTER_DEFS[raster_id][2]
+        level = raster_df_at_zoom(spark, raster_id, zoom + 1)
+        df = pyramid_down(level, agg="avg" if is_double else "mode")
+        _PYRAMID_CACHE[key] = df.localCheckpoint()
+    return _PYRAMID_CACHE[key]
 
 
 def mask_df(spark: SparkSession, aoi_id: str) -> DataFrame:

@@ -312,26 +312,53 @@ def test_zoom_ladder_mask_parity(spark, tables):
     assert z12 == base
 
 
-def test_run_request_at_zoom_13(spark, tables):
-    """A full /run at zoom != 0: grouped counts over a GeoJSON AOI given
-    in the zoom-13 world frame (meters) equal the zoom-0 counts of the
-    equivalent AOI — end-to-end proof the ladder serves real requests."""
-    def run_at(zoom, scale):
-        return api.run_request(
-            spark,
-            InputData(
-                "RasterGroupedCount", rasters=["nlcd", "soil"],
-                shape_geojson=[_zoom_shape(scale)], shape_crs="ConusAlbers",
-                raster_crs=None, zoom=zoom,
-            ),
-        )
+def _run_at_zoom(spark, zoom, scale):
+    return api.run_request(
+        spark,
+        InputData(
+            "RasterGroupedCount", rasters=["nlcd", "soil"],
+            shape_geojson=[_zoom_shape(scale)], shape_crs="ConusAlbers",
+            raster_crs=None, zoom=zoom,
+        ),
+    )
 
-    base = run_at(0, 1.0)
+
+def test_run_request_at_zoom_13(spark, tables):
+    """A full /run at the native zoom (13): grouped counts over a
+    GeoJSON AOI given in the zoom-13 world frame (meters) equal the
+    zoom-0 counts of the equivalent AOI — 13 serves the stored native
+    layer, only the world->grid frame differs."""
+    base = _run_at_zoom(spark, 0, 1.0)
     # counts cover mask ∩ layer-present pixels (inner join; sf0.001's
     # pixel space is smaller than the 64x64 AOI)
     assert base and sum(base.values()) > 0
-    assert run_at(13, 30.0) == base
-    assert run_at(12, 60.0) == base
+    assert _run_at_zoom(spark, 13, 30.0) == base
+
+
+def test_run_request_at_zoom_12_serves_pyramid_level(spark, tables):
+    """/run at zoom 12 serves the REAL derived pyramid level (the
+    reference fetches a per-zoom layer, Geoprocessing.scala:219-221 +
+    the -512 layer pyramid): results equal a direct zonal grouped count
+    over pyramid_down'ed layers with the zoom-12 mask, and differ from
+    the native-resolution answer (coarser data, ~quarter the pixels)."""
+    from mmw_geoprocessing_spark import geometry
+    from mmw_geoprocessing_spark.operators import zonal
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    got = _run_at_zoom(spark, 12, 60.0)
+    polys = geometry.parse_multipolygon(_zoom_shape(60.0))
+    mask = geometry.rasterize_polygons(
+        spark, polys, layout=geometry.ZOOM_LAYOUTS[12]
+    )
+    layers = [fx.raster_df_at_zoom(spark, r, 12) for r in ("nlcd", "soil")]
+    want = {
+        r["list_key"]: r["cnt"]
+        for r in zonal.raster_grouped_count(layers, mask).collect()
+    }
+    assert got == want and got
+    native = _run_at_zoom(spark, 0, 1.0)
+    n12, n0 = sum(got.values()), sum(native.values())
+    assert 0 < n12 <= (n0 // 2)  # coarser level: ~quarter the pixels
 
 
 def test_lines_join_geometric_clip_boundary_cell(spark, tables):
