@@ -275,6 +275,46 @@ def multi_operation(
     return out
 
 
+def _parent_key_cols(tile_size: int, factor: int) -> list[F.Column]:
+    """Child pixel key -> parent pixel key (one pyramid step down).
+
+    ``pmod`` + float-division ``floor`` (not Spark's sign-following
+    ``%`` / int division), so the decomposition is correct for NEGATIVE
+    grid coordinates too — catalog layers whose extent lies below/left
+    of the layout origin have negative key_col/key_row, and
+    ``floor(g/f)*T + pmod(g,T) == g`` must hold for every sign."""
+    T = tile_size
+    gx = F.col("key_col") * T + F.col("cell_col")
+    gy = F.col("key_row") * T + F.col("cell_row")
+    px = F.floor(gx / factor).cast("int")
+    py = F.floor(gy / factor).cast("int")
+    return [
+        F.floor(px / T).cast("int").alias("key_col"),
+        F.floor(py / T).cast("int").alias("key_row"),
+        F.pmod(px, F.lit(T)).cast("int").alias("cell_col"),
+        F.pmod(py, F.lit(T)).cast("int").alias("cell_row"),
+    ]
+
+
+def pyramid_down_keys(
+    pixels: DataFrame,
+    extra_cols: Sequence[str] = (),
+    tile_size: int = 8,
+    factor: int = 2,
+) -> DataFrame:
+    """Coarsen a *pixel-set* table (an AOI mask or rasterized line
+    pixels — no ``value`` column) by one pyramid level: a parent cell is
+    present iff >=1 child cell is present (conservative cover, the
+    rasterizer's own any-intersection convention). ``extra_cols``
+    (e.g. ``aoi_id`` / ``line_id``) ride along and join the dedup key.
+
+    One shuffle (the dropDuplicates partial-distinct collapses the
+    factor^2 children map-side) — same scale shape as pyramid_down."""
+    cols = list(extra_cols)
+    out = pixels.select(*cols, *_parent_key_cols(tile_size, factor))
+    return out.dropDuplicates([*cols, *PIXEL_KEY])
+
+
 def pyramid_down(
     pixels: DataFrame, tile_size: int = 8, factor: int = 2, agg: str = "mode"
 ) -> DataFrame:
@@ -297,18 +337,7 @@ def pyramid_down(
 
     Output: the same pixel-table schema, keyed in the parent grid.
     """
-    T = tile_size
-    gx = F.col("key_col") * T + F.col("cell_col")
-    gy = F.col("key_row") * T + F.col("cell_row")
-    px = F.floor(gx / factor).cast("int")
-    py = F.floor(gy / factor).cast("int")
-    parented = pixels.select(
-        F.floor(px / T).cast("int").alias("key_col"),
-        F.floor(py / T).cast("int").alias("key_row"),
-        (px % T).cast("int").alias("cell_col"),
-        (py % T).cast("int").alias("cell_row"),
-        "value",
-    )
+    parented = pixels.select(*_parent_key_cols(tile_size, factor), "value")
     if agg == "avg":
         return parented.groupBy(*PIXEL_KEY).agg(F.avg("value").alias("value"))
     if agg != "mode":

@@ -64,6 +64,21 @@ def _layout(input_data: InputData):
 
 def _mask(spark: SparkSession, input_data: InputData):
     if input_data.aoi_ids:
+        # pre-rasterized masks are stored at the native frame; at a
+        # coarser registered zoom they are served pyramid_down'ed so the
+        # mask joins the same pixel keyspace as the per-zoom layers
+        # (unpyramided masks against pyramided layers silently join
+        # mismatched keys). Unregistered zooms stay a typed 400.
+        if input_data.zoom not in (0, fx.ZOOM_NATIVE):
+            _layout(input_data)  # typed 400 for unregistered zooms
+            if len(input_data.aoi_ids) == 1:
+                return fx.mask_df_at_zoom(spark, input_data.aoi_ids[0], input_data.zoom)
+            many = fx.mask_all_df_at_zoom(spark, input_data.zoom)
+            return (
+                many.filter(many.aoi_id.isin(input_data.aoi_ids))
+                .drop("aoi_id")
+                .dropDuplicates(zonal.PIXEL_KEY)
+            )
         if len(input_data.aoi_ids) == 1:
             return fx.mask_df(spark, input_data.aoi_ids[0])
         many = fx.mask_all_df(spark)
@@ -84,6 +99,9 @@ def _mask(spark: SparkSession, input_data: InputData):
 
 def _lines(spark: SparkSession, input_data: InputData):
     if input_data.use_line_pixels:
+        if input_data.zoom not in (0, fx.ZOOM_NATIVE):
+            _layout(input_data)  # typed 400 for unregistered zooms
+            return fx.line_pixels_df_at_zoom(spark, input_data.zoom)
         return fx.line_pixels_df(spark)
     if input_data.stream_lines_geojson:
         lines = []
@@ -135,6 +153,24 @@ def _layers(spark: SparkSession, input_data: InputData, raster_ids: list[str]):
 
     polys = _aoi_polys(input_data) if input_data.shape_geojson else None
     layout = _layout(input_data) if polys else None
+    # layout validation (the reference derives the grid FROM the layer,
+    # Geoprocessing.scala:219-221, so mask and layer frames cannot
+    # diverge): when a layer carries a _layout.json sidecar, its stored
+    # grid must equal the request's resolved layout — the mask is
+    # rasterized in the request frame, and a zoom/layer mismatch would
+    # join mismatched pixel keys and return silently wrong results.
+    req_layout = layout if layout is not None else _layout(input_data)
+    for rid in dict.fromkeys(raster_ids):
+        try:
+            stored, _zoom = catalog.read_layer_layout(root, rid)
+        except (OSError, ValueError):
+            continue  # no sidecar — caller vouches for the frame
+        if stored != req_layout:
+            raise InvalidZoomError(
+                f"layer {rid!r} is stored in grid {stored}, but the request "
+                f"resolves to {req_layout} (zoom {input_data.zoom}); a "
+                "mask/layer frame mismatch would join mismatched pixel keys"
+            )
     return catalog.read_layers_for_aoi(spark, root, raster_ids, polys, layout)
 
 
@@ -156,7 +192,11 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
     if op == "RasterGroupedCountMany":
         if not input_data.aoi_ids:
             raise MissingVectorError("RasterGroupedCountMany requires aoi_ids")
-        mask_many = fx.mask_all_df(spark)
+        if input_data.zoom not in (0, fx.ZOOM_NATIVE):
+            _layout(input_data)  # typed 400 for unregistered zooms
+            mask_many = fx.mask_all_df_at_zoom(spark, input_data.zoom)
+        else:
+            mask_many = fx.mask_all_df(spark)
         mask_many = mask_many.filter(mask_many.aoi_id.isin(input_data.aoi_ids))
         df = zonal.raster_grouped_count_many(layers, mask_many)
         rows = df.collect()

@@ -65,29 +65,43 @@ def write_layer(
     ``_layout.json`` sidecar in the layer directory — the catalog
     equivalent of the reference deriving ``TileLayerMetadata`` from the
     stored layer (Geoprocessing.scala:219-221); readers recover it with
-    :func:`read_layer_layout` / :func:`register_zoom_layouts`.
+    :func:`read_layer_layout` / :func:`register_zoom_layouts`. The
+    sidecar also records the layer's value type so empty pruned reads
+    stay schema-identical to non-empty ones.
+
+    Idempotent re-ingest: the write uses DYNAMIC partition overwrite —
+    only the ``(layer, key_col, key_row)`` partitions present in
+    ``pixels`` are replaced, other layers in the same root are
+    untouched, and re-running an ingest replaces the layer's tiles
+    instead of silently appending duplicate pixel rows (which would
+    corrupt every downstream count/average).
     """
+    value_type = pixels.schema["value"].dataType.simpleString()
     (
         pixels.select(PIXEL_COLS)
         .withColumn("layer", F.lit(layer_id))
         .repartition("key_col", "key_row")
         .write.partitionBy("layer", "key_col", "key_row")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(root)
     )
-    if layout is not None:
-        import json
+    import json
 
-        meta = {
-            "tile_size": layout.tile_size,
-            "origin_x": layout.origin_x,
-            "origin_y": layout.origin_y,
-            "cellsize": layout.cellsize,
-        }
+    meta: dict = {"value_type": value_type}
+    if layout is not None:
+        meta.update(
+            tile_size=layout.tile_size,
+            origin_x=layout.origin_x,
+            origin_y=layout.origin_y,
+            cellsize=layout.cellsize,
+        )
         if zoom is not None:
             meta["zoom"] = zoom
-        with open(os.path.join(root, f"layer={layer_id}", "_layout.json"), "w") as f:
-            json.dump(meta, f)
+    layer_dir = os.path.join(root, f"layer={layer_id}")
+    os.makedirs(layer_dir, exist_ok=True)
+    with open(os.path.join(layer_dir, "_layout.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]:
@@ -97,6 +111,8 @@ def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]
 
     with open(os.path.join(root, f"layer={layer_id}", "_layout.json")) as f:
         meta = json.load(f)
+    if "tile_size" not in meta:
+        raise ValueError(f"layer {layer_id!r} sidecar has no grid metadata")
     layout = GridLayout(
         tile_size=int(meta["tile_size"]),
         origin_x=float(meta["origin_x"]),
@@ -104,6 +120,18 @@ def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]
         cellsize=float(meta["cellsize"]),
     )
     return layout, meta.get("zoom")
+
+
+def read_layer_value_type(root: str, layer_id: str) -> str | None:
+    """The layer's ``value`` column type as recorded at write time
+    (``_layout.json`` sidecar), or None when unknowable."""
+    import json
+
+    try:
+        with open(os.path.join(root, f"layer={layer_id}", "_layout.json")) as f:
+            return json.load(f).get("value_type")
+    except (OSError, ValueError):
+        return None
 
 
 def register_zoom_layouts(root: str, layer_ids: list[str]) -> dict[int, GridLayout]:
@@ -185,6 +213,7 @@ def read_layer(
     root: str,
     layer_id: str,
     key_bounds: tuple[int, int, int, int] | None = None,
+    value_type: str | None = None,
 ) -> DataFrame:
     """Read one layer from the catalog as a zonal-compatible pixel table.
 
@@ -195,13 +224,20 @@ def read_layer(
     and the ``key_col`` level is additionally pruned driver-side before
     discovery (see module notes).
 
+    ``value_type``: the layer's ``value`` column type, used only on the
+    fully-pruned-empty path so an empty read is schema-identical to a
+    non-empty one (a DOUBLE layer like slope must not come back INT and
+    break downstream unions). Default: the write-time type recorded in
+    the ``_layout.json`` sidecar, falling back to INT.
+
     Output: ``(key_col, key_row, cell_col, cell_row, value)``.
     """
     paths = _pruned_layer_paths(root, layer_id, key_bounds)
     if not paths:
+        vt = value_type or read_layer_value_type(root, layer_id) or "int"
         return spark.range(0).selectExpr(
             *(f"CAST(NULL AS INT) AS {c}" for c in PIXEL_KEY),
-            "CAST(NULL AS INT) AS value",
+            f"CAST(NULL AS {vt}) AS value",
         )
     df = spark.read.option("basePath", root).parquet(*paths)
     df = df.where(F.col("layer") == layer_id)

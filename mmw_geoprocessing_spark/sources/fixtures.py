@@ -366,3 +366,39 @@ def mask_all_df(spark: SparkSession) -> DataFrame:
 
 def line_pixels_df(spark: SparkSession) -> DataFrame:
     return fixture_df(spark, "line_pixels")
+
+
+def _pixelset_df_at_zoom(
+    spark: SparkSession, name: str, zoom: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Pixel-SET fixtures (masks / line pixels) at a pyramid zoom: the
+    native level serves the stored pixels; coarser levels are derived
+    via ``zonal.pyramid_down_keys`` (parent present iff any child
+    present) so a /run at zoom z joins masks and layers in the SAME
+    keyspace — pre-rasterized fixtures are native-frame only, and
+    serving them unpyramided against pyramided layers silently joins
+    mismatched pixel keys (the round-5 ADVICE high finding)."""
+    if zoom in (0, ZOOM_NATIVE):
+        return fixture_df(spark, name)
+    if not 0 < zoom < ZOOM_NATIVE:
+        raise ValueError(f"no pyramid at zoom {zoom}")
+    sf_dir = _ACTIVE_DIR.get(id(spark)) or _ACTIVE_DIR.get(0, "")
+    key = (id(spark), sf_dir, name, zoom)
+    if key not in _PYRAMID_CACHE:
+        from mmw_geoprocessing_spark.operators.zonal import pyramid_down_keys
+
+        level = _pixelset_df_at_zoom(spark, name, zoom + 1, extra_cols)
+        _PYRAMID_CACHE[key] = pyramid_down_keys(level, extra_cols).localCheckpoint()
+    return _PYRAMID_CACHE[key]
+
+
+def mask_df_at_zoom(spark: SparkSession, aoi_id: str, zoom: int) -> DataFrame:
+    return _pixelset_df_at_zoom(spark, f"mask_{aoi_id}", zoom)
+
+
+def mask_all_df_at_zoom(spark: SparkSession, zoom: int) -> DataFrame:
+    return _pixelset_df_at_zoom(spark, "mask_all", zoom, ("aoi_id",))
+
+
+def line_pixels_df_at_zoom(spark: SparkSession, zoom: int) -> DataFrame:
+    return _pixelset_df_at_zoom(spark, "line_pixels", zoom, ("line_id",))

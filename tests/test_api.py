@@ -401,3 +401,94 @@ def test_lines_join_geometric_clip_boundary_cell(spark, tables):
         ),
     )
     assert res_in and sum(res_in.values()) > 0
+
+
+def test_run_zoom_12_with_aoi_ids_serves_pyramided_mask(spark, tables):
+    """ADVICE r5 high: pre-rasterized masks are native-frame; a /run at
+    zoom 12 must serve them pyramid_down'ed into the zoom-12 keyspace
+    (not join native mask keys against pyramided layers — silently
+    wrong counts). Pinned: /run(zoom=12, aoi_ids) == a direct zonal
+    count over pyramided layers with the pyramided mask."""
+    from mmw_geoprocessing_spark.operators import zonal
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    got = api.run_request(
+        spark,
+        InputData(
+            "RasterGroupedCount", rasters=["nlcd", "soil"],
+            aoi_ids=["huc12_01", "huc12_02"], zoom=12,
+        ),
+    )
+    layers = [fx.raster_df_at_zoom(spark, r, 12) for r in ("nlcd", "soil")]
+    many = fx.mask_all_df_at_zoom(spark, 12)
+    mask = (
+        many.filter(many.aoi_id.isin(["huc12_01", "huc12_02"]))
+        .drop("aoi_id")
+        .dropDuplicates(zonal.PIXEL_KEY)
+    )
+    want = {
+        r["list_key"]: r["cnt"]
+        for r in zonal.raster_grouped_count(layers, mask).collect()
+    }
+    assert got == want and got
+    # and the native-frame answer is different (coarser level)
+    native = api.run_request(
+        spark,
+        InputData(
+            "RasterGroupedCount", rasters=["nlcd", "soil"],
+            aoi_ids=["huc12_01", "huc12_02"],
+        ),
+    )
+    assert sum(got.values()) < sum(native.values())
+
+
+def test_run_zoom_12_count_many_and_lines_join_consistent_frames(spark, tables):
+    """The CountMany and LinesJoin pre-rasterized paths must also serve
+    zoom-12 masks/line-pixels in the zoom-12 keyspace."""
+    from mmw_geoprocessing_spark.operators import zonal
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    got = api.run_request(
+        spark,
+        InputData(
+            "RasterGroupedCountMany", rasters=["nlcd"],
+            aoi_ids=["huc12_01"], zoom=12,
+        ),
+    )
+    many = fx.mask_all_df_at_zoom(spark, 12)
+    many = many.filter(many.aoi_id == "huc12_01")
+    want_df = zonal.raster_grouped_count_many(
+        [fx.raster_df_at_zoom(spark, "nlcd", 12)], many
+    )
+    want = {"huc12_01": {r["list_key"]: r["cnt"] for r in want_df.collect()}}
+    assert got == want and got["huc12_01"]
+
+    got_lines = api.run_request(
+        spark,
+        InputData(
+            "RasterLinesJoin", rasters=["nlcd"],
+            aoi_ids=["huc8_01"], use_line_pixels=True, zoom=12,
+        ),
+    )
+    want_lines_df = zonal.raster_lines_join(
+        [fx.raster_df_at_zoom(spark, "nlcd", 12)],
+        fx.line_pixels_df_at_zoom(spark, 12),
+        fx.mask_df_at_zoom(spark, "huc8_01", 12),
+    )
+    want_lines = {r["list_key"]: r["cnt"] for r in want_lines_df.collect()}
+    assert got_lines == want_lines and got_lines
+
+
+def test_run_unregistered_zoom_with_aoi_ids_still_typed_400(spark, tables):
+    from mmw_geoprocessing_spark.errors import InvalidZoomError
+
+    for req in (
+        InputData("RasterGroupedCount", rasters=["nlcd"], aoi_ids=["huc12_01"], zoom=5),
+        InputData("RasterGroupedCountMany", rasters=["nlcd"], aoi_ids=["huc12_01"], zoom=5),
+        InputData(
+            "RasterLinesJoin", rasters=["nlcd"], aoi_ids=["huc8_01"],
+            use_line_pixels=True, zoom=5,
+        ),
+    ):
+        with pytest.raises(InvalidZoomError):
+            api.run_request(spark, req)

@@ -178,3 +178,88 @@ def test_read_layers_for_aoi_dedups_and_prunes(spark, layer_catalog):
     assert "PartitionFilters" in plan
     ext = layers[0].select(F.max("key_col"), F.max("key_row")).first()
     assert ext[0] <= 1 and ext[1] <= 1
+
+
+def test_write_layer_reingest_is_idempotent(spark, tables):
+    """ADVICE r5: re-running an ingest must REPLACE the layer's
+    partitions (dynamic partition overwrite), not append duplicate
+    pixel rows — duplicates silently corrupt every downstream
+    count/average. Other layers in the same root stay untouched."""
+    root = "/tmp/spark_graft_reingest_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        catalog.write_layer(fx.raster_df(spark, "soil"), root, "soil")
+        n_soil = catalog.read_layer(spark, root, "soil").count()
+        catalog.write_layer(fx.raster_df(spark, "nlcd"), root, "nlcd")
+        catalog.write_layer(fx.raster_df(spark, "nlcd"), root, "nlcd")  # re-ingest
+        assert catalog.read_layer(spark, root, "nlcd").count() == fx.raster_df(
+            spark, "nlcd"
+        ).count()
+        assert catalog.read_layer(spark, root, "soil").count() == n_soil
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_empty_pruned_read_preserves_value_type(spark, tables):
+    """ADVICE r5: a fully-pruned-empty read of a DOUBLE layer (slope)
+    must come back with a DOUBLE value column — schema-identical to a
+    non-empty read — or downstream unions break."""
+    root = "/tmp/spark_graft_vtype_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        catalog.write_layer(fx.raster_df(spark, "slope"), root, "slope")
+        nonempty = catalog.read_layer(spark, root, "slope")
+        empty = catalog.read_layer(spark, root, "slope", key_bounds=(999, 1000, 0, 0))
+        assert empty.count() == 0
+        assert empty.schema == nonempty.schema
+        assert dict(empty.dtypes)["value"] == "double"
+        # explicit override wins even without a sidecar value_type
+        forced = catalog.read_layer(
+            spark, root, "slope", key_bounds=(999, 1000, 0, 0), value_type="bigint"
+        )
+        assert dict(forced.dtypes)["value"] == "bigint"
+        # unions of empty + non-empty now typecheck
+        assert nonempty.unionByName(empty).count() == nonempty.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_serving_rejects_layout_mismatch(spark, tables, monkeypatch):
+    """ADVICE r5 medium: the catalog serving path must validate a
+    layer's stored grid (_layout.json) against the request's resolved
+    layout — a zoom/layer frame mismatch would join mismatched pixel
+    keys and return silently wrong results. Matching frames serve."""
+    import json
+
+    from mmw_geoprocessing_spark.errors import InvalidZoomError
+    from mmw_geoprocessing_spark.geometry import GridLayout
+    from mmw_geoprocessing_spark.plans import api
+    from mmw_geoprocessing_spark.plans.model import InputData
+
+    root = "/tmp/spark_graft_mismatch_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    shape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [40, 0], [40, 24], [0, 24], [0, 0]]]}
+    )
+    req = InputData(
+        "RasterGroupedCount", rasters=["nlcd"],
+        shape_geojson=[shape], shape_crs="ConusAlbers", raster_crs=None,
+    )
+    try:
+        # stored at a 15 m grid; request resolves to the zoom-0 fixture
+        # frame (unit cells) -> typed 400, not silent garbage
+        catalog.write_layer(
+            fx.raster_df(spark, "nlcd"), root, "nlcd",
+            layout=GridLayout(tile_size=8, cellsize=15.0), zoom=14,
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CATALOG_ROOT", root)
+        with pytest.raises(InvalidZoomError):
+            api.run_request(spark, req)
+        # re-ingest in the request frame -> serves fine
+        catalog.write_layer(
+            fx.raster_df(spark, "nlcd"), root, "nlcd", layout=GridLayout()
+        )
+        assert api.run_request(spark, req)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

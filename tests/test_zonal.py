@@ -213,3 +213,45 @@ def test_pyramid_down_shrinks_and_preserves_world(spark, tables):
     n_child, n_par = child.count(), par.count()
     assert n_par <= n_child // 2  # 2x2 blocks: strictly coarser
     assert n_par > 0
+
+
+def test_pyramid_down_negative_coordinates(spark):
+    """Catalog layers whose extent lies below/left of the layout origin
+    have negative key_col/key_row; the parent-key decomposition must use
+    pmod/floor-division so negative grid coordinates land in the right
+    parent block (sign-following % would produce negative cell indices
+    and wrong parents)."""
+    from mmw_geoprocessing_spark.operators.zonal import pyramid_down, pyramid_down_keys
+
+    T = 8
+    cells = [
+        (-1, -1, 0, 0), (-1, -1, 7, 7), (-1, 0, 3, 2),
+        (0, -1, 1, 6), (-2, 1, 5, 5), (0, 0, 0, 0),
+    ]
+    rows = [(kc, kr, cc, cr, i + 1) for i, (kc, kr, cc, cr) in enumerate(cells)]
+    df = spark.createDataFrame(
+        rows, "key_col int, key_row int, cell_col int, cell_row int, value int"
+    )
+    got = {
+        (r.key_col, r.key_row, r.cell_col, r.cell_row): r.value
+        for r in pyramid_down(df, tile_size=T).collect()
+    }
+    want = {}
+    from collections import Counter, defaultdict
+
+    blocks = defaultdict(list)
+    for (kc, kr, cc, cr, v) in rows:
+        gx, gy = kc * T + cc, kr * T + cr
+        px, py = gx // 2, gy // 2  # python // is floor division
+        blocks[(px // T, py // T, px % T, py % T)].append(v)  # python % is pmod
+    for k, vs in blocks.items():
+        cnt = Counter(vs)
+        want[k] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert got == want
+    # every emitted cell index is in [0, T)
+    assert all(0 <= cc < T and 0 <= cr < T for (_, _, cc, cr) in got)
+
+    # pixel-set variant: same key mapping, presence-only semantics
+    mask = df.select("key_col", "key_row", "cell_col", "cell_row")
+    got_keys = {tuple(r) for r in pyramid_down_keys(mask, tile_size=T).collect()}
+    assert got_keys == set(want)
