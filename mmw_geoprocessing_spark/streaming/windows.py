@@ -152,37 +152,83 @@ def windows_showcase(events: DataFrame) -> DataFrame:
     sliding / session), aligned to a common schema so the driver's
     correctness gate covers the whole family in one row:
     ``(win_kind, grp, win_start BIGINT epoch, n BIGINT, sum_value)``.
+
+    Plan shape (the round-5 fix; the naive form ran 3 independent
+    scan+shuffle pipelines — 6 exchanges — and was 4.7x DuckDB at sf1~):
+    - tumbling + sliding are flattened into ONE aggregate: each event
+      explodes to its 3 (win_kind, grp, win_start) memberships — the
+      tumbling bucket and, since width = 2 x slide, the two sliding
+      windows that contain it (bucket, bucket - slide; both always
+      contain ts, matching F.window's slide-aligned start generation) —
+      then one partial+final hash agg produces both families. The
+      partials collapse map-side on the scan partitions, so this
+      branch's exchange carries only pre-aggregated window rows.
+    - the session branch is the only shuffle of raw rows (the per-user
+      gap merge genuinely needs them), projected to 3 columns.
+    Net: 2 exchanges (1 raw + 1 tiny) instead of 6, and the raw bytes
+    crossing the wire drop to one projected copy — the part that
+    matters at 100 TB.
     """
-    tumbling = tumbling_counts(events).select(
-        F.lit("tumbling").alias("win_kind"),
-        F.col("event_type").alias("grp"),
-        "win_start",
-        F.col("cnt").alias("n"),
-        "sum_value",
+    slide_s, tumble_s = 300, 300  # sliding 10 min/5 min; tumbling 5 min
+    ev = events.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
     )
-    sliding = sliding_counts(events).select(
-        F.lit("sliding").alias("win_kind"),
-        F.lit("all").alias("grp"),
-        "win_start",
-        F.col("cnt").alias("n"),
-        "sum_value",
+
+    epoch = F.unix_timestamp(F.col("ts")).cast("bigint")
+    bucket = (F.floor(epoch / tumble_s) * tumble_s).cast("bigint")
+    entries = F.array(
+        F.struct(
+            F.lit("tumbling").alias("win_kind"),
+            F.col("event_type").alias("grp"),
+            bucket.alias("win_start"),
+        ),
+        F.struct(
+            F.lit("sliding").alias("win_kind"),
+            F.lit("all").alias("grp"),
+            bucket.alias("win_start"),
+        ),
+        F.struct(
+            F.lit("sliding").alias("win_kind"),
+            F.lit("all").alias("grp"),
+            (bucket - slide_s).alias("win_start"),
+        ),
     )
-    w = F.session_window(F.col("ts"), "10 minutes")
+    cents_sum = (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value")
+    flat = (
+        ev.select(F.explode(entries).alias("e"), "cents")
+        .groupBy("e.win_kind", "e.grp", "e.win_start")
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum)
+    )
+    # Sessionization as gaps-and-islands over one per-user sort (lag ->
+    # boundary flag -> running sum -> group), all inside WindowExec on
+    # the SAME exchange+sort — measured faster than the session_window
+    # operator's MergingSessions path at both sf0.1 and sf1~, and
+    # identical semantics: a gap of exactly the threshold starts a NEW
+    # session (session_window's end is exclusive). Comparison runs in
+    # integer MICROseconds (unix_micros), exact for parquet timestamps;
+    # double-epoch arithmetic can misorder pairs within ~0.5 us of the
+    # threshold.
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = (us - F.lag(us).over(wu) >= 600_000_000).cast("int")
     session = (
-        events.groupBy(F.col("user_id"), w.alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _sum_value().alias("sum_value"),
-        )
+        ev.withColumn("sid", F.sum(F.coalesce(gap, F.lit(1))).over(wu))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"), cents_sum)
         .select(
             F.lit("session").alias("win_kind"),
             F.col("user_id").cast("string").alias("grp"),
-            _epoch(F.col("w.start")).alias("win_start"),
+            _epoch(F.col("s")).alias("win_start"),
             "n",
             "sum_value",
         )
     )
-    return tumbling.unionAll(sliding).unionAll(session)
+    return flat.unionAll(session)
 
 
 def windows_showcase_sql() -> str:
