@@ -76,15 +76,17 @@ def template_df(
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
     if kind == "lines_join":
-        distinct_pixels = (
-            fx.line_pixels_df(spark)
-            .join(masks, on=PIXEL_KEY, how="inner")  # clip per AOI
-            .select("aoi_id", *PIXEL_KEY)
-            .dropDuplicates(["aoi_id", *PIXEL_KEY])
+        # per-(aoi, pixel) distinctness without any dropDuplicates: mask
+        # rows are unique per (aoi_id, pixel), so a LEFT SEMI against the
+        # (duplicated) line pixels yields exactly the distinct AOI-clipped
+        # line-touched pixels — the semi join's build side dedups for free
+        # (same shape as zonal.raster_lines_join)
+        aoi_line_pixels = masks.join(
+            fx.line_pixels_df(spark).select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi"
         )
         return _shape(
             join_layers(layers)
-            .join(distinct_pixels, on=PIXEL_KEY, how="inner")
+            .join(aoi_line_pixels, on=PIXEL_KEY, how="inner")
             .groupBy("aoi_id", *vals)
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )

@@ -183,20 +183,23 @@ def raster_lines_join(
     tuple at the pixel. Lines are clipped to the AOI first (Utils.scala:
     196-198); a pixel crossed by 5 lines counts once (:225-227).
 
-    ``dropDuplicates`` on the pixel key runs partial-distinct map-side
-    before its shuffle, so overlapping line pixels collapse early.
+    Distinctness needs NO explicit dropDuplicates (the r5 10-exchange
+    regression): both clips are LEFT SEMI joins — the joined layers have
+    one row per pixel (full outer of unique-keyed layers), so a semi
+    join against the (duplicated) AOI-clipped line pixels matches each
+    pixel at most once, and the semi join's build-side hash table dedups
+    for free. Two joins + one aggregate; the per-pixel dedup exchange
+    and its double HashAggregate disappear from the plan.
 
     Output: ``(list_key STRING, cnt BIGINT)``.
     """
     vals = _value_cols(len(layers))
-    distinct_pixels = (
-        line_pixels.select(*PIXEL_KEY)
-        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi")  # clip to AOI
-        .dropDuplicates(PIXEL_KEY)
+    line_in_aoi = line_pixels.select(*PIXEL_KEY).join(
+        mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi"  # clip to AOI
     )
     return (
         join_layers(layers)
-        .join(distinct_pixels, on=PIXEL_KEY, how="inner")
+        .join(line_in_aoi, on=PIXEL_KEY, how="left_semi")
         .groupBy(*vals)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(list_key(*vals).alias("list_key"), "cnt")

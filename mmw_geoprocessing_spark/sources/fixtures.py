@@ -207,10 +207,21 @@ def with_fixtures(body: str, *names: str, extra_ctes: str = "") -> str:
 # (Geoprocessing.scala:28-37, CHANGELOG.md:82-91).
 _FIXTURE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _ACTIVE_DIR: dict[int, str] = {}
-# session id -> (SparkSession, conf value before bucketed mode flipped
-# autoBucketedScan off). Restored by clear_fixture_cache() so leaving
+# session id -> (SparkSession, {conf key -> value before bucketed mode
+# changed it}). Restored by clear_fixture_cache() so leaving
 # bucketed-fixture mode never strands a session-wide conf change.
-_SAVED_AUTO_BUCKETED: dict[int, tuple[SparkSession, str | None]] = {}
+_SAVED_BUCKET_CONFS: dict[int, tuple[SparkSession, dict[str, str | None]]] = {}
+
+# Bucketed-mode session confs: autoBucketedScan must be OFF for the
+# bucketed scans to stay Exchange-free, and the legacy outputOrdering
+# flag lets a scan of a sortBy'd table with ONE file per bucket report
+# its sort order — sort-merge joins on the pixel key then elide their
+# per-side Sort (the files are written pre-sorted; see
+# _bucketed_fixture's repartition).
+_BUCKET_MODE_CONFS: dict[str, str] = {
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+}
 
 
 def set_active_dir(sf_dir: str, spark: SparkSession | None = None) -> None:
@@ -247,7 +258,12 @@ def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(tbl):
         df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name))
         (
-            df.write.bucketBy(_N_BUCKETS, *PIXEL_KEY)
+            # repartition on the bucket hash FIRST: one task per bucket
+            # -> exactly ONE file per bucket, which is the condition for
+            # the scan to report the sortBy order (outputOrdering) and
+            # let sort-merge joins elide their per-side Sort entirely
+            df.repartition(_N_BUCKETS, *PIXEL_KEY)
+            .write.bucketBy(_N_BUCKETS, *PIXEL_KEY)
             .sortBy(*PIXEL_KEY)
             .option("path", f"{_BUCKET_DIR}/{tbl}")
             .mode("overwrite")
@@ -287,14 +303,16 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
             # as a hidden side effect of one table read. The pre-mode
             # value is saved (once per session) and restored by
             # clear_fixture_cache() when the mode is exited.
-            conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-            if id(spark) not in _SAVED_AUTO_BUCKETED:
-                try:
-                    prior = spark.conf.get(conf_key)
-                except Exception:
-                    prior = None
-                _SAVED_AUTO_BUCKETED[id(spark)] = (spark, prior)
-            spark.conf.set(conf_key, "false")
+            if id(spark) not in _SAVED_BUCKET_CONFS:
+                saved: dict[str, str | None] = {}
+                for conf_key in _BUCKET_MODE_CONFS:
+                    try:
+                        saved[conf_key] = spark.conf.get(conf_key)
+                    except Exception:
+                        saved[conf_key] = None
+                _SAVED_BUCKET_CONFS[id(spark)] = (spark, saved)
+            for conf_key, val in _BUCKET_MODE_CONFS.items():
+                spark.conf.set(conf_key, val)
             df = _bucketed_fixture(spark, name, sf_dir)
         else:
             df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()
@@ -310,17 +328,17 @@ def clear_fixture_cache() -> None:
     as it was found."""
     _FIXTURE_CACHE.clear()
     _PYRAMID_CACHE.clear()
-    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    while _SAVED_AUTO_BUCKETED:
-        _, (spark, prior) = _SAVED_AUTO_BUCKETED.popitem()
-        try:
-            if prior is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prior)
-        except Exception:
-            # session already stopped — nothing to restore
-            pass
+    while _SAVED_BUCKET_CONFS:
+        _, (spark, saved) = _SAVED_BUCKET_CONFS.popitem()
+        for conf_key, prior in saved.items():
+            try:
+                if prior is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prior)
+            except Exception:
+                # session already stopped — nothing to restore
+                pass
 
 
 def raster_df(spark: SparkSession, raster_id: str) -> DataFrame:
