@@ -21,13 +21,18 @@ of the reference fetching only Intersects-ing 512x512 tiles.
 100 TB design notes:
 - Partition pruning removes the IO, but *partition discovery* still
   lists the directory tree. ``read_layer`` therefore prunes the
-  ``layer=`` and ``key_col=`` levels driver-side (cheap single-level
-  listings) and hands Spark only the in-range ``key_col`` subtrees with
-  ``basePath`` set, so a continent-wide catalog never gets a full
-  recursive listing for a watershed-sized query; ``key_row`` pruning
-  stays declarative via PartitionFilters. A metastore-registered
-  external table (partition metadata in the catalog) is the next step
-  at real scale and composes with this reader unchanged.
+  ``layer=``, ``key_col=`` AND ``key_row=`` levels driver-side (cheap
+  single-level listings through the Hadoop FileSystem API, so it works
+  on ``s3a://``/``hdfs://``/``file:`` roots exactly like the
+  reference's direct S3 reads) and hands Spark only the in-range tile
+  directories with ``basePath`` set — a continent-wide catalog never
+  gets a full recursive listing for a watershed-sized query. Windows
+  wider than ``_ROW_PRUNE_MAX_COLS`` key columns skip the row-level
+  listings (PartitionFilters still prunes declaratively). A root that
+  no filesystem can list degrades to full-tree discovery WITH a
+  warning. A metastore-registered external table (partition metadata
+  in the catalog) is the next step at real scale and composes with
+  this reader unchanged.
 - Tile-interior pixels stay long-form ``(cell_col, cell_row, value)``:
   parquet RLE/dictionary encodes the two cell coordinates to almost
   nothing, the vectorized reader keeps the scan JVM-side, and the pixel
@@ -36,6 +41,7 @@ of the reference fetching only Intersects-ing 512x512 tiles.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,8 +49,102 @@ from pyspark.sql import functions as F
 
 from mmw_geoprocessing_spark.geometry import GridLayout, bbox
 
+logger = logging.getLogger(__name__)
+
 PIXEL_KEY = ["key_col", "key_row", "cell_col", "cell_row"]
 PIXEL_COLS = [*PIXEL_KEY, "value"]
+
+# above this many in-range key_col directories, skip the second
+# (key_row) listing level: one listStatus per key_col dir is cheap for
+# watershed-sized windows but needless for continent-sized ones, where
+# Catalyst's PartitionFilters already prune the row level declaratively
+_ROW_PRUNE_MAX_COLS = 256
+
+
+def _has_scheme(path: str) -> bool:
+    """True for URI-style paths (``file:``, ``s3a://``, ``hdfs://``...)
+    that must NOT hit the plain-os fast paths — os.makedirs would
+    happily create a literal ``./file:`` directory."""
+    import re
+
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path) is not None
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM gateway — works for
+    any registered scheme (``file:``, ``hdfs:``, ``s3a://``...), which
+    plain ``os.listdir`` does not (the reference reads S3 directly,
+    Utils.scala:22-23)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_dir(spark: SparkSession | None, path: str) -> list[str] | None:
+    """Child entry NAMES of a directory. Local fast path first; else the
+    Hadoop FileSystem API. None = could not list (caller falls back to
+    full-tree discovery and LOGS it — the r5 silent-degrade fix)."""
+    if not _has_scheme(path):
+        try:
+            return os.listdir(path)
+        except OSError:
+            return None
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            return None
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    except Exception:
+        return None
+
+
+def _read_text(spark: SparkSession | None, path: str) -> str:
+    """Read a small sidecar file from any filesystem scheme."""
+    if not _has_scheme(path):
+        with open(path) as f:
+            return f.read()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise OSError(f"no active SparkSession to read URI path {path}")
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            raise FileNotFoundError(path)
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # py4j errors -> uniform OSError contract
+        raise OSError(f"cannot read {path}: {e}") from e
+    stream = fs.open(jpath)
+    try:
+        # py4j can't fill a Java byte[] in place; commons-io (bundled
+        # with Spark) drains the stream JVM-side in one call
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession | None, path: str, text: str) -> None:
+    """Write a small sidecar file to any filesystem scheme."""
+    if not _has_scheme(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise OSError(f"no active SparkSession to write URI path {path}")
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode()))
+    finally:
+        stream.close()
 
 
 def write_layer(
@@ -98,10 +198,11 @@ def write_layer(
         )
         if zoom is not None:
             meta["zoom"] = zoom
-    layer_dir = os.path.join(root, f"layer={layer_id}")
-    os.makedirs(layer_dir, exist_ok=True)
-    with open(os.path.join(layer_dir, "_layout.json"), "w") as f:
-        json.dump(meta, f)
+    _write_text(
+        pixels.sparkSession,
+        os.path.join(root, f"layer={layer_id}", "_layout.json"),
+        json.dumps(meta),
+    )
 
 
 def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]:
@@ -109,8 +210,9 @@ def read_layer_layout(root: str, layer_id: str) -> tuple[GridLayout, int | None]
     derives the grid FROM the layer, never from the request alone)."""
     import json
 
-    with open(os.path.join(root, f"layer={layer_id}", "_layout.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(
+        _read_text(None, os.path.join(root, f"layer={layer_id}", "_layout.json"))
+    )
     if "tile_size" not in meta:
         raise ValueError(f"layer {layer_id!r} sidecar has no grid metadata")
     layout = GridLayout(
@@ -128,8 +230,9 @@ def read_layer_value_type(root: str, layer_id: str) -> str | None:
     import json
 
     try:
-        with open(os.path.join(root, f"layer={layer_id}", "_layout.json")) as f:
-            return json.load(f).get("value_type")
+        return json.loads(
+            _read_text(None, os.path.join(root, f"layer={layer_id}", "_layout.json"))
+        ).get("value_type")
     except (OSError, ValueError):
         return None
 
@@ -179,33 +282,67 @@ def key_bounds_for_polys(
     )
 
 
+def _prune_children(
+    entries: list[str], prefix: str, lo: int, hi: int
+) -> list[str]:
+    """Partition-directory names ``prefix<int>`` with lo <= int <= hi."""
+    out = []
+    for e in entries:
+        if e.startswith(prefix):
+            try:
+                v = int(e[len(prefix) :])
+            except ValueError:
+                continue
+            if lo <= v <= hi:
+                out.append(e)
+    return sorted(out)
+
+
 def _pruned_layer_paths(
-    root: str, layer_id: str, key_bounds: tuple[int, int, int, int] | None
+    root: str,
+    layer_id: str,
+    key_bounds: tuple[int, int, int, int] | None,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Driver-side partition-discovery pruning: list ONLY the ``layer=``
-    level (and, with bounds, its ``key_col=`` children in range).
-    Returns the sub-directory paths Spark should discover under; empty
-    list means the layer has no in-range key_col directory."""
+    level, its in-range ``key_col=`` children, and (for windows up to
+    ``_ROW_PRUNE_MAX_COLS`` columns wide) their in-range ``key_row=``
+    children. Listings go through the Hadoop FileSystem API when
+    ``os.listdir`` can't serve the root (``s3a://``/``hdfs://``/
+    ``file:`` URIs) — the reference reads S3 directly (Utils.scala:
+    22-23). Returns the sub-directory paths Spark should discover
+    under; empty list means the layer has no in-range tile directory.
+    A root no filesystem can list falls back to full-tree discovery
+    with declarative PartitionFilters only — and WARNS (the r5 silent
+    degrade)."""
     layer_dir = os.path.join(root, f"layer={layer_id}")
     if key_bounds is None:
         return [layer_dir]
-    kc0, kc1, _, _ = key_bounds
-    out = []
-    try:
-        entries = os.listdir(layer_dir)
-    except OSError:
-        # non-local filesystem (s3a/hdfs URI) — fall back to declarative
-        # pruning only; Catalyst still PartitionFilters everything.
+    kc0, kc1, kr0, kr1 = key_bounds
+    entries = _list_dir(spark, layer_dir)
+    if entries is None:
+        logger.warning(
+            "catalog: cannot list %s driver-side; falling back to full-tree "
+            "partition discovery (declarative pruning only). At object-store "
+            "scale this lists the whole layer tree per query.",
+            layer_dir,
+        )
         return [layer_dir]
-    for e in entries:
-        if e.startswith("key_col="):
-            try:
-                kc = int(e.split("=", 1)[1])
-            except ValueError:
-                continue
-            if kc0 <= kc <= kc1:
-                out.append(os.path.join(layer_dir, e))
-    return sorted(out)
+    col_dirs = _prune_children(entries, "key_col=", kc0, kc1)
+    if len(col_dirs) > _ROW_PRUNE_MAX_COLS:
+        return [os.path.join(layer_dir, c) for c in col_dirs]
+    out = []
+    for c in col_dirs:
+        col_path = os.path.join(layer_dir, c)
+        children = _list_dir(spark, col_path)
+        if children is None:
+            out.append(col_path)
+            continue
+        out.extend(
+            os.path.join(col_path, r)
+            for r in _prune_children(children, "key_row=", kr0, kr1)
+        )
+    return out
 
 
 def read_layer(
@@ -232,7 +369,7 @@ def read_layer(
 
     Output: ``(key_col, key_row, cell_col, cell_row, value)``.
     """
-    paths = _pruned_layer_paths(root, layer_id, key_bounds)
+    paths = _pruned_layer_paths(root, layer_id, key_bounds, spark)
     if not paths:
         vt = value_type or read_layer_value_type(root, layer_id) or "int"
         return spark.range(0).selectExpr(

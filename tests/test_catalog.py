@@ -263,3 +263,72 @@ def test_catalog_serving_rejects_layout_mismatch(spark, tables, monkeypatch):
         assert api.run_request(spark, req)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_on_uri_root_prunes_without_os_listdir(spark, tables, caplog):
+    """Object-store hardening (reference reads S3 directly, Utils.scala:
+    22-23): with a ``file:`` URI root — which os.listdir cannot serve —
+    driver-side discovery pruning must still work through the Hadoop
+    FileSystem API: in-range (key_col, key_row) leaf dirs only, bbox
+    predicates in PartitionFilters, and results identical to the plain
+    local-path read. No silent full-tree fallback."""
+    import pytest as _pytest
+
+    local_root = "/tmp/spark_graft_uri_catalog"
+    shutil.rmtree(local_root, ignore_errors=True)
+    uri_root = f"file:{local_root}"
+    try:
+        catalog.write_layer(fx.raster_df(spark, "nlcd"), uri_root, "nlcd")
+        # os.listdir genuinely cannot list this root
+        with _pytest.raises(OSError):
+            __import__("os").listdir(f"{uri_root}/layer=nlcd")
+        bounds = (2, 5, 0, 1)
+        paths = catalog._pruned_layer_paths(uri_root, "nlcd", bounds, spark)
+        # both levels pruned: 4 cols x <=2 rows, every leaf in-window
+        assert paths and all("key_col=" in p and "key_row=" in p for p in paths)
+        cols = {int(p.split("key_col=")[1].split("/")[0]) for p in paths}
+        rows = {int(p.split("key_row=")[1]) for p in paths}
+        assert cols <= {2, 3, 4, 5} and rows <= {0, 1}
+        got = catalog.read_layer(spark, uri_root, "nlcd", key_bounds=bounds)
+        assert "PartitionFilters" in _scan_plan(got)
+        want = catalog.read_layer(spark, local_root, "nlcd", key_bounds=bounds)
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+        # sidecar readers work through the FS API too (value_type was
+        # written via the Hadoop path on the URI root)
+        assert catalog.read_layer_value_type(uri_root, "nlcd") == "int"
+        empty = catalog.read_layer(spark, uri_root, "nlcd", key_bounds=(900, 901, 0, 0))
+        assert empty.count() == 0 and dict(empty.dtypes)["value"] == "int"
+    finally:
+        shutil.rmtree(local_root, ignore_errors=True)
+
+
+def test_unlistable_root_warns_and_degrades_declaratively(spark, caplog):
+    """A root NO filesystem can list must fall back to full-tree
+    discovery loudly (logged warning), not silently."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="mmw_geoprocessing_spark.sources.catalog"):
+        paths = catalog._pruned_layer_paths(
+            "unknownscheme://bucket/cat", "nlcd", (0, 1, 0, 1), spark
+        )
+    assert paths == ["unknownscheme://bucket/cat/layer=nlcd"]
+    assert any("full-tree" in r.message for r in caplog.records)
+
+
+def test_key_row_pruning_skipped_for_wide_windows(spark, tables, monkeypatch):
+    """When more than _ROW_PRUNE_MAX_COLS key_col dirs are in range,
+    the second (key_row) listing level is skipped — one listing total,
+    row pruning stays declarative via PartitionFilters."""
+    root = "/tmp/spark_graft_wide_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        catalog.write_layer(fx.raster_df(spark, "soil"), root, "soil")
+        monkeypatch.setattr(catalog, "_ROW_PRUNE_MAX_COLS", 4)
+        wide = (0, 31, 0, 0)  # fixture grid has 32 key_col dirs > cap
+        paths = catalog._pruned_layer_paths(root, "soil", wide, spark)
+        assert paths and all("key_row=" not in p for p in paths)
+        narrow = catalog._pruned_layer_paths(root, "soil", (0, 3, 0, 0), spark)
+        assert narrow and all("key_row=0" in p for p in narrow)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
