@@ -52,6 +52,10 @@ HEADLINE = [
     # LLM pipeline
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
+    # the similarity family's SCALE path (r5 #8: the exact fold's sf1~
+    # ratio is DuckDB's tighter list loop, not plan headroom; the ANN
+    # variant is what a deployment runs at corpus scale)
+    "similarity_ann_ivf_topk",
     # event-time windows
     "events_windows_showcase",
 ]

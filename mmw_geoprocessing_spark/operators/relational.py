@@ -87,7 +87,16 @@ def _est_source_rows(source: DataFrame) -> float:
 
 def money_sum_overflow_possible(source: DataFrame, scale: int) -> bool:
     """True when the BIGINT-cents accumulator cannot be proven safe for
-    summing a scale-``scale`` money expression over ``source``."""
+    summing a scale-``scale`` money expression over ``source``.
+
+    ``SPARK_GRAFT_FORCE_DECIMAL_MONEY=1`` pins the answer to True — an
+    audit knob so the DECIMAL(38,0) branch can be hash-matched against
+    the oracle on real data below the natural flip point (~est 2.3e9
+    source rows for scale 10000), e.g. the recorded sf1~ selfcheck."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FORCE_DECIMAL_MONEY") == "1":
+        return True
     bound = _est_source_rows(source) * _MONEY_GUARD["row_bound"] * scale
     return bound > _BIGINT_MAX / _MONEY_GUARD["safety"]
 

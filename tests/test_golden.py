@@ -41,12 +41,12 @@ _ALL_SNAPSHOTS = sorted(
     os.path.basename(p)[: -len("_sf0.001.json")]
     for p in glob.glob(os.path.join(GOLDEN_DIR, "*_sf0.001.json"))
 )
-# "mapshed" (legacy 4-tuple format, test above) is separate; huc12_*
-# snapshots are built by tools.make_goldens.huc12_case, not the registry
+# "mapshed" (legacy 4-tuple format, test above) is separate; sub_*
+# snapshots are built by tools.make_goldens.subbasin_case, not the registry
 _SNAPSHOT_NAMES = [
-    n for n in _ALL_SNAPSHOTS if n != "mapshed" and not n.startswith("huc12_")
+    n for n in _ALL_SNAPSHOTS if n != "mapshed" and not n.startswith("sub_")
 ]
-_HUC12_NAMES = [n for n in _ALL_SNAPSHOTS if n.startswith("huc12_")]
+_SUBBASIN_NAMES = [n for n in _ALL_SNAPSHOTS if n.startswith("sub_")]
 
 
 def _coerce(v):
@@ -80,12 +80,15 @@ def test_query_matches_golden(spark, tables, name):
     )
 
 
-@pytest.mark.parametrize("name", _HUC12_NAMES)
-def test_huc12_case_matches_golden(spark, tables, name):
-    """Per-HUC-12 zonal goldens (8 subbasins x 2 templates) — the
-    reference's per-HUC golden discipline
-    (scripts/benchmark-subbasin:110-121, huc12_*_nlcd_streams.json)."""
-    from tools.make_goldens import huc12_case
+@pytest.mark.parametrize("name", _SUBBASIN_NAMES)
+def test_subbasin_case_matches_golden(spark, tables, name):
+    """The FULL subbasin sweep: every MapShed AOI (huc8_01 + 8 HUC-12
+    subbasins) x every one of the 7 reference templates pinned as an
+    individual golden — the analogue of the reference's 427 per-HUC-12
+    files (scripts/benchmark-subbasin:110-121). The (aoi, template)
+    pair is read from the snapshot itself, not parsed from the name."""
+    from tools.make_goldens import subbasin_case
 
-    aoi, tpl = name.rsplit("_", 2)[0], "_".join(name.split("_")[2:])
-    _assert_matches_golden(huc12_case(spark, aoi, tpl), name)
+    with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
+        meta = json.load(f)
+    _assert_matches_golden(subbasin_case(spark, meta["aoi"], meta["template"]), name)

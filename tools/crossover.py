@@ -39,6 +39,20 @@ QUERIES = [
     "raster_grouped_count",
 ]
 
+# --tier sf10: the 100x replica, for the queries whose sf1~ ratio did
+# not close (VERDICT r5 next-round #7) — is Spark's flat wall-time a
+# fixed cost that amortizes, or a structural per-row deficit? Zonal
+# queries are excluded: their ratios converged at sf1~ and the 60 M-row
+# fixture-CTE derivation would dominate the measurement on both sides.
+DST10 = "/tmp/spark_graft_sf10"
+COPIES10 = 100
+QUERIES10 = [
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "window_running_total",
+    "events_windows_showcase",
+]
+
 # key columns to offset per copy so joins stay consistent and keys
 # stay unique; every other column is replicated verbatim
 OFFSETS = {
@@ -50,29 +64,63 @@ OFFSETS = {
     # grows 10x, which is fine — both engines see the same data
 }
 
+# Honest-content transforms (round 6): verbatim copies made the replica
+# PATHOLOGICAL for content-sensitive operators — 10 identical copies of
+# every embedding turn near-dup detection quadratic (every vector gains
+# 9 exact dups, LSH buckets explode), and 10 events at identical
+# (user_id, ts) let partial aggregation collapse the replica for free.
+# Copies therefore get fresh deterministic content: embeddings beyond
+# copy 0 are hash-derived uniform vectors (same dim; cosine structure
+# isotropic like the source), events beyond copy 0 shift by i full time
+# spans (same event rate over a 10x window, no duplicate timestamps).
+# Both engines read the same parquet, so cross-engine equality is
+# unaffected; only the data's scale story becomes honest.
 
-def build_replica() -> None:
+
+def _copy_select(t: str, cols: list[str], offs: dict[str, int], src: str) -> str:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    sel = {c: (f"{c} + i.i * {offs[c]} AS {c}" if c in offs else c) for c in cols}
+    if t == "embeddings":
+        sel["embedding"] = (
+            "CASE WHEN i.i = 0 THEN embedding ELSE "
+            "list_transform(embedding, (x, j) -> "
+            "CAST((CAST(hash(vec_id * 1000003 + j * 131 + i.i) % 2001 AS BIGINT) "
+            "- 1000) / 1000.0 AS FLOAT)) END AS embedding"
+        )
+    elif t == "events":
+        con = duckdb.connect()
+        span = con.execute(
+            f"SELECT CAST(ceil(date_part('epoch', max(ts) - min(ts))) + 3600 AS BIGINT) "
+            f"FROM read_parquet('{src}/events.parquet')"
+        ).fetchone()[0]
+        con.close()
+        sel["ts"] = f"ts + to_seconds(i.i * {span}) AS ts"
+    return ", ".join(sel[c] for c in cols)
+
+
+def build_replica(dst: str = DST, copies: int = COPIES) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     from mmw_geoprocessing_spark.sources.tables import TABLE_NAMES
 
     for t in TABLE_NAMES:
-        out = f"{DST}/{t}.parquet"
+        out = f"{dst}/{t}.parquet"
         if os.path.exists(out):
             continue
         offs = OFFSETS.get(t)
         if offs:
-            cols = con.execute(
-                f"SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 0"
-            ).df().columns
-            sel = ", ".join(
-                f"{c} + i.i * {offs[c]} AS {c}" if c in offs else c for c in cols
+            cols = list(
+                con.execute(
+                    f"SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 0"
+                ).df().columns
             )
+            sel = _copy_select(t, cols, offs, SRC)
             con.execute(
                 f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-                f"(SELECT UNNEST(range({COPIES})) AS i) i ORDER BY i.i) "
+                f"(SELECT UNNEST(range({copies})) AS i) i ORDER BY i.i) "
                 f"TO '{out}' (FORMAT PARQUET)"
             )
         else:
@@ -83,7 +131,7 @@ def build_replica() -> None:
     con.close()
 
 
-def bench_spark(sf_dir: str) -> dict[str, float]:
+def bench_spark(sf_dir: str, queries: list[str] = QUERIES) -> dict[str, float]:
     import __spark_entry__ as m
     from mmw_geoprocessing_spark.session import get_spark
 
@@ -104,7 +152,7 @@ def bench_spark(sf_dir: str) -> dict[str, float]:
     # would skip every upstream stage (see bench.py timing model)
     qs = m.queries(prepared=False)
     out = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         # Arrow materialization (toPandas), symmetric with DuckDB's .df():
         # row collect() pays a py4j per-row tax that is transport, not
@@ -121,7 +169,7 @@ def bench_spark(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_duck(sf_dir: str) -> dict[str, float]:
+def bench_duck(sf_dir: str, queries: list[str] = QUERIES) -> dict[str, float]:
     import duckdb
 
     import __spark_entry__ as m
@@ -134,7 +182,7 @@ def bench_duck(sf_dir: str) -> dict[str, float]:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     out = {}
-    for name in QUERIES:
+    for name in queries:
         sql = oracles[name]
         con.execute(sql).df()
         ts = []
@@ -150,6 +198,26 @@ def bench_duck(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     # production fixture layout, as in bench.py (exchange-free zonal joins)
     os.environ.setdefault("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+    if "--tier" in sys.argv and "sf10" in sys.argv:
+        build_replica(DST10, COPIES10)
+        rows = []
+        duck = bench_duck(DST10, QUERIES10)
+        spark = bench_spark(DST10, QUERIES10)
+        for q in QUERIES10:
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
+            rows.append(
+                {
+                    "sf": "sf10~",
+                    "query": q,
+                    "spark_s": spark[q]["min"],
+                    "spark_mean_s": spark[q]["mean"],
+                    "duck_s": duck[q]["min"],
+                    "duck_mean_s": duck[q]["mean"],
+                    "ratio": ratio,
+                }
+            )
+            print(json.dumps(rows[-1]))
+        return
     build_replica()
     rows = []
     for sf_label, sf_dir in (("sf0.1", SRC), ("sf1~", DST)):

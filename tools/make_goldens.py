@@ -2,12 +2,13 @@
 sf0.001, the engine's analogue of the reference's 434 checked-in golden
 JSONs (scripts/benchmark-mapshed:146, SURVEY.md §5).
 
-Round 5 widens the corpus from 14 to the full discipline:
+Round 6 completes the discipline:
 - EVERY registry query (one frozen snapshot per `queries()` entry,
   50 files) — a second, oracle-independent line of defense;
-- per-HUC-12 zonal goldens (8 subbasins x {nlcd_soil grouped count,
-  nlcd_streams lines join}, 16 files) — the reference's per-HUC golden
-  naming (`huc12_54842_nlcd_streams.json`,
+- the FULL subbasin sweep: every MapShed AOI (huc8_01 + 8 HUC-12
+  subbasins) x every one of the 7 reference templates as an individual
+  golden (63 files) — the analogue of the reference's 427 per-HUC-12
+  files (`huc12_54842_nlcd_streams.json`,
   scripts/benchmark-subbasin:110-121).
 
 Run deliberately (results are then frozen in git and diffed at 1e-8 by
@@ -31,31 +32,32 @@ GOLDEN_DIR = os.path.join(
 )
 SF_DIR = "/root/testdata/sf0.001"
 
-# the reference's per-subbasin benchmark templates we pin per HUC-12
-HUC12_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
-HUC12_TEMPLATES = ("nlcd_soil", "nlcd_streams")
-
-
-def huc12_case(spark, aoi_id: str, template: str):
-    """Build one per-HUC-12 zonal case (shared with tests/test_golden)."""
-    from mmw_geoprocessing_spark.operators import zonal
+def subbasin_case(spark, aoi_id: str, template: str):
+    """Build one (AOI, template) case of the reference's subbasin sweep
+    (shared with tests/test_golden): the mapshed template restricted to
+    a single AOI — one golden per case, like the reference's per-HUC-12
+    output files."""
+    from mmw_geoprocessing_spark.operators import mapshed
     from mmw_geoprocessing_spark.sources import fixtures as fx
     from mmw_geoprocessing_spark.sources.tables import register_views
 
     register_views(spark, SF_DIR)
-    mask = fx.mask_df(spark, aoi_id)
-    if template == "nlcd_soil":
-        layers = [fx.raster_df(spark, "nlcd"), fx.raster_df(spark, "soil")]
-        return zonal.raster_grouped_count(layers, mask)
-    if template == "nlcd_streams":
-        return zonal.raster_lines_join(
-            [fx.raster_df(spark, "nlcd")], fx.line_pixels_df(spark), mask
-        )
-    raise ValueError(template)
+    kind, rasters, target = mapshed.TEMPLATES[template]
+    m = fx.mask_all_df(spark)
+    return mapshed.template_df(
+        spark, template, kind, rasters, target, m.filter(m.aoi_id == aoi_id)
+    )
 
 
-def huc12_names() -> list[str]:
-    return [f"{aoi}_{tpl}" for aoi in HUC12_AOIS for tpl in HUC12_TEMPLATES]
+def subbasin_cases() -> list[tuple[str, str, str]]:
+    """(golden name, aoi_id, template) for the full sweep."""
+    from mmw_geoprocessing_spark.operators import mapshed
+
+    return [
+        (f"sub_{aoi}_{tpl}", aoi, tpl)
+        for aoi in mapshed.MAPSHED_AOIS
+        for tpl in mapshed.TEMPLATES
+    ]
 
 
 def _coerce(v):
@@ -66,13 +68,13 @@ def _coerce(v):
     return v
 
 
-def snapshot(name: str, df) -> str:
+def snapshot(name: str, df, extra: dict | None = None) -> str:
     cols = df.columns
     rows = [[_coerce(r[c]) for c in cols] for r in df.collect()]
     rows.sort(key=lambda row: json.dumps(row, default=str))
     path = os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")
     with open(path, "w") as f:
-        json.dump({"columns": cols, "rows": rows}, f)
+        json.dump({"columns": cols, "rows": rows, **(extra or {})}, f)
     print(f"{path}: {len(rows)} rows x {len(cols)} cols")
     return path
 
@@ -89,12 +91,10 @@ def main() -> None:
         if only and name not in only:
             continue
         snapshot(name, qs[name](spark, SF_DIR))
-    for aoi in HUC12_AOIS:
-        for tpl in HUC12_TEMPLATES:
-            name = f"{aoi}_{tpl}"
-            if only and name not in only:
-                continue
-            snapshot(name, huc12_case(spark, aoi, tpl))
+    for name, aoi, tpl in subbasin_cases():
+        if only and name not in only:
+            continue
+        snapshot(name, subbasin_case(spark, aoi, tpl), {"aoi": aoi, "template": tpl})
     spark.stop()
 
 

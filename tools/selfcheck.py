@@ -5,11 +5,17 @@ DuckDB over the same sf directory, compares row count, sorted-column
 value hash, and prints one line per query. Exit code 1 on any mismatch.
 
 Usage: python tools/selfcheck.py [sf_dir] [query_prefix]
+
+With ``SELFCHECK_JSON=<path>`` set, also records per-query verdicts plus
+the money-guard state (whether the DECIMAL(38,0) accumulator was
+selected for the money sums at this sf — the scale-dependent branch the
+sf0.01 gate never exercises) as one JSON artifact.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -52,9 +58,22 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    prefixes = [p for p in prefix.split(",") if p]
+    # SELFCHECK_SKIP: comma-separated query names to exclude, recorded
+    # as skipped in the JSON artifact (used by the sf1~ run: the
+    # threshold-0.4 neardup's 16x4 banding is near-all-pairs on an
+    # isotropic corpus — quadratic at any parameterization that keeps
+    # recall at that low threshold — so it is gated at sf<=0.01 and
+    # documented in SCALE.md rather than ground through 2e12 candidates)
+    skip = {s for s in os.environ.get("SELFCHECK_SKIP", "").split(",") if s}
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
-        if prefix and not name.startswith(prefix):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        if name in skip:
+            print(f"SKIP  {name} (SELFCHECK_SKIP)")
+            results[name] = {"skipped": True}
             continue
         t0 = time.time()
         try:
@@ -62,16 +81,19 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             failures += 1
+            results[name] = {"err": f"spark: {str(e)[:200]}"}
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t1 - t0:.1f}s]")
+            results[name] = {"spark_rows": len(sdf), "oracle": None}
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
+            results[name] = {"err": f"duckdb: {str(e)[:200]}"}
             continue
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
@@ -93,13 +115,47 @@ def main() -> int:
             f"{status}  {name}: spark {len(sdf)} rows / duck {len(ddf)} rows, "
             f"cols_match={ok_cols} hash_match={ok_hash} [{t1 - t0:.1f}s]{kinds}"
         )
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols and ok_kinds,
+            "hash_match": ok_hash,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+        }
         if not ok_hash and ok_cols and ok_rows:
             s, d = _canon(sdf), _canon(ddf)
             neq = (s != d).any(axis=1)
             if neq.any():
                 i = neq.idxmax()
                 print(f"      first diff row {i}:\n      spark: {s.iloc[i].to_dict()}\n      duck : {d.iloc[i].to_dict()}")
-    print(f"\n{failures} failures / {len([k for k in qs if k.startswith(prefix)])} queries")
+    n_run = len([k for k in qs if not prefixes or any(k.startswith(p) for p in prefixes)])
+    print(f"\n{failures} failures / {n_run} queries")
+
+    import json
+
+    json_path = os.environ.get("SELFCHECK_JSON")
+    if json_path:
+        from mmw_geoprocessing_spark.operators.relational import (
+            money_sum_overflow_possible,
+        )
+        from mmw_geoprocessing_spark.sources.tables import load_table
+
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_failures": failures,
+            # the scale-dependent branch: True means the money sums ran
+            # on the DECIMAL(38,0) accumulator at this sf
+            "money_guard_decimal_engaged": bool(
+                money_sum_overflow_possible(lineitem, 10000)
+            ),
+            "money_guard_forced": os.environ.get("SPARK_GRAFT_FORCE_DECIMAL_MONEY") == "1",
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {json_path}")
     spark.stop()
     return 1 if failures else 0
 
