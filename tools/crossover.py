@@ -198,6 +198,35 @@ def bench_duck(sf_dir: str, queries: list[str] = QUERIES) -> dict[str, float]:
 def main() -> None:
     # production fixture layout, as in bench.py (exchange-free zonal joins)
     os.environ.setdefault("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+    if "--tier" in sys.argv and "sf1-ann" in sys.argv:
+        # r5 #8: the similarity family's sf1~ headline should be its
+        # declared SCALE path (the bucketed ANN variants), not the
+        # exact brute-force fold. Measures both ANN plans plus the
+        # exact fold for reference, same protocol as the main tiers.
+        build_replica()
+        qs = [
+            "similarity_ann_ivf_topk",
+            "similarity_ann_lsh_topk",
+            "similarity_cosine_topk",
+        ]
+        duck = bench_duck(DST, qs)
+        spark = bench_spark(DST, qs)
+        for q in qs:
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
+            print(
+                json.dumps(
+                    {
+                        "sf": "sf1~",
+                        "query": q,
+                        "spark_s": spark[q]["min"],
+                        "spark_mean_s": spark[q]["mean"],
+                        "duck_s": duck[q]["min"],
+                        "duck_mean_s": duck[q]["mean"],
+                        "ratio": ratio,
+                    }
+                )
+            )
+        return
     if "--tier" in sys.argv and "sf10" in sys.argv:
         build_replica(DST10, COPIES10)
         rows = []
