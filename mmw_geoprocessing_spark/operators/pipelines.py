@@ -1,0 +1,124 @@
+"""End-to-end training-corpus curation: the composition a large-scale
+LLM data pipeline runs over raw documents — featurize, gate on language
+and quality, exact-dedup, prune near-duplicates, assign deterministic
+splits. The reference has no analogue (its pipeline is zonal-only); this
+is part of the SURVEY-demanded LLM-pipeline capability extension built
+from the operators in text_analysis / dedup / sampling.
+
+One declarative plan end-to-end — Catalyst sees the whole composition,
+so the document scan is shared, filters collapse into the featurization
+projection, and nothing materializes between stages. Shuffle budget at
+100 TB (the design contract):
+
+1. featurize + gate: ZERO shuffles — one projection over the scan; the
+   language/quality gates are plain filters Catalyst pushes against it.
+2. exact dedup: one hash-partition on ``md5(text)`` (the window that
+   picks each digest group's minimum doc_id). Digest keys are uniform
+   by construction — no skew, no salting needed.
+3. near-dup prune: the MinHash-LSH pair table (banded bucket joins —
+   never all-pairs; see dedup.minhash_lsh_neardup) anti-joined on
+   doc_id. The dropped-id side is |near-dup pairs| rows — orders of
+   magnitude smaller than the corpus, so AQE plans it broadcast.
+4. split: ZERO shuffles — membership is a pure hash of the key
+   (sampling.deterministic_split).
+
+Near-dup semantics: pairs are detected over the FULL corpus (matching
+the registered ``dedup_minhash_lsh`` query) and the greedy keep-lowest
+rule drops every doc that near-duplicates any lower-id doc. Transitive
+clusters keep only their minimum member iff every member pairs with it
+directly; full connected components is an iterative algorithm (not a
+single SQL-expressible pass) and is out of scope for the oracle-checked
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import sampling as sp
+from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+
+def curate_corpus(
+    documents: DataFrame,
+    *,
+    lang: str = "en",
+    min_words: int = 8,
+    min_distinct_ratio: float = 0.2,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Curate ``documents`` into a training corpus.
+
+    Output: ``(doc_id BIGINT, n_words INT, split STRING)`` — the
+    surviving docs with their token counts and train/val/test labels.
+    """
+    wl = ta._wordlist(F.col("text"))
+    _scores, guess = ta.lang_scores_and_guess(wl)
+    n_words = F.size(wl)
+    distinct_ratio = F.size(F.array_distinct(wl)) / n_words
+    feats = documents.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        distinct_ratio.alias("distinct_ratio"),
+        guess.alias("lang_guess"),
+    )
+    gated = feats.filter(
+        (F.col("lang_guess") == lang)
+        & (F.col("n_words") >= min_words)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+    digest_w = Window.partitionBy(F.md5(F.col("text")))
+    survivors = (
+        gated.withColumn("_canon", F.min("doc_id").over(digest_w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "n_words")
+    )
+    dropped = (
+        dd.minhash_lsh_neardup(documents, threshold=neardup_threshold)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    curated = survivors.join(dropped, "doc_id", "left_anti")
+    return sp.deterministic_split(curated).select("doc_id", "n_words", "split")
+
+
+def curate_corpus_sql(
+    *,
+    lang: str = "en",
+    min_words: int = 8,
+    min_distinct_ratio: float = 0.2,
+    neardup_threshold: float = 0.5,
+) -> str:
+    score_sel = ", ".join(
+        f"{e} AS score_{lg}" for lg, e in ta.lang_score_exprs_sql().items()
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             CAST(len(l) AS INT) AS n_words,
+             len(list_distinct(l)) / len(l) AS distinct_ratio,
+             {score_sel}
+      FROM feats
+    ), gated AS (
+      SELECT doc_id, text, n_words FROM scored
+      WHERE ({ta.lang_guess_case_sql()}) = '{lang}'
+        AND n_words >= {min_words}
+        AND distinct_ratio >= {min_distinct_ratio}
+    ), survivors AS (
+      SELECT doc_id, n_words FROM (
+        SELECT doc_id, n_words,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM gated
+      ) WHERE doc_id = canon
+    ), dropped AS (
+      SELECT DISTINCT d2 AS doc_id
+      FROM ({dd.minhash_lsh_neardup_sql(neardup_threshold)})
+    )
+    SELECT s.doc_id, s.n_words, {sp.split_case_sql(key_col="s.doc_id")} AS split
+    FROM survivors s ANTI JOIN dropped d USING (doc_id)
+    """

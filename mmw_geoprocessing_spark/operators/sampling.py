@@ -57,16 +57,22 @@ def deterministic_split(
     return documents.withColumn("split", expr)
 
 
-def deterministic_split_sql(
-    weights: dict[str, int] | None = None, key_col: str = "doc_id"
-) -> str:
+def split_case_sql(weights: dict[str, int] | None = None, key_col: str = "doc_id") -> str:
+    """The DuckDB CASE expression assigning the split label for a key —
+    reusable inside larger pipeline SQL (curate_corpus_sql)."""
     weights = weights or {"train": 90, "val": 5, "test": 5}
     h = H28_SQL.format(x=f"CAST({key_col} AS VARCHAR)")
     cases, lo = [], 0
     for label, pct in weights.items():
         cases.append(f"WHEN ({h}) % 100 >= {lo} AND ({h}) % 100 < {lo + pct} THEN '{label}'")
         lo += pct
-    return f"SELECT *, CASE {' '.join(cases)} END AS split FROM documents"
+    return f"CASE {' '.join(cases)} END"
+
+
+def deterministic_split_sql(
+    weights: dict[str, int] | None = None, key_col: str = "doc_id"
+) -> str:
+    return f"SELECT *, {split_case_sql(weights, key_col)} AS split FROM documents"
 
 
 def stratified_sample(

@@ -86,13 +86,10 @@ def quality_scores_sql() -> str:
     """
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-profile language guess (n-gram-free heuristic): count
-    stopword hits per language, argmax with a fixed tiebreak order.
-    Output: ``(doc_id, lang_guess, score_en, score_es, score_fr,
-    score_de)``.
-    """
-    wl = _wordlist(F.col("text"))
+def lang_scores_and_guess(wl):
+    """Per-language stopword-hit scores and the argmax guess column for a
+    word-array column — the reusable core of ``lang_id``, shared with the
+    corpus-curation pipeline so featurization stays a single scan."""
 
     def _score(ws: list[str]):
         # one-arg lambda via closure: a default-arg lambda would make
@@ -110,7 +107,16 @@ def lang_id(documents: DataFrame) -> DataFrame:
                 cond = cond & (scores[lang] >= scores[other])
         piece = F.when(cond, F.lit(lang))
         best = piece if best is None else best.when(cond, F.lit(lang))
-    guess = best.otherwise(F.lit("unknown"))
+    return scores, best.otherwise(F.lit("unknown"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language guess (n-gram-free heuristic): count
+    stopword hits per language, argmax with a fixed tiebreak order.
+    Output: ``(doc_id, lang_guess, score_en, score_es, score_fr,
+    score_de)``.
+    """
+    scores, guess = lang_scores_and_guess(_wordlist(F.col("text")))
     return documents.select(
         "doc_id",
         guess.alias("lang_guess"),
@@ -118,12 +124,17 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id_sql() -> str:
-    score_exprs = {
+def lang_score_exprs_sql() -> dict[str, str]:
+    """DuckDB stopword-score expressions over a word-list column ``l``."""
+    return {
         lang: f"len(list_filter(l, w -> w IN ({', '.join(chr(39) + w + chr(39) for w in ws)})))"
         for lang, ws in STOPWORDS.items()
     }
-    sel = ", ".join(f"{e} AS score_{lang}" for lang, e in score_exprs.items())
+
+
+def lang_guess_case_sql() -> str:
+    """DuckDB argmax CASE over ``score_<lang>`` columns (same tiebreak
+    order as the Spark side)."""
     cases = []
     for lang in LANG_ORDER:
         conds = [f"score_{lang} > 0"]
@@ -133,7 +144,12 @@ def lang_id_sql() -> str:
             elif other != lang:
                 conds.append(f"score_{lang} >= score_{other}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+def lang_id_sql() -> str:
+    sel = ", ".join(f"{e} AS score_{lang}" for lang, e in lang_score_exprs_sql().items())
+    case_sql = lang_guess_case_sql()
     return f"""
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     scored AS (SELECT doc_id, {sel} FROM base)

@@ -1,0 +1,56 @@
+"""End-to-end corpus curation (operators/pipelines.py): the composed
+featurize -> gate -> dedup -> near-dup prune -> split pipeline,
+hash-checked against its DuckDB twin plus semantic properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import pipelines as pl
+
+
+def test_curate_corpus_matches_oracle(spark, tables, duck):
+    out = pl.curate_corpus(tables["documents"]).toPandas()
+    want = duck.execute(pl.curate_corpus_sql()).df()
+    cols = ["doc_id", "n_words", "split"]
+    a = out[cols].sort_values("doc_id").reset_index(drop=True)
+    b = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0  # the gate keeps a real corpus, not an empty set
+
+
+def test_curate_corpus_semantics(spark, tables):
+    docs = tables["documents"]
+    out = pl.curate_corpus(docs)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+
+    # near-dup rule: no kept doc appears as the d2 of a verified pair
+    pairs = dd.minhash_lsh_neardup(docs).select("d2").collect()
+    assert kept.isdisjoint({r.d2 for r in pairs})
+
+    # exact-dup rule: kept docs have unique text digests, and each is
+    # its digest group's minimum doc_id within the gated set
+    digests = (
+        docs.join(out.select("doc_id"), "doc_id", "left_semi")
+        .select(F.md5("text").alias("m"), "doc_id")
+    )
+    n = digests.count()
+    assert digests.select("m").distinct().count() == n
+
+    # split labels are well-formed
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+
+
+def test_curate_corpus_is_one_declarative_plan(spark, tables):
+    """The composition must stay lazy and join-structured: no cartesian
+    product, no Python row UDF, and the near-dup side planned as a
+    broadcast (it is orders of magnitude smaller than the corpus)."""
+    out = pl.curate_corpus(tables["documents"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
