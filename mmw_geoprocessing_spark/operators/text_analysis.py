@@ -193,3 +193,68 @@ def fingerprints_sql() -> str:
     SELECT doc_id, md5(lt) AS fp_md5, {h} AS fp_head
     FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction — the compliance stage of a training-data
+# pipeline. Patterns are deliberately written in the portable subset of
+# regex syntax (character classes, bounded repetition, \b) so the Java
+# (Spark) and RE2 (DuckDB) engines match identical spans; replacement is
+# a single fused regexp_replace chain per row, JVM-side, no Python.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: ssn before phone (a 3-2-4 digit group must win over
+    # looser phone shapes), email before anything that could eat its dots
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(documents: DataFrame) -> DataFrame:
+    """Per-document PII hit counts per pattern class.
+
+    Output: ``(doc_id, n_email, n_ssn, n_phone, n_ipv4)``.
+    """
+    return documents.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(p)).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_counts_sql(table: str = "documents") -> str:
+    sel = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    return f"SELECT doc_id, {sel} FROM {table}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Replace every PII span with its typed placeholder (``<EMAIL>``,
+    ``<SSN>``, ``<PHONE>``, ``<IPV4>``) in declaration order, and count
+    the total redactions. Output: ``(doc_id, clean_text, n_redactions)``.
+    """
+    clean = F.col("text")
+    total = F.lit(0)
+    for k, p in PII_PATTERNS.items():
+        total = total + F.regexp_count(clean, F.lit(p))
+        clean = F.regexp_replace(clean, p, f"<{k.upper()}>")
+    return documents.select(
+        "doc_id", clean.alias("clean_text"), total.cast("int").alias("n_redactions")
+    )
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    clean = "text"
+    totals = []
+    for k, p in PII_PATTERNS.items():
+        totals.append(f"len(regexp_extract_all({clean}, '{p}'))")
+        clean = f"regexp_replace({clean}, '{p}', '<{k.upper()}>', 'g')"
+    total = " + ".join(totals)
+    return f"SELECT doc_id, {clean} AS clean_text, CAST({total} AS INT) AS n_redactions FROM {table}"

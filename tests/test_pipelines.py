@@ -54,3 +54,54 @@ def test_curate_corpus_is_one_declarative_plan(spark, tables):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction (text_analysis.pii_*) on documents with injected
+# synthetic PII — one email / ipv4 / phone / ssn per doc, built with the
+# same SQL on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _injection_sql(cast_t: str) -> str:
+    return (
+        "SELECT doc_id, text || ' u' || CAST(doc_id AS {c}) || '@ex.org"
+        " 10.0.0.' || CAST(doc_id % 255 AS {c}) ||"
+        " ' 555-867-5309 123-45-6789' AS text FROM documents"
+    ).format(c=cast_t)
+
+
+def test_pii_counts_matches_oracle(spark, tables, duck):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    injected = spark.sql(_injection_sql("STRING"))
+    out = ta.pii_counts(injected).toPandas().sort_values("doc_id").reset_index(drop=True)
+    duck.execute(f"CREATE OR REPLACE VIEW pii_docs AS {_injection_sql('VARCHAR')}")
+    want = (
+        duck.execute(ta.pii_counts_sql("pii_docs")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (out[["n_email", "n_ssn", "n_phone", "n_ipv4"]] >= 1).all().all()
+
+
+def test_pii_redact_matches_oracle_and_is_complete(spark, tables, duck):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    injected = spark.sql(_injection_sql("STRING"))
+    red = ta.pii_redact(injected)
+    out = red.toPandas().sort_values("doc_id").reset_index(drop=True)
+    duck.execute(f"CREATE OR REPLACE VIEW pii_docs AS {_injection_sql('VARCHAR')}")
+    want = (
+        duck.execute(ta.pii_redact_sql("pii_docs")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (out["n_redactions"] >= 4).all()
+    assert out["clean_text"].str.contains("<EMAIL>").all()
+
+    # completeness: re-scanning the redacted text finds nothing
+    rescanned = ta.pii_counts(
+        red.select("doc_id", F.col("clean_text").alias("text"))
+    ).toPandas()
+    assert (rescanned[["n_email", "n_ssn", "n_phone", "n_ipv4"]] == 0).all().all()
