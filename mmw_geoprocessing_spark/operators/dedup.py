@@ -466,3 +466,92 @@ def simhash_neardup_sql(max_hamming: int = 3) -> str:
     )
     SELECT d1, d2, hamming FROM pairs WHERE hamming <= {max_hamming}
     """
+
+
+def neardup_components(
+    documents: DataFrame, threshold: float = 0.5, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph —
+    the cluster table a dedup pipeline actually keys on (keep one doc
+    per component; the pairwise keep-lowest rule in
+    pipelines.curate_corpus under-prunes transitive chains).
+
+    Iterative min-label propagation: every node starts as its own root;
+    each round takes the min of its root and its neighbors' roots until
+    a fixpoint. Rounds needed = the graph diameter — for near-dup
+    clusters (tiny, near-clique components) that is 2-4; ``max_iters``
+    is a runaway bound, and convergence is detected by a changed-label
+    count (one lightweight job per round, same shape as kmeans_fit's
+    iteration). Per round: ONE shuffle for the neighbor-min aggregate
+    and one broadcast-able label join — no all-pairs, no driver-side
+    graph. Spark 4's native recursive CTE cannot express this (it is
+    UNION ALL-only, which diverges on cyclic graphs), so the iterative
+    plan is the engine's shape; the DuckDB oracle uses its UNION
+    (distinct) recursive closure instead — two roads, one result.
+
+    Output: ``(doc_id, component)`` for every doc in >=1 verified pair;
+    ``component`` is the minimum doc_id reachable in the cluster.
+    """
+    pairs = minhash_lsh_neardup(documents, threshold=threshold).select("d1", "d2")
+    edges = pairs.unionAll(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )  # undirected
+    labels = (
+        edges.select(F.col("d1").alias("doc_id")).distinct()
+        .withColumn("root", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("d2"), F.col("root").alias("nroot")
+                ),
+                "d2",
+            )
+            .groupBy("d1")
+            .agg(F.min("nroot").alias("min_n"))
+            .select(F.col("d1").alias("doc_id"), "min_n")
+        )
+        new_labels = (
+            labels.join(neigh_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("root"), F.coalesce("min_n", "root")).alias("root"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("root").alias("old_root")), "doc_id"
+            )
+            .filter(F.col("root") != F.col("old_root"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # the returned plan reads the final persisted labels; they stay
+    # cached for the caller's collect (session-lifetime, tiny)
+    return labels.select("doc_id", F.col("root").alias("component"))
+
+
+def neardup_components_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({minhash_lsh_neardup_sql(threshold)})
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+    )
+    SELECT x AS doc_id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x
+    """

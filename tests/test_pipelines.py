@@ -105,3 +105,31 @@ def test_pii_redact_matches_oracle_and_is_complete(spark, tables, duck):
         red.select("doc_id", F.col("clean_text").alias("text"))
     ).toPandas()
     assert (rescanned[["n_email", "n_ssn", "n_phone", "n_ipv4"]] == 0).all().all()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components (dedup.neardup_components): iterative
+# min-label propagation vs DuckDB's recursive-CTE closure.
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_components_match_recursive_cte_oracle(spark, tables, duck):
+    out = (
+        dd.neardup_components(tables["documents"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        duck.execute(dd.neardup_components_sql()).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert len(out) > 0
+
+    # invariants: the component label is a member and the component min
+    comp = out.groupby("component")["doc_id"].agg(["min", "count"])
+    assert (comp.index == comp["min"]).all()
+
+    # every verified pair's endpoints share a component
+    pairs = dd.minhash_lsh_neardup(tables["documents"]).select("d1", "d2").toPandas()
+    lab = dict(zip(out["doc_id"], out["component"]))
+    assert all(lab[a] == lab[b] for a, b in zip(pairs["d1"], pairs["d2"]))
