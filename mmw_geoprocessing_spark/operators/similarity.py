@@ -40,6 +40,8 @@ def clear_similarity_index_cache() -> None:
     """Invalidate every cached similarity index (between corpora in a
     long-lived service session)."""
     _INDEX_CACHE.clear()
+    with _CENTROID_CACHE_LOCK:
+        _CENTROID_CACHE.clear()
 
 
 def _as_double(col: Column) -> Column:
@@ -465,28 +467,67 @@ def cosine_topk_pandas(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -
 N_CELLS = 16
 
 
+# (session id, semanticHash) -> centroid list. The 16-row collect that
+# reads the quantizer is a full Spark job (~0.1 s of scheduling + scan
+# at any SF); per-request rebuilds of the SAME corpus quantizer were
+# pure overhead on the ann_ivf serving path. Plain values (no persist
+# to release), bounded like the PlanCache.
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
+_CENTROID_CACHE: _OrderedDict[tuple[int, int], list] = _OrderedDict()
+_CENTROID_CACHE_MAX = 8
+_CENTROID_CACHE_LOCK = _threading.Lock()
+
+
 def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer: the first N_CELLS vectors by
     vec_id act as centroids (k-means would converge better but needs
     iteration; a fixed quantizer keeps the pipeline one-pass and lets
-    the oracle replay it exactly)."""
+    the oracle replay it exactly). Collected once per (session, corpus)."""
+    try:
+        key = (
+            id(embeddings.sparkSession),
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None:
+        with _CENTROID_CACHE_LOCK:
+            cached = _CENTROID_CACHE.get(key)
+            if cached is not None:
+                _CENTROID_CACHE.move_to_end(key)
+                return cached
     rows = (
         embeddings.filter(F.col("vec_id") < N_CELLS)
         .select("vec_id", "embedding")
         .collect()
     )
-    return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sorted(rows)]
+    cents = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sorted(rows)]
+    if key is not None:
+        with _CENTROID_CACHE_LOCK:
+            while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+                _CENTROID_CACHE.popitem(last=False)
+            _CENTROID_CACHE[key] = cents
+    return cents
 
 
-def _cell_scores(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _cell_scores(vec_sql: str, cents: list[tuple[int, list[float]]]) -> Column:
     """Array of (cosine, -cid) structs, one per centroid. array_max /
     sort over these implements argmax with ties toward the smaller id —
     a chained when/otherwise argmax would duplicate the running-best
     expression per centroid and blow the expression tree up
-    exponentially."""
+    exponentially. Built as ONE parsed expression (the _band_structs
+    lesson): element-by-element py4j construction of N_CELLS x DIM
+    literals cost ~0.3 s of plan-build per request; the parsed tree is
+    identical (same fold shape, literals round-trip via repr+D), so
+    results are bit-equal."""
     import math
 
-    vnorm = _norm(col)
+    vnorm = (
+        f"sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
     entries = []
     for cid, vec in cents:
         # centroid norm precomputed driver-side with a plain left-to-right
@@ -495,25 +536,22 @@ def _cell_scores(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
         for x in vec:
             acc += x * x
         cnorm = math.sqrt(acc)
-        dot = _dot(col, F.array(*[F.lit(c) for c in vec]))
+        dot = _dot_plane_sql(vec_sql, vec)
         entries.append(
-            F.struct(
-                (dot / (vnorm * F.lit(cnorm))).alias("c"),
-                F.lit(-cid).alias("nid"),
-            )
+            f"named_struct('c', ({dot}) / (({vnorm}) * {cnorm!r}D), 'nid', {-cid})"
         )
-    return F.array(*entries)
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
-def _cell_assign(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _cell_assign(vec_sql: str, cents: list[tuple[int, list[float]]]) -> Column:
     """argmax-cosine centroid id, ties broken toward the smaller id."""
-    best = F.array_max(_cell_scores(col, cents))
+    best = F.array_max(_cell_scores(vec_sql, cents))
     return (-best["nid"]).cast("int")
 
 
-def _cell_topn(col: Column, cents: list[tuple[int, list[float]]], n: int) -> Column:
+def _cell_topn(vec_sql: str, cents: list[tuple[int, list[float]]], n: int) -> Column:
     """Top-n nearest centroid ids (multi-probe list for the query side)."""
-    ranked = F.reverse(F.array_sort(_cell_scores(col, cents)))
+    ranked = F.reverse(F.array_sort(_cell_scores(vec_sql, cents)))
     return F.transform(F.slice(ranked, 1, n), lambda s: (-s["nid"]).cast("int"))
 
 
@@ -532,7 +570,7 @@ def _ivf_index(embeddings: DataFrame) -> DataFrame:
     def build(emb: DataFrame) -> DataFrame:
         cents = _centroids(emb)
         base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        return base.withColumn("cell", _cell_assign(F.col("v"), cents)).withColumn(
+        return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
             "nv", _norm(F.col("v"))
         )
 
@@ -573,7 +611,7 @@ def ann_ivf_topk(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             "nq",
-            F.explode(_cell_topn(F.col("v"), cents, nprobe)).alias("cell"),
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
