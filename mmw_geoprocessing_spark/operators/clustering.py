@@ -37,40 +37,104 @@ from pyspark.sql import functions as F
 from mmw_geoprocessing_spark.operators.similarity import DIM, _as_double
 
 
-def _cluster_scores(vec_col, cents: list[list[float]]):
+# Above this many centroid coefficients the compiled-literal expression
+# stops being the right plan: the SQL string and codegen method sizes
+# grow with k x DIM (Janino falls back to interpreted past ~64 KB), and
+# driver-side plan build becomes the bottleneck. The broadcast-join
+# strategy takes over there.
+_EXPR_STRATEGY_MAX_COEFFS = 16384
+
+
+def _cluster_scores(vec_sql: str, cents: list[list[float]]):
     """Array of (2 v.c - |c|^2, -cid) structs; array_max implements
-    argmin squared distance with ties toward the smaller cluster id."""
+    argmin squared distance with ties toward the smaller cluster id.
+    ONE parsed expression — element-wise py4j literal construction costs
+    ~0.3 ms per coefficient of driver time (the similarity._cell_scores
+    lesson); literals round-trip via repr+D so results are bit-equal."""
     entries = []
     for cid, c in enumerate(cents):
-        dot = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         csq = 0.0
         for x in c:
             csq += x * x
         entries.append(
-            F.struct((F.lit(2.0) * dot - F.lit(csq)).alias("s"), F.lit(-cid).alias("nid"))
+            f"named_struct('s', 2.0D * ({dot}) - {csq!r}D, 'nid', {-cid})"
         )
-    return F.array(*entries)
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def _vsq(vec_col):
     return F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def assign_clusters(embeddings: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Assign every vector to its nearest centroid (squared Euclidean).
-    Output: ``(vec_id, cluster INT, sq_dist DOUBLE)`` — map-side only.
-    """
-    v = _as_double(F.col("embedding"))
-    best = F.array_max(_cluster_scores(v, cents))
-    return embeddings.select(
+def _assign_expr(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    best = F.array_max(_cluster_scores("v", cents))
+    return base.select(
         "vec_id",
         (-best["nid"]).cast("int").alias("cluster"),
-        (_vsq(v) - best["s"]).alias("sq_dist"),
+        (_vsq(F.col("v")) - best["s"]).alias("sq_dist"),
     )
+
+
+def _assign_join(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Large-k strategy: centroids as a broadcast DataFrame, score every
+    (vector, centroid) pair via a BroadcastNestedLoopJoin (k rows on the
+    build side — a few MB even at k=4096), then per-vector argmax with
+    ``max(struct(s, -cluster))``. The fold is the same zip_with
+    aggregate over the same doubles, so scores — and therefore
+    assignments — are bit-identical to the expression strategy
+    (asserted by tests). One shuffle on vec_id with map-side partial
+    max: k x N intermediate rows never materialize beyond the combiner.
+    """
+    spark = base.sparkSession
+    rows = [(cid, c, sum(x * x for x in c)) for cid, c in enumerate(cents)]
+    cdf = spark.createDataFrame(rows, "cluster int, c array<double>, csq double")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = base.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "v",
+        "cluster",
+        (F.lit(2.0) * dot - F.col("csq")).alias("s"),
+    )
+    best = F.max(F.struct(F.col("s"), (-F.col("cluster")).alias("nc"))).alias("b")
+    return (
+        scored.groupBy("vec_id")
+        .agg(best, F.first(_vsq(F.col("v"))).alias("vsq"))
+        .select(
+            "vec_id",
+            (-F.col("b.nc")).cast("int").alias("cluster"),
+            (F.col("vsq") - F.col("b.s")).alias("sq_dist"),
+        )
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame, cents: list[list[float]], strategy: str = "auto"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared Euclidean).
+    Output: ``(vec_id, cluster INT, sq_dist DOUBLE)``.
+
+    ``strategy``: ``"expr"`` (compiled-literal, map-side only — small k),
+    ``"join"`` (broadcast centroids + argmax aggregate — large k), or
+    ``"auto"`` (pick by k x DIM).
+    """
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    if strategy == "auto":
+        n_coeffs = len(cents) * (len(cents[0]) if cents else 0)
+        strategy = "expr" if n_coeffs <= _EXPR_STRATEGY_MAX_COEFFS else "join"
+    if strategy == "expr":
+        return _assign_expr(base, cents)
+    if strategy == "join":
+        return _assign_join(base, cents)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def kmeans_fit(
@@ -98,7 +162,7 @@ def kmeans_fit(
     try:
         inertia: list[float] = []
         for _ in range(iters):
-            best = F.array_max(_cluster_scores(F.col("v"), cents))
+            best = F.array_max(_cluster_scores("v", cents))
             assigned = base.select(
                 "v",
                 (-best["nid"]).cast("int").alias("cluster"),

@@ -102,3 +102,23 @@ def test_cluster_proportional_sample(spark, tables):
     joined = kept.join(full.select("vec_id", F.col("cluster").alias("c2")), "vec_id")
     assert joined.filter(F.col("cluster") != F.col("c2")).count() == 0
     assert joined.count() == n_kept
+
+
+def test_join_strategy_matches_expr_bitwise(spark, tables):
+    """The broadcast-join assignment (large-k strategy) computes the
+    same fold over the same doubles — assignments and distances must be
+    BIT-identical to the compiled-literal strategy."""
+    cents, _ = cl.kmeans_fit(tables["embeddings"], k=K, iters=2)
+    a = cl.assign_clusters(tables["embeddings"], cents, strategy="expr").toPandas()
+    b = cl.assign_clusters(tables["embeddings"], cents, strategy="join").toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"] == b["cluster"]).all()
+    assert (a["sq_dist"] == b["sq_dist"]).all()  # bitwise, no tolerance
+
+    plan = (
+        cl.assign_clusters(tables["embeddings"], cents, strategy="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial" in plan.lower()  # map-side combiner before the shuffle
