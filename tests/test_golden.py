@@ -44,7 +44,9 @@ _ALL_SNAPSHOTS = sorted(
 # "mapshed" (legacy 4-tuple format, test above) is separate; sub_*
 # snapshots are built by tools.make_goldens.subbasin_case, not the registry
 _SNAPSHOT_NAMES = [
-    n for n in _ALL_SNAPSHOTS if n != "mapshed" and not n.startswith("sub_")
+    n
+    for n in _ALL_SNAPSHOTS
+    if n != "mapshed" and not n.startswith(("sub_", "lib_"))
 ]
 _SUBBASIN_NAMES = [n for n in _ALL_SNAPSHOTS if n.startswith("sub_")]
 
@@ -92,3 +94,17 @@ def test_subbasin_case_matches_golden(spark, tables, name):
     with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
         meta = json.load(f)
     _assert_matches_golden(subbasin_case(spark, meta["aoi"], meta["template"]), name)
+
+
+_LIB_NAMES = [n for n in _ALL_SNAPSHOTS if n.startswith("lib_")]
+
+
+@pytest.mark.parametrize("name", _LIB_NAMES)
+def test_lib_operator_matches_golden(spark, tables, name):
+    """Frozen snapshots for library operators OUTSIDE the 50-entry
+    registry (curation pipeline, PII, near-dup components, sampling) —
+    built from the same tools.make_goldens.lib_cases registry that
+    generated them."""
+    from tools.make_goldens import lib_cases
+
+    _assert_matches_golden(lib_cases()[name](spark), name)

@@ -60,6 +60,52 @@ def subbasin_cases() -> list[tuple[str, str, str]]:
     ]
 
 
+def pii_injected_docs(spark):
+    """documents with one synthetic email/ipv4/phone/ssn appended per doc
+    (the same injection tests/test_pipelines.py uses cross-engine)."""
+    from mmw_geoprocessing_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    return spark.sql(
+        "SELECT doc_id, text || ' u' || CAST(doc_id AS STRING) || '@ex.org"
+        " 10.0.0.' || CAST(doc_id % 255 AS STRING) ||"
+        " ' 555-867-5309 123-45-6789' AS text FROM documents"
+    )
+
+
+def lib_cases() -> dict:
+    """Library operators OUTSIDE the 50-entry registry (pipelines, PII,
+    components, sampling): goldens give them the same frozen regression
+    line the registry queries have. k-means is excluded deliberately —
+    its centroid means are partitioning-sensitive at ~1e-12, which can
+    flip near-tie assignments across environments; its oracle is the
+    numpy replica in tests/test_clustering.py."""
+    from mmw_geoprocessing_spark.operators import dedup as dd
+    from mmw_geoprocessing_spark.operators import pipelines as pl
+    from mmw_geoprocessing_spark.operators import sampling as sp
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+    from mmw_geoprocessing_spark.sources.tables import load_tables
+
+    def docs(spark):
+        return load_tables(spark, SF_DIR)["documents"]
+
+    return {
+        "lib_curate_corpus": lambda s: pl.curate_corpus(docs(s)),
+        "lib_neardup_components": lambda s: dd.neardup_components(docs(s)),
+        "lib_pii_counts": lambda s: ta.pii_counts(pii_injected_docs(s)),
+        "lib_pii_redact": lambda s: ta.pii_redact(pii_injected_docs(s)),
+        "lib_deterministic_split": lambda s: sp.deterministic_split(docs(s)).select(
+            "doc_id", "split"
+        ),
+        "lib_stratified_sample": lambda s: sp.stratified_sample(
+            docs(s), strata_col="lang", fraction=0.5
+        ).select("doc_id", "lang"),
+        "lib_pack_token_batches": lambda s: sp.pack_token_batches(
+            docs(s), budget=256, n_buckets=8
+        ),
+    }
+
+
 def _coerce(v):
     if isinstance(v, bytes):
         return {"__hex__": v.hex()}
@@ -95,6 +141,10 @@ def main() -> None:
         if only and name not in only:
             continue
         snapshot(name, subbasin_case(spark, aoi, tpl), {"aoi": aoi, "template": tpl})
+    for name, build in sorted(lib_cases().items()):
+        if only and name not in only:
+            continue
+        snapshot(name, build(spark))
     spark.stop()
 
 
