@@ -41,6 +41,34 @@ from mmw_geoprocessing_spark.operators import sampling as sp
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 
 
+def _featurize_gate(
+    documents: DataFrame,
+    lang: str,
+    min_words: int,
+    min_distinct_ratio: float,
+) -> DataFrame:
+    """One-scan featurization + language/quality gate — a pure
+    projection+filter, so the same plan fragment works unchanged over a
+    batch table or a stream. Output: the gated docs with
+    ``(doc_id, text, n_words, distinct_ratio, lang_guess)``."""
+    wl = ta._wordlist(F.col("text"))
+    _scores, guess = ta.lang_scores_and_guess(wl)
+    n_words = F.size(wl)
+    distinct_ratio = F.size(F.array_distinct(wl)) / n_words
+    feats = documents.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        distinct_ratio.alias("distinct_ratio"),
+        guess.alias("lang_guess"),
+    )
+    return feats.filter(
+        (F.col("lang_guess") == lang)
+        & (F.col("n_words") >= min_words)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+
+
 def curate_corpus(
     documents: DataFrame,
     *,
@@ -54,22 +82,7 @@ def curate_corpus(
     Output: ``(doc_id BIGINT, n_words INT, split STRING)`` — the
     surviving docs with their token counts and train/val/test labels.
     """
-    wl = ta._wordlist(F.col("text"))
-    _scores, guess = ta.lang_scores_and_guess(wl)
-    n_words = F.size(wl)
-    distinct_ratio = F.size(F.array_distinct(wl)) / n_words
-    feats = documents.select(
-        "doc_id",
-        "text",
-        n_words.alias("n_words"),
-        distinct_ratio.alias("distinct_ratio"),
-        guess.alias("lang_guess"),
-    )
-    gated = feats.filter(
-        (F.col("lang_guess") == lang)
-        & (F.col("n_words") >= min_words)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-    )
+    gated = _featurize_gate(documents, lang, min_words, min_distinct_ratio)
     digest_w = Window.partitionBy(F.md5(F.col("text")))
     survivors = (
         gated.withColumn("_canon", F.min("doc_id").over(digest_w))
@@ -122,3 +135,53 @@ def curate_corpus_sql(
     SELECT s.doc_id, s.n_words, {sp.split_case_sql(key_col="s.doc_id")} AS split
     FROM survivors s ANTI JOIN dropped d USING (doc_id)
     """
+
+
+def curate_stream(
+    stream_docs: DataFrame,
+    neardup_dropped: DataFrame,
+    *,
+    lang: str = "en",
+    min_words: int = 8,
+    min_distinct_ratio: float = 0.2,
+    dedup_watermark: str = "10 minutes",
+) -> DataFrame:
+    """The curation pipeline at INGEST time: the same gates running over
+    a document stream, so new corpus drops are curated as they land
+    instead of re-batching the world.
+
+    Stage mapping from the batch plan:
+    - featurize + gate: identical plan fragment (_featurize_gate) —
+      stateless, so it streams as-is.
+    - exact dedup: ``dropDuplicatesWithinWatermark`` on the content
+      digest over an ingest-time watermark — state is bounded by the
+      watermark horizon (the batch min-doc_id canonicalization needs a
+      global view a stream cannot have; first-arrival-wins is the
+      streaming contract, and the batch/stream equivalence test
+      compares digest SETS for exactly this reason).
+    - near-dup prune: stream-static LEFT ANTI join against the
+      ingest-time near-dup index (the id table
+      ``dedup.minhash_lsh_neardup(...).select(d2)`` materialized at the
+      last index build). A stream cannot LSH-join against itself;
+      at deployment the index refreshes on the ingest cadence.
+    - split: pure hash of the key — stateless.
+
+    Output stream: ``(doc_id, text_md5, n_words, split)``; run it with
+    ``streaming.windows.run_availablenow`` for checkpointed exactly-once
+    delivery into the corpus sink.
+    """
+    gated = _featurize_gate(stream_docs, lang, min_words, min_distinct_ratio)
+    deduped = (
+        gated.withColumn("text_md5", F.md5(F.col("text")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+    pruned = deduped.join(
+        neardup_dropped.select(F.col("d2").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return sp.deterministic_split(pruned).select(
+        "doc_id", "text_md5", "n_words", "split"
+    )

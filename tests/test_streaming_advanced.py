@@ -192,3 +192,71 @@ def test_checkpoint_recovery_exactly_once_file_sink(spark, tables):
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert got.count() == want
     assert got.select("event_id").distinct().count() == want  # no duplicates
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_curate_stream_matches_batch_semantics(spark, tables):
+    """Ingest-time curation: gates stream as-is, exact dedup via
+    dropDuplicatesWithinWatermark, near-dup prune via a stream-static
+    anti join, checkpointed exactly-once delivery across a restart.
+
+    Arrival order inside a micro-batch is arbitrary, so digest-level
+    expectations are computed order-independently: a digest none of
+    whose gated docs are near-dup-dropped MUST land in the sink; one
+    whose gated docs are ALL dropped MUST NOT; mixed digests depend on
+    which arrival survived and are not asserted."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as SF
+
+    from mmw_geoprocessing_spark.operators import dedup as dd
+    from mmw_geoprocessing_spark.operators import pipelines as pl
+
+    docs = tables["documents"]
+    src = tf.mkdtemp(prefix="cur_src_")
+    ckpt = tf.mkdtemp(prefix="cur_ckpt_")
+    out = tf.mkdtemp(prefix="cur_out_")
+    chunk1 = docs.filter(SF.col("doc_id") % 2 == 0)
+    chunk2 = docs.filter(SF.col("doc_id") % 2 == 1)
+
+    pairs = dd.minhash_lsh_neardup(docs)  # the static ingest-time index
+    dropped = {r.d2 for r in pairs.select("d2").distinct().collect()}
+
+    def run():
+        stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(src)
+        return sw.run_availablenow(
+            pl.curate_stream(stream, pairs), ckpt, sink_path=out
+        )
+
+    chunk1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    assert sum(int(p["numInputRows"]) for p in (q2.recentProgress or [])) == chunk2.count()
+
+    sink = spark.read.parquet(out).toPandas()
+    # exactly-once + streaming dedup: unique ids AND unique digests
+    assert sink["doc_id"].is_unique
+    assert sink["text_md5"].is_unique
+
+    gated = (
+        pl._featurize_gate(docs, "en", 8, 0.2)
+        .select("doc_id", SF.md5("text").alias("text_md5"), "n_words")
+        .toPandas()
+    )
+    # every sink row is a gated doc, not near-dup-dropped
+    merged = sink.merge(gated, on=["doc_id", "text_md5", "n_words"], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert not (sink["doc_id"].isin(dropped)).any()
+
+    by_digest = gated.groupby("text_md5")["doc_id"].agg(list)
+    sink_digests = set(sink["text_md5"])
+    for digest, ids in by_digest.items():
+        if not any(i in dropped for i in ids):
+            assert digest in sink_digests  # clean digest must survive
+        elif all(i in dropped for i in ids):
+            assert digest not in sink_digests  # doomed digest must not
