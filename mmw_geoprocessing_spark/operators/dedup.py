@@ -468,40 +468,46 @@ def simhash_neardup_sql(max_hamming: int = 3) -> str:
     """
 
 
-def neardup_components(
-    documents: DataFrame, threshold: float = 0.5, max_iters: int = 20
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
-    """Connected components over the MinHash-LSH near-dup pair graph —
-    the cluster table a dedup pipeline actually keys on (keep one doc
-    per component; the pairwise keep-lowest rule in
-    pipelines.curate_corpus under-prunes transitive chains).
+    """Connected components over an undirected pair table ``(d1, d2)``
+    by iterative min-label propagation WITH pointer jumping.
 
-    Iterative min-label propagation: every node starts as its own root;
-    each round takes the min of its root and its neighbors' roots until
-    a fixpoint. Rounds needed = the graph diameter — for near-dup
-    clusters (tiny, near-clique components) that is 2-4; ``max_iters``
-    is a runaway bound, and convergence is detected by a changed-label
-    count (one lightweight job per round, same shape as kmeans_fit's
-    iteration). Per round: ONE shuffle for the neighbor-min aggregate
-    and one broadcast-able label join — no all-pairs, no driver-side
+    Every node starts as its own root; each round takes (1) the min of
+    its root and its neighbors' roots, then (2) the root OF that root
+    (pointer jumping) — so labels travel exponentially and rounds are
+    O(log diameter), not O(diameter): a 1M-node chain converges in ~20
+    rounds where plain propagation needs 1M. Convergence is detected by
+    a changed-label count (one lightweight job per round, the
+    kmeans_fit iteration shape); a graph still unconverged after
+    ``max_iters`` raises rather than returning silently-wrong labels.
+    Per round: one shuffle for the neighbor-min aggregate and two label
+    joins over a table of |nodes| rows — no all-pairs, no driver-side
     graph. Spark 4's native recursive CTE cannot express this (it is
-    UNION ALL-only, which diverges on cyclic graphs), so the iterative
-    plan is the engine's shape; the DuckDB oracle uses its UNION
-    (distinct) recursive closure instead — two roads, one result.
+    UNION ALL-only, which diverges on cyclic graphs — probed), so the
+    iterative plan is the engine's shape; the DuckDB oracle uses its
+    UNION (distinct) recursive closure instead — two roads, one result.
 
-    Output: ``(doc_id, component)`` for every doc in >=1 verified pair;
-    ``component`` is the minimum doc_id reachable in the cluster.
+    Output: ``(doc_id, component)`` — ``component`` is the minimum id
+    reachable in the cluster.
     """
-    pairs = minhash_lsh_neardup(documents, threshold=threshold).select("d1", "d2")
-    edges = pairs.unionAll(
+    edges = pairs.select("d1", "d2").unionAll(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )  # undirected
+    # localCheckpoint, NOT persist: the label table is referenced three
+    # times per round (neighbor lookup, candidate, pointer jump), so a
+    # persist-only loop DOUBLES the logical plan every iteration —
+    # Catalyst re-analysis goes exponential and a 10-round run hangs in
+    # the optimizer. Checkpointing truncates the lineage each round;
+    # the tables are |nodes| rows. (On a cluster, lineage-truncating
+    # checkpoints also bound scheduler/serialization cost the same way.)
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("d1").alias("doc_id")).distinct()
         .withColumn("root", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iters):
         neigh_min = (
             edges.join(
@@ -514,13 +520,24 @@ def neardup_components(
             .agg(F.min("nroot").alias("min_n"))
             .select(F.col("d1").alias("doc_id"), "min_n")
         )
+        cand = labels.join(neigh_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("root"), F.coalesce("min_n", "root")).alias("cand"),
+        )
+        # pointer jump: follow the candidate root to ITS root
         new_labels = (
-            labels.join(neigh_min, "doc_id", "left")
+            cand.join(
+                labels.select(
+                    F.col("doc_id").alias("cand"), F.col("root").alias("cand_root")
+                ),
+                "cand",
+                "left",
+            )
             .select(
                 "doc_id",
-                F.least(F.col("root"), F.coalesce("min_n", "root")).alias("root"),
+                F.least(F.col("cand"), F.coalesce("cand_root", "cand")).alias("root"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -529,13 +546,31 @@ def neardup_components(
             .filter(F.col("root") != F.col("old_root"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # the returned plan reads the final persisted labels; they stay
-    # cached for the caller's collect (session-lifetime, tiny)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # the returned plan reads the final checkpointed labels (tiny,
+    # session-lifetime)
     return labels.select("doc_id", F.col("root").alias("component"))
+
+
+def neardup_components(
+    documents: DataFrame, threshold: float = 0.5, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph —
+    the cluster table a dedup pipeline actually keys on (keep one doc
+    per component; the pairwise keep-lowest rule in
+    pipelines.curate_corpus under-prunes transitive chains). Near-dup
+    components are near-cliques (diameter 2-4), so this converges in
+    ~3 rounds; the general machinery (and its chain-graph behavior) is
+    :func:`connected_components`.
+    """
+    pairs = minhash_lsh_neardup(documents, threshold=threshold).select("d1", "d2")
+    return connected_components(pairs, max_iters=max_iters)
 
 
 def neardup_components_sql(threshold: float = 0.5) -> str:

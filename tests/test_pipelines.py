@@ -133,3 +133,30 @@ def test_neardup_components_match_recursive_cte_oracle(spark, tables, duck):
     pairs = dd.minhash_lsh_neardup(tables["documents"]).select("d1", "d2").toPandas()
     lab = dict(zip(out["doc_id"], out["component"]))
     assert all(lab[a] == lab[b] for a, b in zip(pairs["d1"], pairs["d2"]))
+
+
+def test_connected_components_chain_graph(spark):
+    """Pointer jumping must collapse a long CHAIN (worst case for plain
+    min-propagation: rounds = diameter) within the default max_iters —
+    200 nodes, diameter 199, converges in O(log n) rounds. Oracle:
+    every node's component is the chain head; a second disjoint clique
+    keeps its own min."""
+    chain = [(i, i + 1) for i in range(199)]         # 0-1-2-...-199
+    clique = [(1000 + a, 1000 + b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(chain + clique, "d1 long, d2 long")
+    out = dd.connected_components(pairs).toPandas()
+    lab = dict(zip(out["doc_id"], out["component"]))
+    assert all(lab[i] == 0 for i in range(200))
+    assert all(lab[1000 + i] == 1000 for i in range(4))
+    assert len(lab) == 204
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iters too small for the graph must raise, never return
+    silently wrong labels."""
+    import pytest as pt
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "d1 long, d2 long")
+    with pt.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iters=2)
