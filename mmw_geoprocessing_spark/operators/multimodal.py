@@ -239,3 +239,78 @@ def frame_sample_sql(n_frames: int = 4) -> str:
     FROM f, UNNEST(generate_series(0, {n_frames - 1})) AS t(i)
     WHERE i * step < n
     """
+
+
+def image_resize(
+    media: DataFrame, out_w: int, out_h: int, codec: str = "auto"
+) -> DataFrame:
+    """Nearest-neighbor image resize through the binary-column plumbing:
+    decode → numpy index-select → re-encode PNG, entirely inside
+    mapInPandas (payloads never leave the executors; one Python crossing
+    per Arrow batch — the multimodal contract).
+
+    The sampling grid is ``src = (i * in_dim) // out_dim`` on BOTH
+    decode backends (Pillow only decodes; the resample itself is the
+    same numpy gather), so results are backend-independent. Output
+    payloads are always PNG (functions.png_codec.encode_png).
+
+    Output: ``(doc_id, width, height, payload BINARY)``.
+    """
+    if codec == "auto":
+        codec = "pil" if image_codec_available() else "png"
+    if codec == "pil" and not image_codec_available():
+        raise NotImplementedError(
+            "image_resize(codec='pil') needs Pillow; PNG payloads resize "
+            "via codec='png' (pure-stdlib decode)"
+        )
+    if codec not in ("pil", "png"):
+        raise NotImplementedError(f"unknown image codec {codec!r}")
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from mmw_geoprocessing_spark.functions import png_codec
+
+        spp_of = {"L": 1, "RGB": 3, "RGBA": 4}
+
+        def decode(payload: bytes):
+            if codec == "pil":
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(payload))
+                arr = np.asarray(img, dtype=np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return img.mode, arr
+            w, h, mode, lines = png_codec.decode_png(payload)
+            arr = np.frombuffer(bytes(b"".join(lines)), dtype=np.uint8)
+            return mode, arr.reshape(h, w, spp_of[mode])
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                mode, arr = decode(bytes(payload))
+                h, w = arr.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = arr[ys][:, xs]
+                scanlines = [
+                    [int(px[0]) if mode == "L" else tuple(int(v) for v in px) for px in row]
+                    for row in out
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": out_w,
+                        "height": out_h,
+                        "payload": png_codec.encode_png(scanlines, mode),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, width int, height int, payload binary"
+    )

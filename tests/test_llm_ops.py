@@ -318,3 +318,41 @@ def test_ngram_jaccard_prefix_filter_skew_and_recall(spark, tables):
 
     # exact dups score 1.0 (full-set verification unchanged)
     assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in pairs.collect())
+
+
+def test_image_resize_real_png_nearest_neighbor(spark):
+    """Real resize end to end: PNG bytes through mapInPandas, nearest-
+    neighbor gather verified against a numpy replica, output payloads
+    decodable PNGs with the declared dimensions."""
+    import numpy as np
+
+    from mmw_geoprocessing_spark.functions import png_codec
+
+    rng_rows = [
+        [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 7) % 256) for x in range(6)]
+        for y in range(4)
+    ]
+    grey_rows = [[(x * 31 + y * 3) % 256 for x in range(5)] for y in range(3)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_codec.encode_png(rng_rows, "RGB"))),
+            (2, bytearray(png_codec.encode_png(grey_rows, "L"))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.image_resize(df, 3, 2).collect()}
+
+    for doc_id, rows, spp in ((1, rng_rows, 3), (2, grey_rows, 1)):
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (3, 2)
+        w, h, mode, lines = png_codec.decode_png(bytes(r["payload"]))
+        assert (w, h) == (3, 2)
+        src = np.array(
+            [[px if isinstance(px, tuple) else (px,) for px in row] for row in rows],
+            dtype=np.uint8,
+        )
+        ys = (np.arange(2) * src.shape[0]) // 2
+        xs = (np.arange(3) * src.shape[1]) // 3
+        want = src[ys][:, xs]
+        out = np.frombuffer(bytes(b"".join(lines)), dtype=np.uint8).reshape(2, 3, spp)
+        assert (out == want).all()
