@@ -258,3 +258,51 @@ def pii_redact_sql(table: str = "documents") -> str:
         clean = f"regexp_replace({clean}, '{p}', '<{k.upper()}>', 'g')"
     total = " + ".join(totals)
     return f"SELECT doc_id, {clean} AS clean_text, CAST({total} AS INT) AS n_redactions FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate normalization — the first stage of web-corpus ingestion:
+# strip markup, decode the common entities, canonicalize whitespace.
+# Same portable-regex discipline as the PII stage; a fused JVM-side
+# replace chain, no Python.
+# ---------------------------------------------------------------------------
+
+_HTML_TAG = r"<[^>]*>"
+_WS_RUN = r"[ \t\r\n]+"
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Markup/whitespace normalization: count then strip tags, decode
+    common entities (after tag removal, so ``&lt;b&gt;`` cannot become a
+    live tag), collapse whitespace runs, trim.
+    Output: ``(doc_id, clean_text, n_tags)``.
+    """
+    n_tags = F.regexp_count(F.col("text"), F.lit(_HTML_TAG))
+    clean = F.regexp_replace(F.col("text"), _HTML_TAG, " ")
+    for ent, rep in _ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(clean, _WS_RUN, " "))
+    return documents.select(
+        "doc_id", clean.alias("clean_text"), n_tags.cast("int").alias("n_tags")
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    clean = f"regexp_replace(text, '{_HTML_TAG}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{rep_sql}')"
+    clean = f"trim(regexp_replace({clean}, '{_WS_RUN}', ' ', 'g'))"
+    return (
+        f"SELECT doc_id, {clean} AS clean_text, "
+        f"CAST(len(regexp_extract_all(text, '{_HTML_TAG}')) AS INT) AS n_tags "
+        f"FROM {table}"
+    )

@@ -160,3 +160,30 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(chain, "d1 long, d2 long")
     with pt.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iters=2)
+
+
+def _html_injection_sql(cast_t: str) -> str:
+    return (
+        "SELECT doc_id, '<div class=\"x\">' || text || '</div> &amp;&nbsp;"
+        "<br/>tail&#39;s &lt;tag&gt;' AS text FROM documents"
+    )
+
+
+def test_normalize_text_matches_oracle(spark, tables, duck):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    injected = spark.sql(_html_injection_sql("STRING"))
+    out = (
+        ta.normalize_text(injected).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    duck.execute(f"CREATE OR REPLACE VIEW html_docs AS {_html_injection_sql('VARCHAR')}")
+    want = (
+        duck.execute(ta.normalize_text_sql("html_docs")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (out["n_tags"] >= 3).all()
+    # stripped: no tags survive; entities decoded AFTER tag removal stay text
+    assert not out["clean_text"].str.contains("<div|<br|&amp|&nbsp|&#39").any()
+    assert out["clean_text"].str.contains("<tag>").all()  # decoded entity is literal text
+    assert not out["clean_text"].str.contains("  ").any()  # whitespace collapsed
