@@ -89,8 +89,35 @@ def lib_cases() -> dict:
     def docs(spark):
         return load_tables(spark, SF_DIR)["documents"]
 
+    def png_media(spark):
+        from mmw_geoprocessing_spark.functions import png_codec
+
+        rows = [
+            (
+                i,
+                bytearray(
+                    png_codec.encode_png(
+                        [
+                            [
+                                ((x * 37 + y * 11 + i) % 256, (x * 5 + i) % 256, (y * 7) % 256)
+                                for x in range(6)
+                            ]
+                            for y in range(4)
+                        ],
+                        "RGB",
+                    )
+                ),
+            )
+            for i in range(8)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    from mmw_geoprocessing_spark.operators import multimodal as mm
+
     return {
         "lib_curate_corpus": lambda s: pl.curate_corpus(docs(s)),
+        "lib_normalize_text": lambda s: ta.normalize_text(docs(s)),
+        "lib_image_resize": lambda s: mm.image_resize(png_media(s), 3, 2),
         "lib_neardup_components": lambda s: dd.neardup_components(docs(s)),
         "lib_pii_counts": lambda s: ta.pii_counts(pii_injected_docs(s)),
         "lib_pii_redact": lambda s: ta.pii_redact(pii_injected_docs(s)),
