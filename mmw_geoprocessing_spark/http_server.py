@@ -46,7 +46,11 @@ def input_data_from_json(doc: dict) -> InputData:
         target_raster=doc.get("targetRaster"),
         shape_geojson=doc.get("polygon"),
         shape_crs=doc.get("polygonCRS"),
-        stream_lines_geojson=doc.get("streamLines"),
+        # the reference /run field is ``vector`` (WebServer.scala:20);
+        # ``streamLines`` is kept as the engine's alias (it is the
+        # reference's /multi field name)
+        stream_lines_geojson=doc.get("vector", doc.get("streamLines")),
+        vector_crs=doc.get("vectorCRS"),
         aoi_ids=doc.get("aoiIds"),
         use_line_pixels=bool(doc.get("useLinePixels", False)),
         pixel_is_area=bool(doc.get("pixelIsArea", False)),
@@ -71,6 +75,7 @@ def multi_input_from_json(doc: dict) -> MultiInput:
         ],
         shape_crs=doc.get("shapeCRS", "LatLng"),
         raster_crs=doc.get("rasterCRS", "ConusAlbers"),
+        zoom=int(doc.get("zoom", 0)),
     )
 
 

@@ -109,14 +109,17 @@ def _lines(spark: SparkSession, input_data: InputData):
 
         for g in input_data.stream_lines_geojson:
             geo = json.loads(g)
+            # GeoJSON allows a third (elevation) ordinate — the
+            # reference's NHD payloads carry [x, y, 0] — drop it
             if geo.get("type") == "LineString":
-                lines.append([tuple(p) for p in geo["coordinates"]])
+                lines.append([tuple(p[:2]) for p in geo["coordinates"]])
             elif geo.get("type") == "MultiLineString":
-                lines.extend([[tuple(p) for p in line] for line in geo["coordinates"]])
-        if input_data.raster_crs and input_data.raster_crs != input_data.shape_crs:
-            lines = projection.reproject_lines(
-                lines, input_data.shape_crs or "LatLng", input_data.raster_crs
-            )
+                lines.extend(
+                    [[tuple(p[:2]) for p in line] for line in geo["coordinates"]]
+                )
+        src_crs = input_data.vector_crs or input_data.shape_crs or "LatLng"
+        if input_data.raster_crs and input_data.raster_crs != src_crs:
+            lines = projection.reproject_lines(lines, src_crs, input_data.raster_crs)
         # geometric clip to the AOI before rasterizing (reference
         # Utils.scala:196-198): a segment that crosses a mask cell only
         # where the AOI does not must contribute nothing to that cell —
@@ -191,7 +194,45 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
 
     if op == "RasterGroupedCountMany":
         if not input_data.aoi_ids:
-            raise MissingVectorError("RasterGroupedCountMany requires aoi_ids")
+            if input_data.shape_geojson:
+                # the reference wire path (TR55 example): one histogram
+                # per input polygon STRING, in input order — ResultManyInt
+                # (Geoprocessing.scala:114-126). Tiles are fetched once
+                # for all polygons (one plan, aoi_id in the grouping key).
+                from pyspark.sql import functions as F
+
+                geometry.validate_crs(input_data.shape_crs)
+                labels = [f"shape_{i}" for i in range(len(input_data.shape_geojson))]
+                parts = []
+                for label, g in zip(labels, input_data.shape_geojson):
+                    polys = geometry.parse_multipolygon(g)
+                    if (
+                        input_data.raster_crs
+                        and input_data.raster_crs != input_data.shape_crs
+                    ):
+                        geometry.validate_crs(input_data.raster_crs)
+                        polys = projection.reproject_polygons(
+                            polys, input_data.shape_crs, input_data.raster_crs
+                        )
+                    parts.append(
+                        geometry.rasterize_polygons(
+                            spark,
+                            polys,
+                            input_data.pixel_is_area,
+                            layout=_layout(input_data),
+                        ).withColumn("aoi_id", F.lit(label))
+                    )
+                mask_many = parts[0]
+                for p in parts[1:]:
+                    mask_many = mask_many.unionByName(p)
+                rows = zonal.raster_grouped_count_many(layers, mask_many).collect()
+                return [
+                    {r["list_key"]: r["cnt"] for r in rows if r["aoi_id"] == label}
+                    for label in labels
+                ]
+            raise MissingVectorError(
+                "RasterGroupedCountMany requires aoi_ids or polygon"
+            )
         if input_data.zoom not in (0, fx.ZOOM_NATIVE):
             _layout(input_data)  # typed 400 for unregistered zooms
             mask_many = fx.mask_all_df_at_zoom(spark, input_data.zoom)
@@ -282,11 +323,18 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
 
         # rasterize once per sampling mode actually requested (each op
         # carries its own pixelIsArea, Utils.scala:109-118)
+        if multi.zoom not in geometry.ZOOM_LAYOUTS:
+            raise InvalidZoomError(
+                f"zoom {multi.zoom} has no registered layer layout; "
+                f"registered zooms: {sorted(geometry.ZOOM_LAYOUTS)}"
+            )
+        multi_layout = geometry.ZOOM_LAYOUTS[multi.zoom]
+
         def masks_for(pixel_is_area: bool):
             parts_masks = [
-                geometry.rasterize_polygons(spark, polys, pixel_is_area).withColumn(
-                    "aoi_id", F.lit(label)
-                )
+                geometry.rasterize_polygons(
+                    spark, polys, pixel_is_area, layout=multi_layout
+                ).withColumn("aoi_id", F.lit(label))
                 for label, polys in zip(shape_labels, polys_per_shape)
             ]
             out = parts_masks[0]

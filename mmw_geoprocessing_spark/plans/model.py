@@ -35,6 +35,9 @@ class InputData:
     shape_geojson: list[str] | None = None
     shape_crs: str | None = None
     stream_lines_geojson: list[str] | None = None
+    # reference InputData.vectorCRS (WebServer.scala:19): stream lines
+    # may arrive in a different frame than the polygon
+    vector_crs: str | None = None
     # pre-rasterized path (engine extension)
     aoi_ids: list[str] | None = None
     use_line_pixels: bool = False
@@ -78,3 +81,7 @@ class MultiInput:
     # payload already in the raster frame (shape_crs == raster_crs)
     # passes through untouched.
     raster_crs: str | None = "ConusAlbers"
+    # Grid frame for GeoJSON shape rasterization (engine extension —
+    # the reference /multi always uses the catalog layer's native grid;
+    # here 0 = fixture frame, ZOOM_NATIVE = the 30 m ladder).
+    zoom: int = 0

@@ -1,0 +1,118 @@
+"""Replay the reference's checked-in example REQUEST documents through
+this engine's wire parser and dispatch (reference examples/*.json —
+read from /root/reference at test time, never copied into this repo).
+
+What this pins: the wire schema (operationType / polygon / polygonCRS /
+rasterCRS / streamLines / zoom and the /multi shapes+operations form)
+parses VERBATIM reference payloads; real-world LatLng geometry flows
+through CRS validation, reprojection, and rasterization; and an AOI
+that does not intersect the grid returns the documented empty contract
+(CHANGELOG.md:66-79) rather than an error. Raster ids are remapped to
+the synthetic fixture layers (the reference's S3 catalog names have no
+local data); everything else is byte-for-byte the reference's payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REF_EXAMPLES = "/root/reference/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EXAMPLES), reason="reference examples not present"
+)
+
+FIXTURE_RASTERS = ["nlcd", "soil", "gwn"]
+
+
+def _remap_rasters(names):
+    """Stable mapping reference layer name -> fixture layer id."""
+    table = {}
+    for n in names:
+        if n not in table:
+            table[n] = FIXTURE_RASTERS[len(table) % len(FIXTURE_RASTERS)]
+    return table
+
+
+# input-style examples small enough to replay quickly (the DRB payloads
+# are 0.6-1.4 MB of line coordinates; NHD covers the same code path)
+INPUT_EXAMPLES = [
+    "EmptyTileRequest.json",
+    "MapshedJob_NHD.json",
+    "MapshedJob_RasterAverage.json",
+    "MapshedJob_RasterGroupedAverage.json",
+    "MapshedJob_RasterGroupedCount.json",
+    "MapshedJob_RasterGroupedSum.json",
+    "MapshedJob_RasterSummary.json",
+    "TR55_RasterGroupedCountMany.json",
+]
+
+
+@pytest.mark.parametrize("fname", INPUT_EXAMPLES)
+def test_replay_reference_run_example(spark, tables, fname):
+    from mmw_geoprocessing_spark.http_server import input_data_from_json
+    from mmw_geoprocessing_spark.plans import api
+
+    with open(os.path.join(REF_EXAMPLES, fname)) as f:
+        doc = json.load(f)["input"]
+    inp = input_data_from_json(doc)
+    remap = _remap_rasters(inp.rasters + ([inp.target_raster] if inp.target_raster else []))
+    inp.rasters = [remap[r] for r in inp.rasters]
+    if inp.target_raster:
+        inp.target_raster = remap[inp.target_raster]
+    # The examples' zoom 0 means "the catalog's native 30 m level"; this
+    # engine's native frame is the zoom-13 ladder entry (same pixel
+    # keyspace, world coordinates in meters — geometry.ZOOM_LAYOUTS).
+    # Replaying real ~10 km geometry in the synthetic unit-cell frame
+    # would rasterize a 10^8-cell candidate box for nothing.
+    inp.zoom = 13
+
+    result = api.run_request(spark, inp)
+    json.dumps(result)  # the wire response must serialize
+    # These AOIs are real Delaware-basin geometry — far outside the
+    # synthetic grid — so every replay exercises parse + CRS handling +
+    # reprojection + rasterization and ends at the empty-AOI contract
+    # of its result shape (never an error).
+    if inp.operation_type == "RasterSummary":
+        # ResultSummary: one {min, avg, max} map per input raster
+        assert isinstance(result, list) and len(result) == len(inp.rasters)
+        assert all(set(d) == {"min", "avg", "max"} for d in result)
+    elif inp.operation_type == "RasterGroupedCountMany":
+        # ResultManyInt: one histogram per input polygon, input order
+        assert result == [{} for _ in inp.shape_geojson]
+    elif inp.operation_type == "RasterGroupedAverage" and not inp.rasters:
+        # ungrouped average: the constant "List(0)" key with a NULL mean
+        # (avg over zero pixels)
+        assert result == {"List(0)": None}
+    else:
+        assert result == {}
+
+
+def test_replay_reference_multi_example(spark, tables):
+    from mmw_geoprocessing_spark.http_server import multi_input_from_json
+    from mmw_geoprocessing_spark.plans import api
+
+    with open(os.path.join(REF_EXAMPLES, "MultiOperationRequestHUC12.json")) as f:
+        doc = json.load(f)
+    # reference shapes are {"shape": geojson, "id": hucId}; the wire
+    # parser takes the geojson list (ids become shape_{i} labels)
+    doc = dict(doc, shapes=[s["shape"] for s in doc["shapes"]])
+    multi = multi_input_from_json(doc)
+    multi.zoom = 13  # native 30 m frame, as above
+    all_rasters = [r for op in multi.operations for r in op.rasters] + [
+        op.target_raster for op in multi.operations if op.target_raster
+    ]
+    remap = _remap_rasters(all_rasters)
+    for op in multi.operations:
+        op.rasters = [remap[r] for r in op.rasters]
+        if op.target_raster:
+            op.target_raster = remap[op.target_raster]
+
+    result = api.multi_request(spark, multi)
+    json.dumps(result)
+    assert set(result) == {f"shape_{i}" for i in range(len(multi.shapes))}
+    # non-intersecting shapes emit {} per the reference contract
+    assert all(v == {} for v in result.values())
