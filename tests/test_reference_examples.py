@@ -116,3 +116,18 @@ def test_replay_reference_multi_example(spark, tables):
     assert set(result) == {f"shape_{i}" for i in range(len(multi.shapes))}
     # non-intersecting shapes emit {} per the reference contract
     assert all(v == {} for v in result.values())
+
+
+def test_replay_legacy_summary_job_is_typed_400(spark, tables):
+    """SummaryJob.json is the reference's PRE-1.0 schema (geometry /
+    tileCRS / polyCRS / nlcdLayer — the retired /summary endpoint). The
+    current wire schema has no operationType for it, so dispatch must
+    answer with the typed InvalidOperationError, not a crash."""
+    from mmw_geoprocessing_spark.errors import InvalidOperationError
+    from mmw_geoprocessing_spark.http_server import input_data_from_json
+    from mmw_geoprocessing_spark.plans import api
+
+    with open(os.path.join(REF_EXAMPLES, "SummaryJob.json")) as f:
+        doc = json.load(f)["input"]
+    with pytest.raises(InvalidOperationError):
+        api.run_request(spark, input_data_from_json(doc))
