@@ -1,11 +1,14 @@
-"""The reference's benchmark workload: the 7-template MapShed suite
-(reference scripts/benchmark-mapshed:25-107 — nlcd_soil, nlcd_streams,
-gwn, avg_awc, nlcd_slope, slope, nlcd_kfactor) over one HUC-8 plus the
-8-HUC-12 subbasin partition (scripts/benchmark-subbasin:110-121).
+"""The reference's benchmark workload: the MapShed suite — the
+benchmark script's 7 templates (reference scripts/benchmark-mapshed:
+25-107 — nlcd_soil, nlcd_streams, gwn, avg_awc, nlcd_slope, slope,
+nlcd_kfactor) plus the live worksheet's 3 extra ungrouped averages
+(examples/MultiOperationRequestHUC12.json — soiln, soilp, recess_coef)
+over one HUC-8 plus the 8-HUC-12 subbasin partition
+(scripts/benchmark-subbasin:110-121).
 
-Single-pass shape: instead of 7 ops x 9 shapes = 63 jobs (the
+Single-pass shape: instead of 10 ops x 9 shapes = 90 jobs (the
 reference's request loop), each template runs ONCE with ``aoi_id``
-folded into its grouping key — 7 plans, one union, one collect. This is
+folded into its grouping key — 10 plans, one union, one collect. This is
 the plan shape that survives 1000 shapes at 100 TB: the shape dimension
 rides the shuffle key, and every raster is scanned once (the
 reference's own key optimization, CHANGELOG.md:82-91, taken further).
@@ -30,6 +33,12 @@ TEMPLATES: dict[str, tuple[str, list[str], str | None]] = {
     "nlcd_slope": ("grouped_average", ["nlcd"], "slope"),
     "slope": ("average", [], "slope"),
     "nlcd_kfactor": ("grouped_average", ["nlcd"], "kfactor"),
+    # the live MMW worksheet adds three ungrouped averages beyond the
+    # benchmark-mapshed 7 (reference examples/MultiOperationRequestHUC12
+    # .json operations: soiln / soilp / recess_coef, ResultDouble each)
+    "soiln": ("average", [], "soiln"),
+    "soilp": ("average", [], "soilp"),
+    "recess_coef": ("average", [], "bfi"),
 }
 
 MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS]

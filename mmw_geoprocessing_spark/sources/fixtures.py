@@ -103,6 +103,27 @@ RASTER_DEFS: dict[str, tuple[str, str | None, bool]] = {
         None,
         True,
     ),
+    # the live MMW worksheet's three extra ungrouped-average targets
+    # (reference examples/MultiOperationRequestHUC12.json: soiln-epsg5070,
+    # soilpallland2-epsg5070, bfi48grd-epsg5070)
+    "soiln": (
+        "CASE WHEN pix % 61 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix * 17) % 128 AS DOUBLE) * 0.03125 END",
+        None,
+        True,
+    ),
+    "soilp": (
+        "CASE WHEN pix % 67 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix * 19) % 96 AS DOUBLE) * 0.0625 END",
+        None,
+        True,
+    ),
+    "bfi": (
+        "CASE WHEN pix % 71 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST((pix * 23) % 80 AS DOUBLE) * 0.015625 END",
+        None,
+        True,
+    ),
 }
 
 # aoi_id -> predicate over `pix` (all dialect-neutral)
