@@ -131,3 +131,36 @@ def test_replay_legacy_summary_job_is_typed_400(spark, tables):
         doc = json.load(f)["input"]
     with pytest.raises(InvalidOperationError):
         api.run_request(spark, input_data_from_json(doc))
+
+
+def test_recorded_response_grammar_matches_ours():
+    """Every result key in the reference's RECORDED responses
+    (MultiOperationResponse*.json) must parse under this engine's
+    result-key grammar — 'List(v1[, v2, ...])' with integer values
+    (functions/nodata.list_key) — and every op label must be one the
+    suite knows. Values are environment data we cannot reproduce; the
+    grammar and label surface are the wire contract."""
+    import re
+
+    from mmw_geoprocessing_spark.operators.mapshed import TEMPLATES
+
+    key_re = re.compile(r"^List\(-?\d+(, -?\d+)*\)$")
+    # the oldest recorded response spells one label 'nlcd_soils'; the
+    # request schema (and every later recording) uses 'nlcd_soil'
+    aliases = {"nlcd_soils": "nlcd_soil"}
+    for fname in (
+        "MultiOperationResponseHUC12.json",
+        "MultiOperationResponseHUC12HiResStreams.json",
+        "MultiOperationResponse.json",
+    ):
+        with open(os.path.join(REF_EXAMPLES, fname)) as f:
+            doc = json.load(f)
+        for huc, ops in doc.items():
+            assert isinstance(ops, dict), huc
+            for label, hist in ops.items():
+                assert aliases.get(label, label) in TEMPLATES, (
+                    f"unknown op label {label!r}"
+                )
+                assert isinstance(hist, dict)
+                for key in hist:
+                    assert key_re.match(key), f"{fname}:{huc}:{label}: {key!r}"
