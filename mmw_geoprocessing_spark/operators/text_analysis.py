@@ -284,6 +284,14 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     common entities (after tag removal, so ``&lt;b&gt;`` cannot become a
     live tag), collapse whitespace runs, trim.
     Output: ``(doc_id, clean_text, n_tags)``.
+
+    Idempotence: a second pass is a no-op EXCEPT on text produced by
+    decoding angle-bracket entities — ``&lt;b&gt;`` decodes to the
+    literal text ``<b>``, which a re-run would strip as markup. That is
+    the deliberate trade-off of preserving entity-encoded markup as
+    text (the alternative — decoding before stripping — treats it as
+    live markup and loses it). Run once per document, which the
+    curation pipeline's deterministic staging guarantees.
     """
     n_tags = F.regexp_count(F.col("text"), F.lit(_HTML_TAG))
     clean = F.regexp_replace(F.col("text"), _HTML_TAG, " ")

@@ -187,3 +187,66 @@ def test_normalize_text_matches_oracle(spark, tables, duck):
     assert not out["clean_text"].str.contains("<div|<br|&amp|&nbsp|&#39").any()
     assert out["clean_text"].str.contains("<tag>").all()  # decoded entity is literal text
     assert not out["clean_text"].str.contains("  ").any()  # whitespace collapsed
+
+
+def test_normalize_and_redact_are_idempotent(spark, tables):
+    """Both normalization stages must be fixpoints: running them on
+    their own output changes nothing (the property that makes re-running
+    an ingest stage safe)."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    injected = spark.sql(_injection_sql("STRING"))
+    # markup + non-angle entities only: normalize IS a fixpoint here
+    # (angle-bracket entities decode to literal <tag> text by design —
+    # see the normalize_text docstring — so they are excluded)
+    html = spark.sql(
+        "SELECT doc_id, '<div>' || text || '</div> &amp;&nbsp;&quot;x&#39;'"
+        " AS text FROM documents"
+    )
+
+    once = ta.normalize_text(html).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = ta.normalize_text(once)
+    joined = once.join(
+        twice.select("doc_id", F.col("clean_text").alias("t2")), "doc_id"
+    )
+    assert joined.filter(F.col("text") != F.col("t2")).count() == 0
+
+    ronce = ta.pii_redact(injected).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    rtwice = ta.pii_redact(ronce)
+    rj = ronce.join(
+        rtwice.select("doc_id", F.col("clean_text").alias("t2"), "n_redactions"),
+        "doc_id",
+    )
+    assert rj.filter(F.col("text") != F.col("t2")).count() == 0
+    assert rj.filter(F.col("n_redactions") != 0).count() == 0
+
+
+def test_ingest_stages_compose_into_curation(spark, tables):
+    """The full ingest chain — normalize -> redact -> curate — composes
+    as ONE lazy plan over documents with markup and PII injected; the
+    curated output is non-empty, PII-free and markup-free."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    dirty = spark.sql(
+        "SELECT doc_id, '<p>' || text || '</p> contact u' ||"
+        " CAST(doc_id AS STRING) || '@ex.org' AS text FROM documents"
+    )
+    normalized = ta.normalize_text(dirty).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    redacted = ta.pii_redact(normalized).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    curated = pl.curate_corpus(redacted)
+    n = curated.count()
+    assert n > 0
+
+    kept_text = redacted.join(curated.select("doc_id"), "doc_id", "left_semi")
+    bad = kept_text.filter(
+        F.col("text").rlike("<p>|</p>|@ex\\.org")
+    ).count()
+    assert bad == 0
