@@ -119,6 +119,10 @@ def _lines(spark: SparkSession, input_data: InputData):
                 )
         src_crs = input_data.vector_crs or input_data.shape_crs or "LatLng"
         if input_data.raster_crs and input_data.raster_crs != src_crs:
+            # typed 400s for unknown frames (Utils.scala:208-213), not a
+            # KeyError out of the projection kernel
+            geometry.validate_crs(src_crs)
+            geometry.validate_crs(input_data.raster_crs)
             lines = projection.reproject_lines(lines, src_crs, input_data.raster_crs)
         # geometric clip to the AOI before rasterizing (reference
         # Utils.scala:196-198): a segment that crosses a mask cell only

@@ -164,3 +164,20 @@ def test_recorded_response_grammar_matches_ours():
                 assert isinstance(hist, dict)
                 for key in hist:
                     assert key_re.match(key), f"{fname}:{huc}:{label}: {key!r}"
+
+
+def test_unknown_vector_crs_is_typed_400(spark, tables):
+    """A bogus vectorCRS must raise the typed UnknownCRSError taxonomy
+    entry (Utils.scala:208-213), not leak a projection KeyError."""
+    from mmw_geoprocessing_spark.errors import UnknownCRSError
+    from mmw_geoprocessing_spark.http_server import input_data_from_json
+    from mmw_geoprocessing_spark.plans import api
+
+    with open(os.path.join(REF_EXAMPLES, "MapshedJob_NHD.json")) as f:
+        doc = json.load(f)["input"]
+    doc["vectorCRS"] = "MarsEquirectangular"
+    inp = input_data_from_json(doc)
+    inp.rasters = ["nlcd"]
+    inp.zoom = 13
+    with pytest.raises(UnknownCRSError):
+        api.run_request(spark, inp)
