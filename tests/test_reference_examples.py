@@ -37,10 +37,11 @@ def _remap_rasters(names):
     return table
 
 
-# input-style examples small enough to replay quickly (the DRB payloads
-# are 0.6-1.4 MB of line coordinates; NHD covers the same code path)
+# input-style examples small enough to replay quickly (DRB_Medium's
+# 1.4 MB line payload covers the same code path as DRB_Small's 0.6 MB)
 INPUT_EXAMPLES = [
     "EmptyTileRequest.json",
+    "MapshedJob_DRB_Small.json",
     "MapshedJob_NHD.json",
     "MapshedJob_RasterAverage.json",
     "MapshedJob_RasterGroupedAverage.json",
