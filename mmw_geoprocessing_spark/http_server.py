@@ -63,6 +63,7 @@ def multi_input_from_json(doc: dict) -> MultiInput:
     """Reference MultiInput JSON (WebServer.scala:45-49) -> model."""
     return MultiInput(
         shapes=list(doc.get("shapes", [])),
+        stream_lines_geojson=doc.get("streamLines"),
         operations=[
             Operation(
                 name=op.get("name", ""),

@@ -56,10 +56,17 @@ def template_df(
     rasters: list[str],
     target: str | None,
     masks: DataFrame,
+    line_pixels: DataFrame | None = None,
 ) -> DataFrame:
     """One template over a many-AOI mask table, aoi_id in the grouping
     key. kind ∈ {grouped_count, lines_join, average, grouped_average,
     grouped_sum}. Output: ``(op_label, aoi_id, list_key, value DOUBLE)``.
+
+    ``line_pixels``: lines_join source override — either pixel rows
+    ``(key_col, key_row, cell_col, cell_row)`` shared by every AOI (the
+    fixture default) or per-AOI rows carrying ``aoi_id`` (the /multi
+    request-streamLines path, where lines were geometrically clipped
+    per shape before rasterizing).
     """
     from mmw_geoprocessing_spark.functions.nodata import list_key_sql
 
@@ -90,9 +97,13 @@ def template_df(
         # (duplicated) line pixels yields exactly the distinct AOI-clipped
         # line-touched pixels — the semi join's build side dedups for free
         # (same shape as zonal.raster_lines_join)
-        aoi_line_pixels = masks.join(
-            fx.line_pixels_df(spark).select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi"
+        lp = (
+            line_pixels
+            if line_pixels is not None
+            else fx.line_pixels_df(spark).select(*PIXEL_KEY)
         )
+        lp_keys = ["aoi_id", *PIXEL_KEY] if "aoi_id" in lp.columns else list(PIXEL_KEY)
+        aoi_line_pixels = masks.join(lp, on=lp_keys, how="left_semi")
         return _shape(
             join_layers(layers)
             .join(aoi_line_pixels, on=PIXEL_KEY, how="inner")

@@ -97,6 +97,24 @@ def _mask(spark: SparkSession, input_data: InputData):
     raise MissingVectorError("operation requires an AOI (aoi_ids or shape GeoJSON)")
 
 
+def _parse_lines_geojson(strings: list[str]) -> list[list[tuple[float, float]]]:
+    """GeoJSON (Multi)LineString strings -> [[(x, y), ...], ...]. A third
+    (elevation) ordinate — the reference's NHD payloads carry
+    [x, y, 0] — is dropped."""
+    import json
+
+    lines: list[list[tuple[float, float]]] = []
+    for g in strings:
+        geo = json.loads(g)
+        if geo.get("type") == "LineString":
+            lines.append([tuple(p[:2]) for p in geo["coordinates"]])
+        elif geo.get("type") == "MultiLineString":
+            lines.extend(
+                [[tuple(p[:2]) for p in line] for line in geo["coordinates"]]
+            )
+    return lines
+
+
 def _lines(spark: SparkSession, input_data: InputData):
     if input_data.use_line_pixels:
         if input_data.zoom not in (0, fx.ZOOM_NATIVE):
@@ -104,19 +122,7 @@ def _lines(spark: SparkSession, input_data: InputData):
             return fx.line_pixels_df_at_zoom(spark, input_data.zoom)
         return fx.line_pixels_df(spark)
     if input_data.stream_lines_geojson:
-        lines = []
-        import json
-
-        for g in input_data.stream_lines_geojson:
-            geo = json.loads(g)
-            # GeoJSON allows a third (elevation) ordinate — the
-            # reference's NHD payloads carry [x, y, 0] — drop it
-            if geo.get("type") == "LineString":
-                lines.append([tuple(p[:2]) for p in geo["coordinates"]])
-            elif geo.get("type") == "MultiLineString":
-                lines.extend(
-                    [[tuple(p[:2]) for p in line] for line in geo["coordinates"]]
-                )
+        lines = _parse_lines_geojson(input_data.stream_lines_geojson)
         src_crs = input_data.vector_crs or input_data.shape_crs or "LatLng"
         if input_data.raster_crs and input_data.raster_crs != src_crs:
             # typed 400s for unknown frames (Utils.scala:208-213), not a
@@ -349,11 +355,36 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
         masks_by_mode = {
             mode: masks_for(mode) for mode in {op.pixel_is_area for op in multi.operations}
         }
+
+        # request streamLines (reference MultiInput.streamLines,
+        # WebServer.scala:47): clip geometrically PER SHAPE
+        # (Utils.scala:196-198 via Geoprocessing.scala:64-66), rasterize
+        # in the request frame, tag aoi_id — one union consumed by every
+        # lines_join template through the same masks semi-join as /run
+        multi_line_pixels = None
+        if multi.stream_lines_geojson and any(
+            _MULTI_KINDS.get(op.name) == "lines_join" for op in multi.operations
+        ):
+            lines = _parse_lines_geojson(multi.stream_lines_geojson)
+            if multi.raster_crs and multi.raster_crs != multi.shape_crs:
+                lines = projection.reproject_lines(
+                    lines, multi.shape_crs, multi.raster_crs
+                )
+            lp_parts = [
+                geometry.rasterize_lines(
+                    spark, geometry.clip_lines(lines, polys), layout=multi_layout
+                ).withColumn("aoi_id", F.lit(label))
+                for label, polys in zip(shape_labels, polys_per_shape)
+            ]
+            multi_line_pixels = lp_parts[0]
+            for p in lp_parts[1:]:
+                multi_line_pixels = multi_line_pixels.unionByName(p)
     else:
         shape_labels = list(multi.shapes)
         m = fx.mask_all_df(spark)
         m = m.filter(m.aoi_id.isin(multi.shapes))
         masks_by_mode = None
+        multi_line_pixels = None
         masks = m
 
     parts = []
@@ -366,7 +397,15 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
             raise InvalidOperationError(f"/multi does not support {op.name!r}")
         op_masks = masks_by_mode[op.pixel_is_area] if masks_by_mode is not None else masks
         parts.append(
-            template_df(spark, op.label, kind, list(op.rasters), op.target_raster, op_masks)
+            template_df(
+                spark,
+                op.label,
+                kind,
+                list(op.rasters),
+                op.target_raster,
+                op_masks,
+                line_pixels=multi_line_pixels if kind == "lines_join" else None,
+            )
         )
     union = parts[0]
     for p in parts[1:]:

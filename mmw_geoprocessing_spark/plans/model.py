@@ -71,6 +71,10 @@ class MultiInput:
     """Reference MultiInput (WebServer.scala:45-49)."""
 
     shapes: list[str]  # aoi ids (or GeoJSON when geometry path is active)
+    # reference MultiInput.streamLines (WebServer.scala:47): GeoJSON
+    # MultiLineStrings consumed by RasterLinesJoin operations, clipped
+    # per shape (Geoprocessing.scala:64-66; Utils.scala:196-198)
+    stream_lines_geojson: list[str] | None = None
     operations: list[Operation] = field(default_factory=list)
     shape_crs: str | None = "LatLng"
     # Raster frame for GeoJSON shapes. The reference normalizes every

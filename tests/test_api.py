@@ -492,3 +492,49 @@ def test_run_unregistered_zoom_with_aoi_ids_still_typed_400(spark, tables):
     ):
         with pytest.raises(InvalidZoomError):
             api.run_request(spark, req)
+
+
+def test_multi_streamlines_matches_run_lines_join(spark, tables):
+    """/multi with request streamLines (reference MultiInput.streamLines,
+    WebServer.scala:47) must produce the same nlcd_streams result as the
+    equivalent /run RasterLinesJoin over the same polygon + vector."""
+    import json
+
+    from mmw_geoprocessing_spark.plans.api import multi_request, run_request
+    from mmw_geoprocessing_spark.plans.model import InputData, MultiInput, Operation
+
+    poly = json.dumps(
+        {"type": "Polygon", "coordinates": [[[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]]]}
+    )
+    line = json.dumps(
+        {"type": "MultiLineString", "coordinates": [[[0.2, 0.7], [5.6, 4.9]], [[1.1, 5.2], [4.8, 0.3]]]}
+    )
+
+    via_run = run_request(
+        spark,
+        InputData(
+            operation_type="RasterLinesJoin",
+            rasters=["nlcd"],
+            shape_geojson=[poly],
+            shape_crs="ConusAlbers",
+            stream_lines_geojson=[line],
+            raster_crs="ConusAlbers",
+        ),
+    )
+    assert via_run and sum(via_run.values()) > 0
+
+    via_multi = multi_request(
+        spark,
+        MultiInput(
+            shapes=[poly],
+            stream_lines_geojson=[line],
+            operations=[
+                Operation(name="RasterLinesJoin", label="nlcd_streams", rasters=["nlcd"])
+            ],
+            shape_crs="ConusAlbers",
+            raster_crs="ConusAlbers",
+        ),
+    )
+    assert via_multi["shape_0"]["nlcd_streams"] == {
+        k: float(v) for k, v in via_run.items()
+    }
