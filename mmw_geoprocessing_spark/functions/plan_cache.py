@@ -13,11 +13,20 @@ and all mutation under one lock (a concurrent popitem between another
 thread's membership check and lookup would raise KeyError; racing
 inserts would double-persist a plan).
 
-Keys are ``(id(session), semanticHash(analyzed plan), tag)`` — the same
-corpus expressed by a semantically-equal plan hits, a different corpus
-or session misses. When no stable identity exists the build runs
-uncached (correct, just not amortized): an id()-based fallback key
-could collide after GC id reuse and leak persisted tables.
+Keys are ``(applicationId, semanticHash(analyzed plan), tag)`` — the
+same corpus expressed by a semantically-equal plan hits, a different
+corpus or session misses. ``applicationId`` is stable for the life of
+the SparkContext and never reused after GC (unlike ``id(session)``,
+which CPython can hand to a NEW session once the old one is collected —
+a long-lived service could then serve a stale index). When no stable
+identity exists the build runs uncached (correct, just not amortized).
+
+CAVEAT (documented contract, not detectable from the plan): the
+semantic hash keys the QUERY, not the DATA — replacing the underlying
+table's files in place yields the same hash, so corpus replacement in a
+live session requires ``PlanCache.clear()`` /
+``clear_similarity_index_cache()``, or passing a changed
+``data_version`` token that is folded into the key.
 """
 
 from __future__ import annotations
@@ -29,6 +38,13 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def session_token(df: DataFrame):
+    """Stable identity for the session owning ``df``'s plan: the
+    SparkContext applicationId (unique per context, never GC-reused).
+    Raises when no context is reachable (caller treats as uncacheable)."""
+    return df.sparkSession.sparkContext.applicationId
+
+
 class PlanCache:
     def __init__(self, max_entries: int = 8) -> None:
         self._max = max_entries
@@ -36,15 +52,23 @@ class PlanCache:
         self._lock = threading.Lock()
 
     def get_or_persist(
-        self, source: DataFrame, tag: str, build: Callable[[DataFrame], DataFrame]
+        self,
+        source: DataFrame,
+        tag: str,
+        build: Callable[[DataFrame], DataFrame],
+        data_version: object = None,
     ) -> DataFrame:
         """Return ``build(source)`` persisted, reusing a previous persist
-        for a semantically-equal ``source`` plan under the same ``tag``."""
+        for a semantically-equal ``source`` plan under the same ``tag``.
+        Pass a changed ``data_version`` (any hashable — an ingest epoch,
+        snapshot id, or mtime) when the same plan can point at replaced
+        data; otherwise call :meth:`clear` on corpus replacement."""
         try:
             key = (
-                id(source.sparkSession),
+                session_token(source),
                 source._jdf.queryExecution().analyzed().semanticHash(),
                 tag,
+                data_version,
             )
         except Exception:
             return build(source)

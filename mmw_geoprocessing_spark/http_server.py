@@ -60,9 +60,26 @@ def input_data_from_json(doc: dict) -> InputData:
 
 
 def multi_input_from_json(doc: dict) -> MultiInput:
-    """Reference MultiInput JSON (WebServer.scala:45-49) -> model."""
+    """Reference MultiInput JSON (WebServer.scala:45-49) -> model.
+
+    The reference wire shape is ``shapes: [{id, shape}]`` (HUC objects,
+    WebServer.scala:32-35) whose ids key the response map; bare strings
+    (aoi ids or raw GeoJSON — engine extensions) pass through with
+    positional fallback labels.
+    """
+    shapes: list[str] = []
+    shape_ids: list[str | None] = []
+    for entry in doc.get("shapes", []):
+        if isinstance(entry, dict):
+            shapes.append(str(entry["shape"]))
+            huc_id = entry.get("id")
+            shape_ids.append(None if huc_id is None else str(huc_id))
+        else:
+            shapes.append(str(entry))
+            shape_ids.append(None)
     return MultiInput(
-        shapes=list(doc.get("shapes", [])),
+        shapes=shapes,
+        shape_ids=shape_ids if any(i is not None for i in shape_ids) else None,
         stream_lines_geojson=doc.get("streamLines"),
         operations=[
             Operation(

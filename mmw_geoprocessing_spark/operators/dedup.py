@@ -69,7 +69,7 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-# (session id, semantic hash of the input plan) -> persisted shingle
+# (applicationId, semantic hash of the input plan) -> persisted shingle
 # table. The shingle table feeds several plan branches within one
 # operator AND repeat executions of a prepared query; memoizing the
 # persisted DataFrame per distinct input (instead of persist()-ing a
@@ -81,7 +81,7 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
 import threading
 from collections import OrderedDict
 
-_SHINGLE_CACHE: OrderedDict[tuple[int, int], DataFrame] = OrderedDict()
+_SHINGLE_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 _SHINGLE_CACHE_MAX = 8
 # Eviction makes the LRU a mutating structure: without a lock, a
 # concurrent popitem between another thread's membership check and its
@@ -92,14 +92,16 @@ _SHINGLE_CACHE_LOCK = threading.Lock()
 def _shingles_persisted(documents: DataFrame) -> DataFrame:
     try:
         key = (
-            id(documents.sparkSession),
+            # applicationId: stable per SparkContext, never GC-reused —
+            # id(session) could be handed to a NEW session after the old
+            # one is collected, silently serving another corpus's table
+            documents.sparkSession.sparkContext.applicationId,
             documents._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:
-        # No stable identity for this plan -> do NOT cache (an id()-based
-        # key can collide after GC id reuse and would leak a persisted
-        # table per call). The caller still gets correct results; the
-        # plan's branches just recompute shingles.
+        # No stable identity for this plan -> do NOT cache. The caller
+        # still gets correct results; the plan's branches just
+        # recompute shingles.
         return _doc_shingles(documents)
     with _SHINGLE_CACHE_LOCK:
         cached = _SHINGLE_CACHE.get(key)
@@ -121,7 +123,12 @@ def _shingles_persisted(documents: DataFrame) -> DataFrame:
 
 def clear_shingle_cache() -> None:
     """Explicit invalidate hook: unpersist and drop every cached shingle
-    table (e.g. between corpora in a long-lived service session)."""
+    table AND the derived ngram ranked-array index (e.g. between corpora
+    in a long-lived service session)."""
+    try:
+        _NGRAM_ARR_CACHE.clear()
+    except NameError:
+        pass  # module still initializing
     with _SHINGLE_CACHE_LOCK:
         dropped = list(_SHINGLE_CACHE.values())
         _SHINGLE_CACHE.clear()
@@ -130,6 +137,14 @@ def clear_shingle_cache() -> None:
             df.unpersist(blocking=False)
         except Exception:
             pass
+
+
+from mmw_geoprocessing_spark.functions.plan_cache import PlanCache
+
+# df-ranked shingle-array table per (corpus, threshold) — the ngram
+# family's ingest-time index, lifecycle-managed like the shingle cache
+# (clear via clear_shingle_cache()).
+_NGRAM_ARR_CACHE = PlanCache()
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -151,45 +166,68 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     which is what bounds the inverted-index skew at 100 TB.
     Jaccard is then verified on the FULL shingle sets restricted to the
     candidate pairs.
+
+    Shuffle budget (the r6 plan audit's heaviest query, since
+    collapsed): ONE rank-and-pack aggregation per doc produces the
+    df-sorted shingle array, its size, and the prefix slice together —
+    the former per-stage re-shuffles of the (doc_id, s) table (window
+    rank, size join, full-set verify join on (d2, s), intersection
+    groupBy) are replaced by doc-partitioned array rows, so
+    verification is a JVM-side ``array_intersect`` on the two joined
+    rows with no shuffle of shingle-level data at all. Per-row cost is
+    bounded by document length — the same bound the pairwise verify
+    always had. Exchanges: ~14 vs the previous 56 (PLANS.md).
     Output: ``(d1, d2, jaccard)``.
     """
-    from pyspark.sql import Window
-
     sh = _shingles_persisted(documents)
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (
-        sh.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc_id", "s")
+
+    def build_arr(shingle_tbl: DataFrame) -> DataFrame:
+        dfreq = shingle_tbl.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        p_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+        return (
+            shingle_tbl.join(dfreq, "s")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ranked"))
+            .select(
+                "doc_id",
+                F.col("ranked.s").alias("ss"),  # ascending (df, s) — canonical rank
+                F.size("ranked").alias("n"),
+            )
+            .withColumn("prefix", F.slice(F.col("ss"), F.lit(1), p_len))
+        )
+
+    # the ranked-array table is consumed THREE times (prefix explode +
+    # both verify sides); persisting it through the shared index cache
+    # is what collapses the former 56-exchange plan — without it each
+    # consumer re-derives the dfreq join + aggregation
+    docs_arr = _NGRAM_ARR_CACHE.get_or_persist(
+        sh, f"ngram_arr:{threshold}", build_arr
     )
+    pref = docs_arr.select("doc_id", F.explode("prefix").alias("s"))
     cand = (
-        prefix.select(F.col("doc_id").alias("d1"), "s")
-        .join(prefix.select(F.col("doc_id").alias("d2"), "s"), "s")
+        pref.select(F.col("doc_id").alias("d1"), "s")
+        .join(pref.select(F.col("doc_id").alias("d2"), "s"), "s")
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
-    # exact verification over FULL shingle sets, restricted to candidates
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
-    inter = (
-        cand.join(a, "d1")
-        .join(b, ["d2", "s"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact verification: join each side's full array row (the doc_id
+    # aggregation above already partitions docs_arr on the join key)
+    # and intersect in-expression — no shingle-level shuffle
+    a = docs_arr.select(
+        F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"), F.col("n").alias("n1")
     )
+    b = docs_arr.select(
+        F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"), F.col("n").alias("n2")
+    )
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        cand.join(a, "d1")
+        .join(b, "d2")
         .select(
             "d1",
             "d2",
-            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+            (inter / (F.col("n1") + F.col("n2") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -23,12 +23,17 @@ projection, and nothing materializes between stages. Shuffle budget at
    (sampling.deterministic_split).
 
 Near-dup semantics: pairs are detected over the FULL corpus (matching
-the registered ``dedup_minhash_lsh`` query) and the greedy keep-lowest
-rule drops every doc that near-duplicates any lower-id doc. Transitive
-clusters keep only their minimum member iff every member pairs with it
-directly; full connected components is an iterative algorithm (not a
-single SQL-expressible pass) and is out of scope for the oracle-checked
-path.
+the registered ``dedup_minhash_lsh`` query — so the ingest-time LSH
+index is shared, not rebuilt per gate configuration), but a doc is only
+dropped for a pair whose lower-id side SURVIVED the gate + exact dedup:
+dropping d2 is justified by d1 standing in for the content, so a pair
+whose d1 was itself gated away (wrong language, low quality, exact-dup
+loser) must not delete the content's last representative. The greedy
+keep-lowest rule then drops every doc that near-duplicates any lower-id
+surviving doc. Transitive clusters keep only their minimum member iff
+every member pairs with it directly; full connected components is an
+iterative algorithm (not a single SQL-expressible pass) and is out of
+scope for the oracle-checked path.
 """
 
 from __future__ import annotations
@@ -89,8 +94,14 @@ def curate_corpus(
         .filter(F.col("doc_id") == F.col("_canon"))
         .select("doc_id", "n_words")
     )
+    # drop d2 only when its pair's d1 survived gate + exact dedup (the
+    # module-doc "last representative" rule); the semi join's build side
+    # is the survivor id set — small next to the corpus, AQE broadcasts
     dropped = (
         dd.minhash_lsh_neardup(documents, threshold=neardup_threshold)
+        .join(
+            survivors.select(F.col("doc_id").alias("d1")), "d1", "left_semi"
+        )
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
@@ -129,8 +140,9 @@ def curate_corpus_sql(
         FROM gated
       ) WHERE doc_id = canon
     ), dropped AS (
-      SELECT DISTINCT d2 AS doc_id
-      FROM ({dd.minhash_lsh_neardup_sql(neardup_threshold)})
+      SELECT DISTINCT p.d2 AS doc_id
+      FROM ({dd.minhash_lsh_neardup_sql(neardup_threshold)}) p
+      WHERE p.d1 IN (SELECT doc_id FROM survivors)
     )
     SELECT s.doc_id, s.n_words, {sp.split_case_sql(key_col="s.doc_id")} AS split
     FROM survivors s ANTI JOIN dropped d USING (doc_id)
@@ -162,8 +174,10 @@ def curate_stream(
     - near-dup prune: stream-static LEFT ANTI join against the
       ingest-time near-dup index (the id table
       ``dedup.minhash_lsh_neardup(...).select(d2)`` materialized at the
-      last index build). A stream cannot LSH-join against itself;
-      at deployment the index refreshes on the ingest cadence.
+      last index build — the builder should apply the same
+      d1-survived-the-gate filter as ``curate_corpus``). A stream
+      cannot LSH-join against itself; at deployment the index
+      refreshes on the ingest cadence.
     - split: pure hash of the key — stateless.
 
     Output stream: ``(doc_id, text_md5, n_words, split)``; run it with

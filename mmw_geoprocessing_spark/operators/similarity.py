@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mmw_geoprocessing_spark.functions.plan_cache import PlanCache
+from mmw_geoprocessing_spark.functions.plan_cache import session_token as _session_token
 
 DIM = 64
 
@@ -164,6 +165,18 @@ def cosine_neardup_sql(threshold: float = 0.4) -> str:
 
 NEARDUP_BANDS = 16
 NEARDUP_ROWS = 4  # hyperplanes per band -> 64 planes total
+# Per-(band, bucket) candidate cap: 4-bit band keys give only 16
+# buckets per band, so bucket population grows linearly with the corpus
+# and candidate pairs grow QUADRATICALLY — the r6 sf1~ gate had to skip
+# this query for exactly that reason. The cap bounds each bucket's
+# contribution to C(cap, 2) pairs deterministically (first `cap`
+# members by vec_id — both engines replay the same ROW_NUMBER), so the
+# worst case is bands x 2^rows x C(cap, 2) candidates regardless of
+# corpus size. 256 exceeds every bucket at the test SFs (max 205 at
+# sf0.1), so results there are identical to the uncapped pipeline;
+# truncation engages at sf1~ and beyond. NOT silent: truncated buckets
+# are reported by neardup_truncation_stats (SCALE.md "no silent caps").
+NEARDUP_BUCKET_CAP = 256
 
 
 def cosine_neardup_lsh(
@@ -187,8 +200,19 @@ def cosine_neardup_lsh(
     in tests); at realistic near-dup thresholds (c >= 0.9) recall is
     ~1.0. Every step is deterministic, so the DuckDB oracle replays the
     identical pipeline and the gate check stays exact.
+
+    Scale bound: candidates per bucket are capped at
+    ``NEARDUP_BUCKET_CAP`` members (deterministic vec_id order, same
+    ROW_NUMBER in the oracle), so total candidates are bounded by
+    ``bands x 2^rows x C(cap, 2)`` at ANY corpus size — the price is
+    recall loss on corpora dense enough to truncate (report with
+    ``neardup_truncation_stats``; envelope in SCALE.md). The designed
+    100 TB path at real near-dup thresholds is ``cosine_neardup_wide``
+    (wider band keys shard the corpus instead of capping it).
     Output: ``(v1, v2, cosine)`` — subset of ``cosine_neardup``.
     """
+    from pyspark.sql import Window
+
     def build_bands(emb: DataFrame) -> DataFrame:
         b = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
         return b.select(
@@ -199,6 +223,12 @@ def cosine_neardup_lsh(
     # band signatures + norms are the corpus INDEX (ingest-time; see
     # _lsh_band_index) — cached per (session, corpus)
     bands = _INDEX_CACHE.get_or_persist(embeddings, "neardup_bands", build_bands)
+    cap_w = Window.partitionBy("band", "bkey").orderBy("vec_id")
+    bands = (
+        bands.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= NEARDUP_BUCKET_CAP)
+        .drop("rn")
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "bkey"])
@@ -226,8 +256,123 @@ def cosine_neardup_lsh(
 
 
 def cosine_neardup_lsh_sql(threshold: float = 0.4) -> str:
-    """Oracle: the identical deterministic banding replayed in DuckDB."""
+    """Oracle: the identical deterministic banding (and per-bucket cap)
+    replayed in DuckDB."""
     bands_sql = _band_sql_rows(NEARDUP_BANDS, NEARDUP_ROWS)
+    cos = _cos_sql("e1.v", "e2.v")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS ({bands_sql}),
+    capped AS (
+      SELECT vec_id, band, bkey FROM (
+        SELECT vec_id, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS rn
+        FROM bands
+      ) WHERE rn <= {NEARDUP_BUCKET_CAP}
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             FROM capped a JOIN capped b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+    SELECT v1, v2, {cos} AS cosine
+    FROM cand JOIN base e1 ON cand.v1 = e1.vec_id
+              JOIN base e2 ON cand.v2 = e2.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+def neardup_truncation_stats(embeddings: DataFrame) -> DataFrame:
+    """The cap's visibility hook (the "no silent caps" rule): one row
+    per band bucket whose population exceeds ``NEARDUP_BUCKET_CAP``,
+    with the members the cap discarded. Empty means
+    ``cosine_neardup_lsh`` ran with NO truncation — identical to the
+    uncapped pipeline. Callers gating at a new corpus size should check
+    this once at ingest and either accept the recall envelope (SCALE.md)
+    or move to ``cosine_neardup_wide``."""
+    bands = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select(
+        "vec_id",
+        F.explode(_band_structs("v", NEARDUP_BANDS, NEARDUP_ROWS)).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    return (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("population"))
+        .filter(F.col("population") > NEARDUP_BUCKET_CAP)
+        .withColumn("kept", F.lit(NEARDUP_BUCKET_CAP))
+        .withColumn("discarded", F.col("population") - NEARDUP_BUCKET_CAP)
+    )
+
+
+# Wide-band variant: the 100 TB near-dup path. 16-bit band keys give
+# 65,536 buckets per band, so bucket population stays ~n/65k and the
+# candidate set stays near-linear without any cap — the corpus is
+# SHARDED by signature instead of truncated. The cost is recall at low
+# cosine: P(band match) = (1 - arccos(c)/pi)^16, so this variant is for
+# REAL near-duplicates (c >= 0.95 -> ~96% recall with 16 bands;
+# c >= 0.98 -> ~99.6%; at c = 0.9 recall falls to ~75% — use more bands
+# or the capped variant if the boundary matters). Plane pool is shared
+# with the 4-bit variant (same deterministic md5 coefficients).
+NEARDUP_WIDE_BANDS = 16
+NEARDUP_WIDE_ROWS = 16  # 16-bit keys -> 65,536 buckets/band
+
+
+def cosine_neardup_wide(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Near-duplicate pairs via WIDE banded random-hyperplane LSH — the
+    scale path for true near-dup thresholds (see band-width note above).
+
+    Identical candidate-then-verify shape as ``cosine_neardup_lsh`` but
+    with 16-bit band keys: at 10^9 vectors each of the 65k buckets per
+    band holds ~15k vectors — still quadratic per bucket at that
+    extreme, at which point add rows per band (20-24 bits); the
+    structure is the standard SimHash regime and every step stays
+    deterministic, so the DuckDB twin replays it exactly.
+    Output: ``(v1, v2, cosine)``.
+    """
+    def build_bands(emb: DataFrame) -> DataFrame:
+        b = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        return b.select(
+            "vec_id",
+            F.explode(
+                _band_structs("v", NEARDUP_WIDE_BANDS, NEARDUP_WIDE_ROWS)
+            ).alias("bk"),
+        ).select(
+            "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+
+    bands = _INDEX_CACHE.get_or_persist(embeddings, "neardup_wide_bands", build_bands)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    norms = _norms_index(embeddings)
+    e1 = norms.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("e1"), F.col("nv").alias("n1")
+    )
+    e2 = norms.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("e2"), F.col("nv").alias("n2")
+    )
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1",
+            "v2",
+            (_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_wide_sql(threshold: float = 0.9) -> str:
+    """Oracle: the wide banding replayed in DuckDB."""
+    bands_sql = _band_sql_rows(NEARDUP_WIDE_BANDS, NEARDUP_WIDE_ROWS)
     cos = _cos_sql("e1.v", "e2.v")
     return f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -467,15 +612,19 @@ def cosine_topk_pandas(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -
 N_CELLS = 16
 
 
-# (session id, semanticHash) -> centroid list. The 16-row collect that
-# reads the quantizer is a full Spark job (~0.1 s of scheduling + scan
-# at any SF); per-request rebuilds of the SAME corpus quantizer were
-# pure overhead on the ann_ivf serving path. Plain values (no persist
-# to release), bounded like the PlanCache.
+# (applicationId, semanticHash) -> centroid list. The 16-row collect
+# that reads the quantizer is a full Spark job (~0.1 s of scheduling +
+# scan at any SF); per-request rebuilds of the SAME corpus quantizer
+# were pure overhead on the ann_ivf serving path. Plain values (no
+# persist to release), bounded like the PlanCache. applicationId is
+# stable per SparkContext and never GC-reused (id(session) could be);
+# like every index cache here, replacing the corpus IN PLACE (same
+# plan, new files) requires clear_similarity_index_cache() — the
+# semantic hash keys the query, not the data (plan_cache.py module doc).
 import threading as _threading
 from collections import OrderedDict as _OrderedDict
 
-_CENTROID_CACHE: _OrderedDict[tuple[int, int], list] = _OrderedDict()
+_CENTROID_CACHE: _OrderedDict[tuple, list] = _OrderedDict()
 _CENTROID_CACHE_MAX = 8
 _CENTROID_CACHE_LOCK = _threading.Lock()
 
@@ -487,7 +636,7 @@ def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     the oracle replay it exactly). Collected once per (session, corpus)."""
     try:
         key = (
-            id(embeddings.sparkSession),
+            _session_token(embeddings),
             embeddings._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:

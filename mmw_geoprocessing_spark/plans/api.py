@@ -319,7 +319,12 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
 
     if multi.shapes and multi.shapes[0].lstrip().startswith("{"):
         geometry.validate_crs(multi.shape_crs)
-        shape_labels = [f"shape_{i}" for i in range(len(multi.shapes))]
+        # response keys are the reference HUC ids when the wire carried
+        # them (WebServer.scala:32-35), positional labels otherwise
+        ids = multi.shape_ids or [None] * len(multi.shapes)
+        shape_labels = [
+            hid if hid is not None else f"shape_{i}" for i, hid in enumerate(ids)
+        ]
         polys_per_shape = [geometry.parse_multipolygon(g) for g in multi.shapes]
         # normalize into the raster frame (reference Geoprocessing.scala:
         # 23-24 normalizeHuc; Utils.scala:96-98): the wire default is
@@ -362,9 +367,18 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
         # in the request frame, tag aoi_id — one union consumed by every
         # lines_join template through the same masks semi-join as /run
         multi_line_pixels = None
-        if multi.stream_lines_geojson and any(
+        wants_lines = any(
             _MULTI_KINDS.get(op.name) == "lines_join" for op in multi.operations
-        ):
+        )
+        if wants_lines and not multi.stream_lines_geojson:
+            # reference MissingStreamLinesException
+            # (Geoprocessing.scala:70-74) -> typed 400. The fixture
+            # line-pixel fallback belongs only to the pre-rasterized
+            # aoi-id path below.
+            raise MissingStreamLinesError(
+                "RasterLinesJoin in /multi requires streamLines"
+            )
+        if multi.stream_lines_geojson and wants_lines:
             lines = _parse_lines_geojson(multi.stream_lines_geojson)
             if multi.raster_crs and multi.raster_crs != multi.shape_crs:
                 lines = projection.reproject_lines(

@@ -71,6 +71,11 @@ class MultiInput:
     """Reference MultiInput (WebServer.scala:45-49)."""
 
     shapes: list[str]  # aoi ids (or GeoJSON when geometry path is active)
+    # Reference HUC ids (WebServer.scala:32-35): the wire carries
+    # ``shapes: [{id, shape}]``; ids key the response map. None (or a
+    # None entry) falls back to positional ``shape_{i}`` labels — the
+    # engine extension for bare-GeoJSON payloads.
+    shape_ids: list[str | None] | None = None
     # reference MultiInput.streamLines (WebServer.scala:47): GeoJSON
     # MultiLineStrings consumed by RasterLinesJoin operations, clipped
     # per shape (Geoprocessing.scala:64-66; Utils.scala:196-198)

@@ -366,5 +366,17 @@ def run_availablenow(
         q = w.format("parquet").outputMode(output_mode).start(sink_path)
     else:
         q = w.format("memory").queryName(query_name).outputMode(output_mode).start()
-    q.awaitTermination(timeout_s)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING at the deadline — returning that handle would hand the
+    # caller a partially drained sink. Stop it (the checkpoint keeps
+    # the committed prefix exactly-once; the next run resumes) and
+    # raise so the timeout is an error, not silent truncation.
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"availableNow drain exceeded {timeout_s}s (checkpoint "
+                f"{checkpoint!r} retains the committed prefix; re-run resumes)"
+            )
     return q

@@ -171,6 +171,50 @@ def test_concurrent_requests(server):
     assert all(b == bodies[0] for b in bodies)
 
 
+def test_concurrent_mixed_requests_isolated(server):
+    """The reference is an Akka server built for OVERLAPPING requests
+    (WebServer.scala:64-111; the 120 s timeout exists because they
+    overlap). Drive 16 simultaneous /run + /multi requests spanning 8
+    DISTINCT request documents (different ops, rasters, AOIs, and both
+    endpoints) and assert every response equals its serially-computed
+    expectation — no cross-request bleed through the fixture/plan
+    caches, no job-group interference."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = [
+        ("/run", {"operationType": "RasterGroupedCount", "rasters": ["nlcd"],
+                  "aoiIds": ["huc12_01"]}),
+        ("/run", {"operationType": "RasterGroupedCount", "rasters": ["nlcd", "soil"],
+                  "aoiIds": ["huc12_02"]}),
+        ("/run", {"operationType": "RasterGroupedAverage", "rasters": ["nlcd"],
+                  "targetRaster": "slope", "aoiIds": ["huc12_01"]}),
+        ("/run", {"operationType": "RasterGroupedSum", "rasters": ["nlcd"],
+                  "targetRaster": "slope", "aoiIds": ["huc12_03"]}),
+        ("/run", {"operationType": "RasterSummary", "rasters": ["slope"],
+                  "aoiIds": ["huc12_02"]}),
+        ("/run", {"operationType": "RasterLinesJoin", "rasters": ["nlcd"],
+                  "aoiIds": ["huc12_01"], "useLinePixels": True}),
+        ("/multi", {"shapes": ["huc12_01", "huc12_02"], "operations": [
+            {"name": "RasterGroupedCount", "label": "lc", "rasters": ["nlcd"]}]}),
+        ("/multi", {"shapes": ["huc12_03"], "operations": [
+            {"name": "RasterGroupedCount", "label": "lc", "rasters": ["soil"]},
+            {"name": "RasterGroupedAverage", "label": "avg_slope",
+             "rasters": [], "targetRaster": "slope"}]}),
+    ]
+    expected = []
+    for path, doc in cases:
+        status, body = _post(server, path, doc)
+        assert status == 200, body
+        expected.append(body)
+
+    jobs = [(path, doc, want) for (path, doc), want in zip(cases, expected)] * 2
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(lambda j: _post(server, j[0], j[1]), jobs))
+    for (path, doc, want), (status, body) in zip(jobs, results):
+        assert status == 200, (path, doc, body)
+        assert body == want, f"cross-request bleed on {path} {doc}"
+
+
 def test_malformed_zoom_400(server):
     """Shape-coercion failures during request parsing are 400s (the
     reference's malformed-request taxonomy), not worker-side 500s."""

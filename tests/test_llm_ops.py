@@ -110,6 +110,135 @@ def test_cosine_neardup_lsh_subset_recall_and_plan_shape(spark, tables):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_neardup_bucket_cap_inactive_at_test_sf(spark, tables):
+    """At the test SFs every band bucket is under NEARDUP_BUCKET_CAP, so
+    the capped pipeline must be byte-identical to uncapped and the
+    truncation report empty — the cap is insurance for sf1~+, not a
+    semantic change here."""
+    assert sim.neardup_truncation_stats(tables["embeddings"]).count() == 0
+
+
+def test_neardup_bucket_cap_cross_engine_when_truncating(spark, tables, monkeypatch):
+    """Force truncation (cap 20 < the sf0.001 max bucket of 59) and
+    check the capped pipeline still hash-matches its DuckDB twin — the
+    sf1~ gate's mechanism, exercised small. Also pins that truncation
+    is REPORTED (no silent caps)."""
+    import duckdb
+    import pandas as pd
+
+    monkeypatch.setattr(sim, "NEARDUP_BUCKET_CAP", 20)
+    emb = tables["embeddings"]
+    assert sim.neardup_truncation_stats(emb).count() > 0  # cap engaged
+    got = (
+        sim.cosine_neardup_lsh(emb)
+        .toPandas()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = (
+        con.execute(sim.cosine_neardup_lsh_sql())
+        .df()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # truncation costs recall, never precision: still a subset of exact
+    exact = {(r["v1"], r["v2"]) for r in sim.cosine_neardup(emb).collect()}
+    assert {(r.v1, r.v2) for r in got.itertuples()} <= exact
+
+
+def test_cosine_neardup_wide_planted_dups_cross_engine(spark):
+    """The wide-band (16-bit key) variant — the 100 TB path — on a
+    clustered corpus: isotropic base + planted near-copies (cosine
+    ~0.99). Recall on planted pairs must hit the documented >=0.95
+    envelope, precision stays exact, and the DuckDB twin hash-matches
+    on the same corpus."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, sim.DIM
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((n, dim)) * 0.02
+    planted = base + noise
+    vecs = np.vstack([base, planted]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(2 * n, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    out = sim.cosine_neardup_wide(emb).toPandas().sort_values(["v1", "v2"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = (
+        con.execute(sim.cosine_neardup_wide_sql())
+        .df()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    found = {(r.v1, r.v2) for r in out.itertuples()}
+    planted_pairs = {(i, i + n) for i in range(n)}
+    recall = len(found & planted_pairs) / n
+    assert recall >= 0.95, f"wide-band recall on planted dups {recall:.3f} < 0.95"
+    # precision: every reported pair really is >= threshold (verify step)
+    assert (out["cosine"] >= 0.9).all()
+
+
+def test_plan_cache_under_real_contention(spark):
+    """16 threads hammer one PlanCache with 12 distinct corpora against
+    a max of 4 entries — eviction churn under contention. Invariants:
+    each distinct key is BUILT at most once per residency (no racing
+    double-persist), no exceptions leak from the lock paths, results
+    stay correct per corpus, and the cache never exceeds its bound."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from mmw_geoprocessing_spark.functions.plan_cache import PlanCache
+
+    cache = PlanCache(max_entries=4)
+    builds: dict[int, int] = {}
+    lock = threading.Lock()
+    sources = [
+        spark.range(i * 100, i * 100 + 50).withColumn("k", F.col("id") % 5)
+        for i in range(12)
+    ]
+
+    def hit(i: int):
+        def build(df):
+            with lock:
+                builds[i] = builds.get(i, 0) + 1
+            return df.groupBy("k").count()
+
+        out = cache.get_or_persist(sources[i], f"corpus_{i}", build)
+        rows = {r["k"]: r["count"] for r in out.collect()}
+        assert rows == {k: 10 for k in range(5)}, f"corpus {i} wrong result"
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(hit, [i % 12 for i in range(96)]))
+
+    assert len(cache) <= 4
+    # builds per corpus are bounded by eviction cycles (96 hits over 12
+    # keys with 4 slots -> rebuilds happen, double-builds within one
+    # residency must not: a strict upper bound is the number of times
+    # the key could have been evicted + 1, here total hits / key = 8
+    assert all(1 <= n <= 8 for n in builds.values()), builds
+    cache.clear()
+    assert len(cache) == 0
+
+
 def test_lsh_planes_are_distinct_and_balanced():
     """Regression pin for the round-4 parity bug: the Knuth-low-bit
     derivation made EVERY hyperplane identical (bucket structures

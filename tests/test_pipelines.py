@@ -26,9 +26,11 @@ def test_curate_corpus_semantics(spark, tables):
     out = pl.curate_corpus(docs)
     kept = {r.doc_id for r in out.select("doc_id").collect()}
 
-    # near-dup rule: no kept doc appears as the d2 of a verified pair
-    pairs = dd.minhash_lsh_neardup(docs).select("d2").collect()
-    assert kept.isdisjoint({r.d2 for r in pairs})
+    # near-dup rule: no verified pair survives with BOTH sides kept —
+    # d2 may be kept only when its d1 was itself gated/deduped away
+    # (the "last representative" rule)
+    pairs = dd.minhash_lsh_neardup(docs).select("d1", "d2").collect()
+    assert not any(r.d1 in kept and r.d2 in kept for r in pairs)
 
     # exact-dup rule: kept docs have unique text digests, and each is
     # its digest group's minimum doc_id within the gated set
@@ -42,6 +44,44 @@ def test_curate_corpus_semantics(spark, tables):
     # split labels are well-formed
     labels = {r.split for r in out.select("split").distinct().collect()}
     assert labels <= {"train", "val", "test"}
+
+
+def test_curate_corpus_keeps_last_representative(spark):
+    """A doc whose ONLY lower-id near-duplicate was itself removed by
+    the language gate must survive: dropping it too would leave no
+    representative of that content. Counter-case: when the lower-id
+    side passes the gate, the higher-id near-dup is dropped as usual."""
+    core_a = " ".join(f"wa{i}" for i in range(100))
+    core_b = " ".join(f"wb{i}" for i in range(100))
+    rows = [
+        # doc 1: Spanish-guessed (es stopword tail) -> gated away
+        (1, core_a + " el la de que y los"),
+        # doc 2: near-dup of doc 1 (shared 100-word core), English tail
+        (2, core_a + " the and of to in is a"),
+        # doc 3: English, survives; doc 4: its higher-id near-dup
+        (3, core_b + " the and of to in is a"),
+        (4, core_b + " the and of in is to a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the scenario's premise: both pairs ARE detected by the LSH path
+    pairs = {
+        (r.d1, r.d2) for r in dd.minhash_lsh_neardup(docs).select("d1", "d2").collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+
+    kept = {r.doc_id for r in pl.curate_corpus(docs).select("doc_id").collect()}
+    assert kept == {2, 3}
+
+    # the SQL twin agrees on the same corpus (fresh connection: the
+    # shared fixture already binds `documents` to the sf parquet)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = set(con.execute(pl.curate_corpus_sql()).df()["doc_id"])
+    con.close()
+    assert want == {2, 3}
 
 
 def test_curate_corpus_is_one_declarative_plan(spark, tables):

@@ -98,9 +98,9 @@ def test_replay_reference_multi_example(spark, tables):
 
     with open(os.path.join(REF_EXAMPLES, "MultiOperationRequestHUC12.json")) as f:
         doc = json.load(f)
-    # reference shapes are {"shape": geojson, "id": hucId}; the wire
-    # parser takes the geojson list (ids become shape_{i} labels)
-    doc = dict(doc, shapes=[s["shape"] for s in doc["shapes"]])
+    # the reference wire shape passes VERBATIM: shapes are HUC objects
+    # {"shape": geojson, "id": hucId} (WebServer.scala:32-35) and the
+    # response map is keyed by those ids
     multi = multi_input_from_json(doc)
     multi.zoom = 13  # native 30 m frame, as above
     all_rasters = [r for op in multi.operations for r in op.rasters] + [
@@ -114,7 +114,7 @@ def test_replay_reference_multi_example(spark, tables):
 
     result = api.multi_request(spark, multi)
     json.dumps(result)
-    assert set(result) == {f"shape_{i}" for i in range(len(multi.shapes))}
+    assert set(result) == {s["id"] for s in doc["shapes"]} == {"huc12__55174"}
     # non-intersecting shapes emit {} per the reference contract
     assert all(v == {} for v in result.values())
 

@@ -60,11 +60,10 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     prefixes = [p for p in prefix.split(",") if p]
     # SELFCHECK_SKIP: comma-separated query names to exclude, recorded
-    # as skipped in the JSON artifact (used by the sf1~ run: the
-    # threshold-0.4 neardup's 16x4 banding is near-all-pairs on an
-    # isotropic corpus — quadratic at any parameterization that keeps
-    # recall at that low threshold — so it is gated at sf<=0.01 and
-    # documented in SCALE.md rather than ground through 2e12 candidates)
+    # as skipped in the JSON artifact. Since round 7 the sf1~ run needs
+    # NO skips: the formerly-skipped similarity_cosine_neardup is now
+    # candidate-bounded (NEARDUP_BUCKET_CAP, SCALE.md) and gates at
+    # sf1~ with truncation engaged.
     skip = {s for s in os.environ.get("SELFCHECK_SKIP", "").split(",") if s}
     failures = 0
     results: dict[str, dict] = {}
