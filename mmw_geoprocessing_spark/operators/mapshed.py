@@ -41,7 +41,10 @@ TEMPLATES: dict[str, tuple[str, list[str], str | None]] = {
     "recess_coef": ("average", [], "bfi"),
 }
 
-MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS]
+# Both HUC-8s plus their 16 HUC-12 subbasins (round 7 widened the
+# fixture world): 18 AOIs x 10 templates = 180 cases per suite run,
+# still ONE union + ONE collect (the shared-raster-fetch shape).
+MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS, "huc8_02", *fx.SUBBASIN_AOIS_2]
 
 
 def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:

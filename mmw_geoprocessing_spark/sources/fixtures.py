@@ -126,11 +126,23 @@ RASTER_DEFS: dict[str, tuple[str, str | None, bool]] = {
     ),
 }
 
-# aoi_id -> predicate over `pix` (all dialect-neutral)
+# aoi_id -> predicate over `pix` (all dialect-neutral). Two HUC-8s
+# (round 7 widened the world one notch toward the reference's
+# 61-subbasin sweep, scripts/benchmark-subbasin:110-121): huc8_01
+# (~60 % of pixels) partitioned into huc12_01..08, and the disjoint
+# huc8_02 (~30 %) partitioned into huc12_09..16 — 16 HUC-12s total.
 AOI_DEFS: dict[str, str] = {
     "huc8_01": "pix % 10 < 6",
     **{
         f"huc12_0{k + 1}": f"pix % 10 < 6 AND CAST(FLOOR(pix / 10) AS BIGINT) % 8 = {k}"
+        for k in range(8)
+    },
+    "huc8_02": "pix % 10 >= 6 AND pix % 10 < 9",
+    **{
+        f"huc12_{k + 9:02d}": (
+            "pix % 10 >= 6 AND pix % 10 < 9 "
+            f"AND CAST(FLOOR(pix / 10) AS BIGINT) % 8 = {k}"
+        )
         for k in range(8)
     },
     # pix % 2350 = 13 avoids both line families below (13 ∉ {0..11} mod 50;
@@ -139,6 +151,7 @@ AOI_DEFS: dict[str, str] = {
 }
 
 SUBBASIN_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
+SUBBASIN_AOIS_2 = [f"huc12_{k + 9:02d}" for k in range(8)]
 
 N_LINES = 12
 

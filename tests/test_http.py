@@ -171,6 +171,26 @@ def test_concurrent_requests(server):
     assert all(b == bodies[0] for b in bodies)
 
 
+def test_multi_wire_huc_objects_unwrap():
+    """Reference /multi wire shapes are HUC objects {id, shape}
+    (WebServer.scala:32-35): the parser must unwrap the GeoJSON string
+    and keep the id for response keying; bare-string shapes (engine
+    extension) pass through with no ids."""
+    from mmw_geoprocessing_spark.http_server import multi_input_from_json
+
+    geo = '{"type": "MultiPolygon", "coordinates": []}'
+    m = multi_input_from_json(
+        {"shapes": [{"id": "huc12__55174", "shape": geo}, {"shape": geo}],
+         "operations": []}
+    )
+    assert m.shapes == [geo, geo]
+    assert m.shape_ids == ["huc12__55174", None]
+
+    m2 = multi_input_from_json({"shapes": ["huc12_01", "huc12_02"], "operations": []})
+    assert m2.shapes == ["huc12_01", "huc12_02"]
+    assert m2.shape_ids is None
+
+
 def test_concurrent_mixed_requests_isolated(server):
     """The reference is an Akka server built for OVERLAPPING requests
     (WebServer.scala:64-111; the 120 s timeout exists because they

@@ -60,6 +60,9 @@ OFFSETS = {
     "orders": {"o_orderkey": 100_000_000},
     "events": {"event_id": 100_000_000},
     "embeddings": {"vec_id": 100_000_000},
+    # round 7: documents scale too — without it the "sf1~/sf10 dedup and
+    # text gates" were silently running on an UNSCALED 5 k-doc corpus
+    "documents": {"doc_id": 100_000_000},
     # customers/parts/suppliers stay identical: revenue per customer
     # grows 10x, which is fine — both engines see the same data
 }
@@ -88,6 +91,27 @@ def _copy_select(t: str, cols: list[str], offs: dict[str, int], src: str) -> str
             "CAST((CAST(hash(vec_id * 1000003 + j * 131 + i.i) % 2001 AS BIGINT) "
             "- 1000) / 1000.0 AS FLOAT)) END AS embedding"
         )
+    elif t == "documents":
+        # Honest content for copies: a per-copy VOCABULARY RENAME — every
+        # word w becomes w_c<i>. This keeps each copy's shingle/word
+        # statistics BIT-IDENTICAL to the original corpus (every k-gram
+        # maps 1:1, so document frequencies, prefix-filter selectivity
+        # and near-dup structure are preserved) while making copies
+        # pairwise shingle-disjoint — dedup cost and output scale
+        # LINEARLY in copies, like a real corpus drop. Rejected
+        # alternatives: verbatim copies plant n-way exact-dup cliques
+        # (quadratic pairs); an interleaved separator token creates
+        # (token, X, token) shingles whose df is the WORD-level df —
+        # orders hotter than any real trigram — and detonates the
+        # prefix join (measured: the sf1~ ngram oracle ran >20 min).
+        mixed = (
+            "CASE WHEN i.i = 0 THEN text ELSE "
+            "replace(text, ' ', '_c' || CAST(i.i AS VARCHAR) || ' ') "
+            "|| '_c' || CAST(i.i AS VARCHAR) END"
+        )
+        sel["text"] = f"{mixed} AS text"
+        if "n_chars" in sel:
+            sel["n_chars"] = f"CAST(length({mixed}) AS BIGINT) AS n_chars"
     elif t == "events":
         con = duckdb.connect()
         span = con.execute(
