@@ -74,6 +74,48 @@ def _featurize_gate(
     )
 
 
+def _gate_survivors(
+    documents: DataFrame, lang: str, min_words: int, min_distinct_ratio: float
+) -> DataFrame:
+    """Gate + exact-dedup survivors ``(doc_id, n_words)``: the canonical
+    representative (min doc_id) of each content digest within the gated
+    set."""
+    gated = _featurize_gate(documents, lang, min_words, min_distinct_ratio)
+    digest_w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        gated.withColumn("_canon", F.min("doc_id").over(digest_w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "n_words")
+    )
+
+
+def neardup_drop_ids(
+    documents: DataFrame,
+    *,
+    lang: str = "en",
+    min_words: int = 8,
+    min_distinct_ratio: float = 0.2,
+    neardup_threshold: float = 0.5,
+    survivors: DataFrame | None = None,
+) -> DataFrame:
+    """The near-dup DROP set ``(doc_id)`` under the last-representative
+    rule: d2 of every verified pair whose lower-id d1 survived the gate
+    + exact dedup. This is the single source of truth for BOTH the
+    batch plan (``curate_corpus``) and the ingest-time index the
+    streaming path anti-joins against (``curate_stream``) — building
+    the stream's index any other way would re-introduce the dropped-
+    last-representative bug ADVICE r6 flagged. Pass ``survivors`` to
+    share an already-built gate plan fragment."""
+    if survivors is None:
+        survivors = _gate_survivors(documents, lang, min_words, min_distinct_ratio)
+    return (
+        dd.minhash_lsh_neardup(documents, threshold=neardup_threshold)
+        .join(survivors.select(F.col("doc_id").alias("d1")), "d1", "left_semi")
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+
+
 def curate_corpus(
     documents: DataFrame,
     *,
@@ -87,23 +129,14 @@ def curate_corpus(
     Output: ``(doc_id BIGINT, n_words INT, split STRING)`` — the
     surviving docs with their token counts and train/val/test labels.
     """
-    gated = _featurize_gate(documents, lang, min_words, min_distinct_ratio)
-    digest_w = Window.partitionBy(F.md5(F.col("text")))
-    survivors = (
-        gated.withColumn("_canon", F.min("doc_id").over(digest_w))
-        .filter(F.col("doc_id") == F.col("_canon"))
-        .select("doc_id", "n_words")
-    )
+    survivors = _gate_survivors(documents, lang, min_words, min_distinct_ratio)
     # drop d2 only when its pair's d1 survived gate + exact dedup (the
-    # module-doc "last representative" rule); the semi join's build side
-    # is the survivor id set — small next to the corpus, AQE broadcasts
-    dropped = (
-        dd.minhash_lsh_neardup(documents, threshold=neardup_threshold)
-        .join(
-            survivors.select(F.col("doc_id").alias("d1")), "d1", "left_semi"
-        )
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
+    # module-doc "last representative" rule); the anti join's build side
+    # is the drop id set — small next to the corpus, AQE broadcasts
+    dropped = neardup_drop_ids(
+        documents,
+        neardup_threshold=neardup_threshold,
+        survivors=survivors,
     )
     curated = survivors.join(dropped, "doc_id", "left_anti")
     return sp.deterministic_split(curated).select("doc_id", "n_words", "split")
@@ -173,9 +206,9 @@ def curate_stream(
       compares digest SETS for exactly this reason).
     - near-dup prune: stream-static LEFT ANTI join against the
       ingest-time near-dup index (the id table
-      ``dedup.minhash_lsh_neardup(...).select(d2)`` materialized at the
-      last index build — the builder should apply the same
-      d1-survived-the-gate filter as ``curate_corpus``). A stream
+      ``neardup_drop_ids(batch_docs)`` materialized at the last index
+      build — the SAME drop-rule helper the batch plan uses, so the
+      last-representative semantics hold on both paths). A stream
       cannot LSH-join against itself; at deployment the index
       refreshes on the ingest cadence.
     - split: pure hash of the key — stateless.
@@ -191,11 +224,14 @@ def curate_stream(
         .withWatermark("ingest_ts", dedup_watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
     )
-    pruned = deduped.join(
-        neardup_dropped.select(F.col("d2").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
+    # accept either the drop-id table (neardup_drop_ids output) or a
+    # raw verified-pair table (legacy callers): both reduce to doc_id
+    drop_ids = (
+        neardup_dropped.select(F.col("d2").alias("doc_id"))
+        if "d2" in neardup_dropped.columns
+        else neardup_dropped.select("doc_id")
+    ).distinct()
+    pruned = deduped.join(drop_ids, "doc_id", "left_anti")
     return sp.deterministic_split(pruned).select(
         "doc_id", "text_md5", "n_words", "split"
     )

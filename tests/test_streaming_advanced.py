@@ -213,7 +213,6 @@ def test_curate_stream_matches_batch_semantics(spark, tables):
 
     from pyspark.sql import functions as SF
 
-    from mmw_geoprocessing_spark.operators import dedup as dd
     from mmw_geoprocessing_spark.operators import pipelines as pl
 
     docs = tables["documents"]
@@ -223,13 +222,16 @@ def test_curate_stream_matches_batch_semantics(spark, tables):
     chunk1 = docs.filter(SF.col("doc_id") % 2 == 0)
     chunk2 = docs.filter(SF.col("doc_id") % 2 == 1)
 
-    pairs = dd.minhash_lsh_neardup(docs)  # the static ingest-time index
-    dropped = {r.d2 for r in pairs.select("d2").distinct().collect()}
+    # the static ingest-time index, built with the SAME drop rule as
+    # the batch plan (last-representative: only pairs whose d1 survived
+    # the gate drop their d2)
+    drop_tbl = pl.neardup_drop_ids(docs)
+    dropped = {r.doc_id for r in drop_tbl.collect()}
 
     def run():
         stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(src)
         return sw.run_availablenow(
-            pl.curate_stream(stream, pairs), ckpt, sink_path=out
+            pl.curate_stream(stream, drop_tbl), ckpt, sink_path=out
         )
 
     chunk1.coalesce(1).write.mode("append").parquet(src)

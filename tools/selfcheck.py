@@ -144,6 +144,11 @@ def main() -> int:
             "sf_dir": sf_dir,
             "n_queries": len(results),
             "n_failures": failures,
+            # free-form provenance: which queries a partial run excluded
+            # and why (SELFCHECK_NOTE env; the "no silent caps" rule
+            # applies to gates too)
+            "note": os.environ.get("SELFCHECK_NOTE"),
+            "prefix_filter": prefix or None,
             # the scale-dependent branch: True means the money sums ran
             # on the DECIMAL(38,0) accumulator at this sf
             "money_guard_decimal_engaged": bool(
