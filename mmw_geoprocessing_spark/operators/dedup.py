@@ -234,33 +234,43 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
 
 
 def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    """Oracle twin of the array-packed plan above. Round 7 replaced the
+    former shingle-level formulation (window rank + candidate join +
+    shingle-level verify joins + intersection GROUP BY) with the SAME
+    array shape the Spark plan uses: one ranked list() per doc, prefix
+    slice, candidates from the exploded prefix, list_intersect verify.
+    Same math, same rows — but the shingle-level verify joins needed
+    >100 GB at the sf10 replica (500 k docs, 60 M shingles; OOM-killed),
+    while the array form holds one ~1 GB doc-array table."""
     from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
 
     return f"""
     WITH sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
     dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    ranked AS (
-      SELECT sh.doc_id, sh.s, szs.n,
-             ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn
-      FROM sh JOIN dfreq USING (s) JOIN szs ON sh.doc_id = szs.doc_id
+    arr AS (
+      SELECT sh.doc_id,
+             list(sh.s ORDER BY dfreq.df, sh.s) AS ss,
+             COUNT(*) AS n
+      FROM sh JOIN dfreq USING (s)
+      GROUP BY sh.doc_id
     ),
-    prefix AS (
-      SELECT doc_id, s FROM ranked WHERE rn <= n - CEIL({threshold} * n) + 1
+    pref AS (
+      SELECT doc_id,
+             UNNEST(list_slice(ss, 1, CAST(n - CEIL({threshold} * n) + 1 AS BIGINT))) AS s
+      FROM arr
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM prefix a JOIN prefix b USING (s) WHERE a.doc_id < b.doc_id
+      FROM pref a JOIN pref b USING (s) WHERE a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    inter AS (
-      SELECT c.d1, c.d2, COUNT(*) AS inter
-      FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-      GROUP BY 1, 2
+    v AS (
+      SELECT c.d1, c.d2,
+             len(list_intersect(x.ss, y.ss)) AS inter, x.n AS n1, y.n AS n2
+      FROM cand c JOIN arr x ON c.d1 = x.doc_id JOIN arr y ON c.d2 = y.doc_id
     )
-    SELECT d1, d2, inter / (n1.n + n2.n - inter) AS jaccard
-    FROM inter JOIN sizes n1 ON d1 = n1.doc_id JOIN sizes n2 ON d2 = n2.doc_id
-    WHERE inter / (n1.n + n2.n - inter) >= {threshold}
+    SELECT d1, d2, inter / (n1 + n2 - inter) AS jaccard
+    FROM v
+    WHERE inter / (n1 + n2 - inter) >= {threshold}
     """
 
 
