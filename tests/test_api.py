@@ -153,6 +153,77 @@ def test_multi_geojson_shapes_path(spark, tables):
     assert out["shape_0"]["avg_slope"]["List(0)"] > 0
 
 
+def test_multi_geojson_lines_join_without_streamlines_typed_400(spark, tables):
+    """A /multi RasterLinesJoin on the GEOMETRY path with no request
+    streamLines must raise the typed MissingStreamLines error
+    (Geoprocessing.scala:70-74), not silently fall back to the fixture
+    line-pixel table (ADVICE r6). The pre-rasterized aoi-id path keeps
+    the fixture fallback."""
+    import json
+
+    import pytest as pt
+
+    from mmw_geoprocessing_spark.errors import MissingStreamLinesError
+    from mmw_geoprocessing_spark.plans.api import multi_request
+    from mmw_geoprocessing_spark.plans.model import MultiInput, Operation
+
+    shape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}
+    )
+    with pt.raises(MissingStreamLinesError):
+        multi_request(
+            spark,
+            MultiInput(
+                shapes=[shape],
+                operations=[
+                    Operation(name="RasterLinesJoin", label="streams", rasters=["nlcd"])
+                ],
+                shape_crs="ConusAlbers",
+            ),
+        )
+    # aoi-id path: same op, fixture line pixels -> still served
+    out = multi_request(
+        spark,
+        MultiInput(
+            shapes=["huc8_01"],
+            operations=[
+                Operation(name="RasterLinesJoin", label="streams", rasters=["nlcd"])
+            ],
+        ),
+    )
+    assert out["huc8_01"]["streams"]
+
+
+def test_multi_geojson_shape_ids_key_results(spark, tables):
+    """Wire HUC ids key the /multi response map (WebServer.scala:32-35);
+    entries without an id fall back to positional labels."""
+    import json
+
+    from mmw_geoprocessing_spark.plans.api import multi_request
+    from mmw_geoprocessing_spark.plans.model import MultiInput, Operation
+
+    def square(x0, y0, x1, y1):
+        return json.dumps(
+            {"type": "Polygon",
+             "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
+        )
+
+    out = multi_request(
+        spark,
+        MultiInput(
+            shapes=[square(0, 0, 4, 4), square(8, 0, 14, 3)],
+            shape_ids=["huc12__99", None],
+            operations=[
+                Operation(name="RasterGroupedCount", label="nlcd", rasters=["nlcd"])
+            ],
+            shape_crs="ConusAlbers",
+        ),
+    )
+    assert set(out) == {"huc12__99", "shape_1"}
+    assert sum(out["huc12__99"]["nlcd"].values()) == 16
+
+
 def test_multi_geojson_respects_per_op_pixel_is_area(spark, tables):
     """Each /multi operation carries its own pixelIsArea (reference
     Utils.scala:109-118): an area-sampled count over a corner-clipping

@@ -52,6 +52,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Bound the oracle's memory so big-SF gates SPILL instead of
+    # OOM-dying (the first sf10 ngram run was OOM-killed at ~100 GB RSS
+    # under DuckDB's default 80%-of-RAM limit), and keep the spill off
+    # the repo working tree.
+    con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '64GB')}'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
