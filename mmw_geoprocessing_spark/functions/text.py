@@ -63,8 +63,14 @@ def _n(col: Column) -> str:
 H28_SQL = "CAST(('0x' || substr(md5({x}), 1, 7)) AS BIGINT)"
 H60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
+# Shingle list built PER DOC then unnested. The previous form
+# cross-joined each doc's word list with generate_series and indexed it
+# per row — the intermediate then carries the FULL list on every
+# shingle row (~120 words x ~60 M rows ≈ 150 GB at the sf10 replica;
+# both big-SF gate OOMs traced here). One list_transform per doc keeps
+# the intermediate at one shingle-list per document.
 SHINGLES_CTE_SQL = (
-    "SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s "
-    "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
-    "UNNEST(generate_series(1, len(l) - 2)) AS t(i)"
+    "SELECT doc_id, UNNEST(list_transform(generate_series(1, len(l) - 2), "
+    "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)"
 )
