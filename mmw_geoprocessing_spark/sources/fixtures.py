@@ -50,9 +50,25 @@ PIXEL_KEY = ["key_col", "key_row", "cell_col", "cell_row"]
 # ---------------------------------------------------------------------------
 
 _CTE_BODIES: dict[str, str] = {
+    # pix = ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1,
+    # computed WITHOUT a global single-partition window: a global
+    # ROW_NUMBER funnels every lineitem row through ONE task in Spark
+    # (measured: 551 s of a single zonal query's 551 s at the 60 M-row
+    # sf10 replica). Because bkt = floor(l_orderkey / 65536) is monotone
+    # in the global sort order, the same value decomposes into a
+    # per-bucket ROW_NUMBER (hash-parallel across ~n_orders/65536
+    # buckets) plus an exclusive prefix-sum of bucket counts (a window
+    # over only the tiny bucket table). Bit-identical in both engines,
+    # so goldens and oracle hashes are unchanged.
     "pix_base": (
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS pix "
-        "FROM lineitem"
+        "SELECT CAST(o.off + b.rn - 1 AS BIGINT) AS pix "
+        "FROM (SELECT CAST(FLOOR(l_orderkey / 65536) AS BIGINT) AS bkt, "
+        "ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(l_orderkey / 65536) AS BIGINT) "
+        "ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem) b "
+        "JOIN (SELECT bkt, SUM(cnt) OVER (ORDER BY bkt) - cnt AS off "
+        "FROM (SELECT CAST(FLOOR(l_orderkey / 65536) AS BIGINT) AS bkt, "
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1) g) o "
+        "ON b.bkt = o.bkt"
     ),
     "cells": (
         "SELECT pix, "
