@@ -387,6 +387,79 @@ def test_png_codec_roundtrip_and_filters():
     assert [list(line) for line in lines] == grey
 
 
+def test_jpeg_codec_roundtrip_profiles():
+    """Pure-Python baseline JPEG codec (VERDICT r6 next-round #6):
+    encode->decode reproduces a smooth image within quantization error
+    across grey/RGB x 4:4:4/4:2:0 x restart intervals, handles
+    non-multiple-of-8 sizes, and rejects non-baseline profiles with a
+    typed NotImplementedError naming the profile."""
+    import numpy as np
+    import pytest
+
+    from mmw_geoprocessing_spark.functions import jpeg_codec as jc
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    grey = np.clip(128 + 60 * np.sin(xx / 9) + 40 * np.cos(yy / 7), 0, 255).astype(
+        np.uint8
+    )
+    rgb = np.stack([grey, np.roll(grey, 5, axis=1), 255 - grey], axis=-1)
+
+    for sub in ("4:4:4", "4:2:0"):
+        for rst in (0, 2):
+            data = jc.encode_jpeg(rgb, "RGB", quality=90, subsample=sub, restart_interval=rst)
+            w2, h2, mode, px = jc.decode_jpeg(data)
+            assert (w2, h2, mode, px.shape) == (w, h, "RGB", (h, w, 3))
+            rmse = float(np.sqrt(((px.astype(float) - rgb) ** 2).mean()))
+            assert rmse < (3.0 if sub == "4:4:4" else 6.0), (sub, rst, rmse)
+
+    data = jc.encode_jpeg(grey, "L", quality=90, restart_interval=3)
+    w2, h2, mode, px = jc.decode_jpeg(data)
+    assert (w2, h2, mode) == (w, h, "L")
+    assert float(np.sqrt(((px.astype(float) - grey) ** 2).mean())) < 2.0
+
+    odd = grey[:21, :35]  # partial edge MCUs, both axes
+    w2, h2, mode, px = jc.decode_jpeg(jc.encode_jpeg(odd, "L", quality=95))
+    assert (w2, h2, px.shape) == (35, 21, (21, 35))
+
+    # flip SOF0 -> SOF2 (progressive): typed, profile-naming rejection
+    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jc.decode_jpeg(progressive)
+    with pytest.raises(ValueError, match="SOI"):
+        jc.decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_mixed_png_jpeg_through_mapinpandas(spark):
+    """decode_image's stdlib backend dispatches per payload on magic
+    bytes: a mixed PNG + baseline-JPEG binary column decodes end to end
+    through one mapInPandas pass, each row matching a driver-side
+    decode of the same bytes."""
+    import numpy as np
+
+    from mmw_geoprocessing_spark.functions import jpeg_codec as jc
+    from mmw_geoprocessing_spark.functions import png_codec
+
+    grey = np.tile(np.arange(0, 250, 10, dtype=np.uint8), (16, 1))
+    jpeg_bytes = jc.encode_jpeg(grey, "L", quality=90)
+    _, _, jmode, jpx = jc.decode_jpeg(jpeg_bytes)
+    png_bytes = png_codec.encode_png([[(255, 0, 0), (0, 255, 0)]], "RGB")
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg_bytes)), (2, bytearray(png_bytes))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (25, 16, "L")
+    assert got[1]["mean_luma"] == jc.mean_luma(jmode, jpx)
+    assert (got[2]["width"], got[2]["height"], got[2]["mode"]) == (2, 1, "RGB")
+
+    import pytest
+
+    bad = spark.createDataFrame([(3, bytearray(b"GIF89a..."))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="PNG and baseline JPEG"):
+        mm.decode_image(bad).collect()
+
+
 def test_frame_sample_emits_n_frames(spark, tables):
     media = mm.attach_binary(tables["documents"].limit(5))
     counts = mm.frame_sample(media, n_frames=4).groupBy("doc_id").count().collect()
