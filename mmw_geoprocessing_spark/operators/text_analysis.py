@@ -314,3 +314,117 @@ def normalize_text_sql(table: str = "documents") -> str:
         f"CAST(len(regexp_extract_all(text, '{_HTML_TAG}')) AS INT) AS n_tags "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+
+def _ngram_strings(words_col, n: int):
+    """Array of word n-grams of ``words_col`` (space-joined strings).
+
+    Guarded for short docs: Spark's ``sequence(1, k)`` is DESCENDING
+    for k < 1 (``sequence(1, 0)`` -> ``[1, 0]``), so the start index
+    list only materializes when at least one n-gram exists.
+    """
+    k = F.size(words_col) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    documents: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark-contamination scan: for each training document, how
+    many of its distinct word ``n``-grams appear verbatim in the
+    evaluation ``benchmark`` corpus (the standard decontamination test
+    — GPT-3 App. C / PaLM-style 13-gram overlap).
+
+    Output: ``(doc_id, doc_ngrams, hit_ngrams, contamination_ratio)``
+    where ``doc_ngrams`` counts the document's DISTINCT n-grams,
+    ``hit_ngrams`` how many of those occur anywhere in the benchmark,
+    and the ratio divides the two exact ints once (0 for docs shorter
+    than n words).
+
+    100 TB shape: the benchmark n-gram set is the SMALL side by
+    construction (eval suites are MBs against a TB corpus) — distinct
+    n-grams, broadcast to every executor; the corpus side is one
+    projection-pruned scan, per-row n-gram expansion via JVM
+    higher-order functions (zero Python), a broadcast LEFT join tagging
+    hits, and ONE hash aggregation back to doc_id. No shuffle touches
+    the corpus until the final partial+final agg on doc_id keys.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_ngram_strings(_wordlist(F.col("text")), n)).alias("ng")
+        )
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    exploded = documents.select(
+        "doc_id",
+        F.array_distinct(_ngram_strings(_wordlist(F.col("text")), n)).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").alias("doc_ngrams"),
+        F.explode_outer("grams").alias("ng"),
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("doc_ngrams").alias("doc_ngrams"),
+            F.coalesce(F.sum("is_hit"), F.lit(0)).cast("long").alias("hit_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "doc_ngrams",
+            "hit_ngrams",
+            (
+                F.col("hit_ngrams")
+                / F.greatest(F.col("doc_ngrams"), F.lit(1)).cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def contamination_check_sql(
+    bench_where: str, n: int = 13, table: str = "documents"
+) -> str:
+    """DuckDB twin: ``bench_where`` selects the benchmark rows from the
+    same table (e.g. ``doc_id % 101 = 7``)."""
+    span = n - 1
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {span}, 0) + 1), "
+        f"i -> array_to_string(w[i:i+{span}], ' '))"
+    )
+    return f"""
+    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    bg AS (
+        SELECT DISTINCT unnest({grams}) AS ng
+        FROM dw WHERE {bench_where}
+    ),
+    dg AS (
+        SELECT doc_id, len(list_distinct({grams})) AS doc_ngrams,
+               unnest(list_concat(list_distinct({grams}), [NULL])) AS ng
+        FROM dw
+    ),
+    agg AS (
+        SELECT dg.doc_id,
+               CAST(max(dg.doc_ngrams) AS INT) AS doc_ngrams,
+               CAST(count(bg.ng) AS BIGINT) AS hit_ngrams
+        FROM dg LEFT JOIN bg ON dg.ng = bg.ng
+        WHERE dg.ng IS NOT NULL OR dg.doc_ngrams = 0
+        GROUP BY dg.doc_id
+    )
+    SELECT doc_id, doc_ngrams, hit_ngrams,
+           hit_ngrams / CAST(greatest(doc_ngrams, 1) AS DOUBLE)
+               AS contamination_ratio
+    FROM agg
+    """

@@ -290,3 +290,51 @@ def test_ingest_stages_compose_into_curation(spark, tables):
         F.col("text").rlike("<p>|</p>|@ex\\.org")
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection (text_analysis.contamination_check)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_check_matches_oracle(spark, tables, duck):
+    """13-gram benchmark-overlap scan: Spark's broadcast-join plan and
+    the DuckDB twin agree row-for-row, benchmark members score ratio
+    1.0, and docs shorter than n words report (0, 0, 0.0) rather than
+    vanishing."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = tables["documents"]
+    bench = docs.where("doc_id % 101 = 7")
+    out = (
+        ta.contamination_check(docs, bench, n=13)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(ta.contamination_check_sql("doc_id % 101 = 7", 13))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert len(out) == docs.count()  # every doc gets a verdict
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    scored = out.set_index("doc_id")
+    assert all(scored.loc[i, "contamination_ratio"] == 1.0 for i in bench_ids)
+    # at least the benchmark members themselves are flagged
+    assert (out["hit_ngrams"] > 0).sum() >= len(bench_ids)
+
+
+def test_contamination_check_short_docs_and_clean_benchmark(spark):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "completely disjoint benchmark text")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ta.contamination_check(docs, bench, n=13).collect()}
+    assert (out[1]["doc_ngrams"], out[1]["hit_ngrams"], out[1]["contamination_ratio"]) == (0, 0, 0.0)
+    assert out[2]["doc_ngrams"] == 8 and out[2]["hit_ngrams"] == 0

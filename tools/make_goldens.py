@@ -130,6 +130,9 @@ def lib_cases() -> dict:
         "lib_pack_token_batches": lambda s: sp.pack_token_batches(
             docs(s), budget=256, n_buckets=8
         ),
+        "lib_contamination_check": lambda s: ta.contamination_check(
+            docs(s), docs(s).where("doc_id % 101 = 7"), n=13
+        ),
     }
 
 

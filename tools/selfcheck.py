@@ -58,6 +58,13 @@ def main() -> int:
     # the repo working tree.
     con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '64GB')}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    # Big-SF runs share the box with a 32-thread Spark JVM; DuckDB's
+    # default one-thread-per-CPU both fragments its memory budget
+    # (per-thread operator state pushed the sf10 dedup oracles past the
+    # limit in non-spillable list builds) and risks thread exhaustion.
+    duck_threads = os.environ.get("SELFCHECK_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
