@@ -305,6 +305,24 @@ def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
         fp = sf_dir
     tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     tbl = f"sgb_{tag}_{name}"
+    path = f"{_BUCKET_DIR}/{tbl}"
+    if not spark.catalog.tableExists(tbl) and _os.path.exists(
+        _os.path.join(path, "_SUCCESS")
+    ):
+        # A previous PROCESS already wrote this bucketed copy (the tag
+        # fingerprints the source parquet, so on-disk content is
+        # current) but the in-memory catalog forgot it. Re-attach via
+        # external-bucketed-table DDL instead of re-deriving — at the
+        # 60 M-row sf10 replica each fixture build is ~1 min, and a
+        # family-per-process gate would otherwise pay it per process.
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        key = ", ".join(f"`{c}`" for c in PIXEL_KEY)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
     if not spark.catalog.tableExists(tbl):
         df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name))
         (

@@ -100,3 +100,33 @@ def test_bucketed_aggregation_avoids_exchange_on_bucket_keys(spark, bucketed_tab
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
     assert agg.count() > 0
+
+
+def test_bucketed_fixture_reattaches_from_disk(spark, tables, monkeypatch):
+    """A bucketed fixture written by a previous PROCESS (simulated by
+    dropping the catalog entry, which keeps the external files) is
+    re-attached via CLUSTERED BY DDL instead of re-derived, and the
+    re-attached table still joins Exchange-free with identical rows."""
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+    fx.clear_fixture_cache()
+    try:
+        before = fx.raster_df(spark, "nlcd")
+        tbl = [t.name for t in spark.catalog.listTables() if t.name.endswith("_r_nlcd")]
+        assert tbl, "bucketed table registered"
+        want = before.count()
+        spark.sql(f"DROP TABLE {tbl[0]}")  # external: files survive
+        fx.clear_fixture_cache()
+        import os.path
+
+        import mmw_geoprocessing_spark.sources.fixtures as fxmod
+
+        assert os.path.exists(f"{fxmod._BUCKET_DIR}/{tbl[0]}/_SUCCESS")
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FIXTURES", "1")
+        after = fx.raster_df(spark, "nlcd")
+        assert after.count() == want
+        joined = after.join(fx.raster_df(spark, "soil"), on=KEY, how="full")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BUCKETED_FIXTURES", raising=False)
+        fx.clear_fixture_cache()
