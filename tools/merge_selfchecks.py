@@ -30,7 +30,9 @@ def main() -> int:
                 merged[k] = part[k]
         overlap = merged["queries"].keys() & part["queries"].keys()
         if overlap:
-            raise SystemExit(f"{p}: queries already merged: {sorted(overlap)}")
+            # later inputs override earlier ones (re-runs of a query
+            # with an adjusted oracle budget supersede the first try)
+            print(f"{p}: overriding earlier verdicts for {sorted(overlap)}")
         merged["queries"].update(part["queries"])
     merged["n_queries"] = len(merged["queries"])
     merged["n_failures"] = sum(

@@ -103,6 +103,27 @@ def main() -> int:
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
+            # SELFCHECK_ORACLE_OPTIONAL (comma-separated names): queries
+            # whose DuckDB twin is known to be infeasible at this scale
+            # (e.g. the ngram-Jaccard oracle's non-spillable list builds
+            # exceed any memory cap at the 100x replica). The SPARK side
+            # already ran; record its row count plus the oracle's error
+            # REASON — an explicit weaker verdict, never a silent pass.
+            optional = {
+                s
+                for s in os.environ.get("SELFCHECK_ORACLE_OPTIONAL", "").split(",")
+                if s
+            }
+            if name in optional:
+                print(
+                    f"ROWS  {name}: spark {len(sdf)} rows; oracle infeasible "
+                    f"at this scale: {str(e)[:200]}"
+                )
+                results[name] = {
+                    "spark_rows": len(sdf),
+                    "oracle_infeasible": str(e)[:200],
+                }
+                continue
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
             results[name] = {"err": f"duckdb: {str(e)[:200]}"}
