@@ -39,6 +39,74 @@ def _hash(pdf) -> str:
     ).hexdigest()
 
 
+def _compare_big(spark, df, oracle_sql: str, con, name: str) -> dict:
+    """Exact compare without driver-side materialization.
+
+    The driver's hasher needs the full result in pandas; at sf10 four
+    registry queries return 10-35 M rows and the toPandas + astype(str)
+    + sorted-CSV pipeline is what OOM'd the first gate attempt (the
+    ENGINES were fine). Instead: Spark writes its result to parquet
+    (distributed write), DuckDB reads it back and runs a two-way
+    EXCEPT ALL against the oracle — engine-native bag equality that
+    hash-joins and SPILLS under the memory cap. Strictly stronger than
+    the hash (no string-collision window) and identical in intent:
+    both canonicalize every column to text ('%.12g' for floats, the
+    same format the hash path uses) before comparing.
+    """
+    import shutil
+
+    out = f"/tmp/selfcheck_big/{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    df.write.mode("overwrite").parquet(out)
+    con.execute(
+        f"CREATE OR REPLACE TEMP VIEW big_spark AS "
+        f"SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    con.execute(f"CREATE OR REPLACE TEMP VIEW big_oracle AS {oracle_sql}")
+    s_types = {r[0]: r[1] for r in con.execute("DESCRIBE big_spark").fetchall()}
+    o_types = {r[0]: r[1] for r in con.execute("DESCRIBE big_oracle").fetchall()}
+    cols_match = sorted(s_types) == sorted(o_types)
+    if not cols_match:
+        return {
+            "rows_match": False,
+            "schema_match": False,
+            "except_all_match": False,
+            "method": "duckdb_except_all",
+            "err": f"columns differ: spark={sorted(s_types)} oracle={sorted(o_types)}",
+        }
+
+    def canon(view: str) -> str:
+        exprs = []
+        for c in sorted(s_types):
+            floaty = any(
+                k in (s_types[c] + o_types[c]).upper()
+                for k in ("DOUBLE", "FLOAT", "REAL")
+            )
+            if floaty:
+                exprs.append(f"printf('%.12g', CAST(\"{c}\" AS DOUBLE)) AS \"{c}\"")
+            else:
+                exprs.append(f'CAST("{c}" AS VARCHAR) AS "{c}"')
+        return f"SELECT {', '.join(exprs)} FROM {view}"
+
+    n_s = con.execute("SELECT count(*) FROM big_spark").fetchone()[0]
+    n_o = con.execute("SELECT count(*) FROM big_oracle").fetchone()[0]
+    n_diff = con.execute(
+        f"SELECT count(*) FROM (({canon('big_spark')} EXCEPT ALL {canon('big_oracle')})"
+        f" UNION ALL ({canon('big_oracle')} EXCEPT ALL {canon('big_spark')}))"
+    ).fetchone()[0]
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "rows_match": n_s == n_o,
+        "schema_match": True,
+        "except_all_match": n_diff == 0,
+        "hash_match": n_s == n_o and n_diff == 0,
+        "spark_rows": int(n_s),
+        "oracle_rows": int(n_o),
+        "except_all_diff_rows": int(n_diff),
+        "method": "duckdb_except_all",
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefix = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -78,6 +146,11 @@ def main() -> int:
     # candidate-bounded (NEARDUP_BUCKET_CAP, SCALE.md) and gates at
     # sf1~ with truncation engaged.
     skip = {s for s in os.environ.get("SELFCHECK_SKIP", "").split(",") if s}
+    # SELFCHECK_BIGRESULT: comma-separated query names whose result is
+    # too large to toPandas + CSV-hash on the driver (10-35 M rows at
+    # sf10); compared via _compare_big instead — same verdict fields,
+    # method recorded.
+    big = {s for s in os.environ.get("SELFCHECK_BIGRESULT", "").split(",") if s}
     failures = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():
@@ -86,6 +159,26 @@ def main() -> int:
         if name in skip:
             print(f"SKIP  {name} (SELFCHECK_SKIP)")
             results[name] = {"skipped": True}
+            continue
+        if name in big and name in oracles:
+            t0 = time.time()
+            try:
+                res = _compare_big(spark, qs[name](spark, sf_dir), oracles[name], con, name)
+            except Exception as e:
+                print(f"FAIL  {name}: bigresult error: {str(e)[:300]}")
+                failures += 1
+                results[name] = {"err": f"bigresult: {str(e)[:200]}"}
+                continue
+            ok = res.get("hash_match", False)
+            failures += not ok
+            status = "OK  " if ok else "FAIL"
+            print(
+                f"{status}  {name}: spark {res.get('spark_rows')} rows / duck "
+                f"{res.get('oracle_rows')} rows, except_all_diff="
+                f"{res.get('except_all_diff_rows')} (duckdb_except_all) "
+                f"[{time.time() - t0:.1f}s]"
+            )
+            results[name] = res
             continue
         t0 = time.time()
         try:
