@@ -145,9 +145,13 @@ def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded data. Unstuffs 0xFF00;
-    stops (returns padding 0-bits are invalid -> raises) at any other
-    marker, which the scan loop handles by checking ``marker``."""
+    """MSB-first reader over entropy-coded data. Unstuffs 0xFF00; stops
+    at any other marker, which the scan loop handles by checking
+    ``marker``. Reads past the segment end are fed 1-padding (spec
+    F.2.2.5) and recorded: consuming any synthetic pad bit sets
+    ``truncated``, which ``_decode_scan`` turns into
+    ``ValueError('truncated JPEG')`` at end of scan — a short entropy
+    segment never decodes to silent garbage."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -155,16 +159,19 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         self.marker: int | None = None
+        # synthetic pad bits currently at the LOW end of bitbuf (padding
+        # is only ever appended after the segment ends, so it always
+        # occupies the least-significant bits)
+        self.pad_bits = 0
+        self.truncated = False
 
     def _fill(self) -> None:
         d = self.data
         while self.nbits <= 24:
             if self.marker is not None or self.pos >= len(d):
-                # past a marker/EOF: feed 1-padding (spec F.2.2.5 pads
-                # with 1s; any decode that *consumes* it is an error the
-                # block loop surfaces as truncation)
                 self.bitbuf = (self.bitbuf << 8) | 0xFF
                 self.nbits += 8
+                self.pad_bits += 8
                 continue
             byte = d[self.pos]
             if byte == 0xFF:
@@ -185,6 +192,9 @@ class _BitReader:
         if self.nbits < n:
             self._fill()
         self.nbits -= n
+        if self.nbits < self.pad_bits:
+            self.truncated = True
+            self.pad_bits = self.nbits
         v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
         self.bitbuf &= (1 << self.nbits) - 1
         return v
@@ -203,6 +213,7 @@ class _BitReader:
         """Consume an RSTn marker between restart intervals."""
         self.bitbuf = 0
         self.nbits = 0
+        self.pad_bits = 0
         if self.marker is None:
             # reader never crossed the marker: it is next in the stream
             d, p = self.data, self.pos
@@ -277,6 +288,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if ncomp not in (1, 3):
+                # 4-component baseline (Adobe CMYK/YCCK) would decode
+                # "successfully" into garbage RGB; make it a typed
+                # boundary like the other undeclared profiles
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK/YCCK); only greyscale "
+                    "(1) and YCbCr (3) are supported"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -339,6 +358,10 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             if restart_interval:
                 until_rst -= 1
+    if reader.truncated:
+        raise ValueError(
+            "truncated JPEG: entropy-coded segment ended before the last MCU"
+        )
     # upsample to full-res and crop
     out = []
     for (cid, ch, cv, _), plane in zip(comps, planes):
@@ -499,11 +522,16 @@ def encode_jpeg(
                 p = np.hstack([p, p[:, -1:]])
             planes[ci] = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
+    # DQT carries the 64 entries in ZIGZAG order (spec B.2.4.1); the
+    # quantize step below divides zigzag-ordered coefficients, so the
+    # same zigzag-ordered array serves both — the effective table IS
+    # Annex K in natural order, matching the docstring
+    ql_zz, qc_zz = ql[ZIGZAG], qc[ZIGZAG]
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0]) + bytes(ql.astype(np.uint8)))
+    out += _seg(0xDB, bytes([0]) + bytes(ql_zz.astype(np.uint8)))
     if ncomp == 3:
-        out += _seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+        out += _seg(0xDB, bytes([1]) + bytes(qc_zz.astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
         sof += bytes([c + 1, factors[c][0] << 4 | factors[c][1], 0 if c == 0 else 1])
@@ -527,7 +555,7 @@ def encode_jpeg(
 
     dc_maps = [codes(_DC_LUMA)] + [codes(_DC_CHROMA)] * (ncomp - 1)
     ac_maps = [codes(_AC_LUMA)] + [codes(_AC_CHROMA)] * (ncomp - 1)
-    qmaps = [ql] + [qc] * (ncomp - 1)
+    qmaps = [ql_zz] + [qc_zz] * (ncomp - 1)
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)

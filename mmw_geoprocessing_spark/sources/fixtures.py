@@ -303,6 +303,11 @@ def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
         fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         fp = sf_dir
+    # The bucket SPEC is part of the fingerprint: a stale on-disk copy
+    # written under a different _N_BUCKETS / PIXEL_KEY must never be
+    # re-attached under the new CLUSTERED BY metadata — bucket-pruned
+    # joins would silently read wrong buckets (ADVICE r7)
+    fp += f"|b{_N_BUCKETS}|{','.join(PIXEL_KEY)}"
     tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     tbl = f"sgb_{tag}_{name}"
     path = f"{_BUCKET_DIR}/{tbl}"

@@ -430,6 +430,71 @@ def test_jpeg_codec_roundtrip_profiles():
         jc.decode_jpeg(b"not a jpeg")
 
 
+def test_jpeg_codec_boundaries_r8():
+    """Round-8 ADVICE hardening: DQT bytes are zigzag-ordered (so an
+    EXTERNAL spec decoder sees Annex K, not a permutation), a truncated
+    entropy segment raises instead of decoding to silent garbage, and a
+    4-component (CMYK) frame is a typed boundary."""
+    import numpy as np
+    import pytest
+
+    from mmw_geoprocessing_spark.functions import jpeg_codec as jc
+
+    h, w = 24, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    grey = np.clip(128 + 50 * np.sin(xx / 5) + 30 * np.cos(yy / 4), 0, 255).astype(
+        np.uint8
+    )
+    data = jc.encode_jpeg(grey, "L", quality=50)
+
+    # DQT zigzag: the emitted table, un-zigzagged, must equal the scaled
+    # Annex K luma table in natural (row-major) order
+    i = data.index(b"\xff\xdb")
+    dqt = np.frombuffer(data[i + 5 : i + 5 + 64], dtype=np.uint8).astype(np.int64)
+    natural = np.empty(64, dtype=np.int64)
+    natural[jc.ZIGZAG] = dqt
+    expected = jc._scaled_quant(jc.QUANT_LUMA, 50)
+    assert (natural == expected).all()
+    # and the roundtrip still reproduces the image through that table
+    _, _, _, px = jc.decode_jpeg(data)
+    assert float(np.sqrt(((px.astype(float) - grey) ** 2).mean())) < 6.0
+
+    # truncation, mid-stream cut: all-ones padding can't form a valid
+    # huffman code in the Annex K tables, so this raises via the code-
+    # length guard (still an error, never silent)
+    sos = data.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated|huffman"):
+        jc.decode_jpeg(data[: sos + 40] + b"\xff\xd9")
+    # truncation, tail cut that previously decoded SILENTLY to garbage:
+    # a checkerboard block ends in a long magnitude field; chopping the
+    # final entropy byte makes that magnitude decode from synthetic pad
+    # bits and the scan complete — the pad-consumption tracker must
+    # surface it as truncation
+    blk = np.zeros((8, 8))
+    blk[::2, ::2] = 255
+    blk[1::2, 1::2] = 255
+    tail = jc.encode_jpeg(blk.astype(np.uint8), "L", quality=95)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jc.decode_jpeg(tail[:-3] + b"\xff\xd9")
+
+    # 4-component SOF: typed NotImplementedError, not garbage RGB
+    sof_at = data.index(b"\xff\xc0")
+    seglen = 8 + 3 * 4
+    cmyk_sof = (
+        b"\xff\xc0"
+        + seglen.to_bytes(2, "big")
+        + bytes([8])
+        + (16).to_bytes(2, "big")
+        + (16).to_bytes(2, "big")
+        + bytes([4])
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    )
+    old_len = int.from_bytes(data[sof_at + 2 : sof_at + 4], "big")
+    mutated = data[:sof_at] + cmyk_sof + data[sof_at + 2 + old_len :]
+    with pytest.raises(NotImplementedError, match="4-component"):
+        jc.decode_jpeg(mutated)
+
+
 def test_decode_image_mixed_png_jpeg_through_mapinpandas(spark):
     """decode_image's stdlib backend dispatches per payload on magic
     bytes: a mixed PNG + baseline-JPEG binary column decodes end to end

@@ -57,6 +57,15 @@ def _compare_big(spark, df, oracle_sql: str, con, name: str) -> dict:
 
     out = f"/tmp/selfcheck_big/{name}"
     shutil.rmtree(out, ignore_errors=True)
+    try:
+        return _compare_big_inner(spark, df, oracle_sql, con, out)
+    finally:
+        # always reclaim the 10-35 M-row spill copy, also on the error
+        # paths (ADVICE r7: failed attempts leaked a parquet dir each)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _compare_big_inner(spark, df, oracle_sql: str, con, out: str) -> dict:
     df.write.mode("overwrite").parquet(out)
     con.execute(
         f"CREATE OR REPLACE TEMP VIEW big_spark AS "
@@ -94,7 +103,6 @@ def _compare_big(spark, df, oracle_sql: str, con, name: str) -> dict:
         f"SELECT count(*) FROM (({canon('big_spark')} EXCEPT ALL {canon('big_oracle')})"
         f" UNION ALL ({canon('big_oracle')} EXCEPT ALL {canon('big_spark')}))"
     ).fetchone()[0]
-    shutil.rmtree(out, ignore_errors=True)
     return {
         "rows_match": n_s == n_o,
         "schema_match": True,
