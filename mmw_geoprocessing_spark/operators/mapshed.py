@@ -41,10 +41,18 @@ TEMPLATES: dict[str, tuple[str, list[str], str | None]] = {
     "recess_coef": ("average", [], "bfi"),
 }
 
-# Both HUC-8s plus their 16 HUC-12 subbasins (round 7 widened the
-# fixture world): 18 AOIs x 10 templates = 180 cases per suite run,
-# still ONE union + ONE collect (the shared-raster-fetch shape).
+# The REGISTERED suite workload: both r7 HUC-8s plus their 16 HUC-12
+# subbasins — 18 AOIs x 10 templates = 180 cases per run, ONE union +
+# ONE collect (the shared-raster-fetch shape). Held at the r7 size so
+# bench/gate numbers stay comparable across rounds.
 MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS, "huc8_02", *fx.SUBBASIN_AOIS_2]
+
+# The FULL fixture-world sweep (round 8: third HUC-8 + huc12_17..32 →
+# 35 AOIs): used by the per-(AOI, template) golden discipline
+# (tools/make_goldens.subbasin_cases → 350 frozen files, the analogue
+# of the reference's 61-subbasin x 7-template output set,
+# scripts/benchmark-subbasin:110-121).
+SWEEP_AOIS = [*MAPSHED_AOIS, "huc8_03", *fx.SUBBASIN_AOIS_3]
 
 
 def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:

@@ -142,11 +142,14 @@ RASTER_DEFS: dict[str, tuple[str, str | None, bool]] = {
     ),
 }
 
-# aoi_id -> predicate over `pix` (all dialect-neutral). Two HUC-8s
-# (round 7 widened the world one notch toward the reference's
-# 61-subbasin sweep, scripts/benchmark-subbasin:110-121): huc8_01
-# (~60 % of pixels) partitioned into huc12_01..08, and the disjoint
-# huc8_02 (~30 %) partitioned into huc12_09..16 — 16 HUC-12s total.
+# aoi_id -> predicate over `pix` (all dialect-neutral). Three HUC-8s
+# (rounds 7/8 widened the world toward the reference's 61-subbasin
+# sweep, scripts/benchmark-subbasin:110-121): huc8_01 (~60 % of pixels)
+# partitioned into huc12_01..08, the disjoint huc8_02 (~30 %)
+# partitioned into huc12_09..16, and huc8_03 (the remaining ~10 %)
+# partitioned into huc12_17..32 — 32 HUC-12s total. huc8_01/02 and
+# their subbasins are BIT-STABLE across rounds (existing goldens and
+# recorded reference replays stay valid); round 8 only adds.
 AOI_DEFS: dict[str, str] = {
     "huc8_01": "pix % 10 < 6",
     **{
@@ -161,6 +164,13 @@ AOI_DEFS: dict[str, str] = {
         )
         for k in range(8)
     },
+    "huc8_03": "pix % 10 = 9",
+    **{
+        f"huc12_{k + 17:02d}": (
+            f"pix % 10 = 9 AND CAST(FLOOR(pix / 10) AS BIGINT) % 16 = {k}"
+        )
+        for k in range(16)
+    },
     # pix % 2350 = 13 avoids both line families below (13 ∉ {0..11} mod 50;
     # 13 ∉ {(j*5)%47 : j<12} mod 47) -> intersects no line pixels.
     "huc12_empty": "pix % 2350 = 13",
@@ -168,6 +178,7 @@ AOI_DEFS: dict[str, str] = {
 
 SUBBASIN_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
 SUBBASIN_AOIS_2 = [f"huc12_{k + 9:02d}" for k in range(8)]
+SUBBASIN_AOIS_3 = [f"huc12_{k + 17:02d}" for k in range(16)]
 
 N_LINES = 12
 
@@ -303,11 +314,14 @@ def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
         fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         fp = sf_dir
-    # The bucket SPEC is part of the fingerprint: a stale on-disk copy
-    # written under a different _N_BUCKETS / PIXEL_KEY must never be
-    # re-attached under the new CLUSTERED BY metadata — bucket-pruned
-    # joins would silently read wrong buckets (ADVICE r7)
+    # The bucket SPEC and the fixture's DERIVATION SQL are part of the
+    # fingerprint: a stale on-disk copy written under a different
+    # _N_BUCKETS / PIXEL_KEY must never be re-attached under the new
+    # CLUSTERED BY metadata (ADVICE r7), and a fixture whose defining
+    # CTE changed (e.g. widening AOI_DEFS changes mask_all's content)
+    # must rebuild rather than re-attach the old rows
     fp += f"|b{_N_BUCKETS}|{','.join(PIXEL_KEY)}"
+    fp += "|" + with_fixtures(f"SELECT * FROM {name}", name)
     tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     tbl = f"sgb_{tag}_{name}"
     path = f"{_BUCKET_DIR}/{tbl}"

@@ -55,7 +55,7 @@ def subbasin_cases() -> list[tuple[str, str, str]]:
 
     return [
         (f"sub_{aoi}_{tpl}", aoi, tpl)
-        for aoi in mapshed.MAPSHED_AOIS
+        for aoi in mapshed.SWEEP_AOIS
         for tpl in mapshed.TEMPLATES
     ]
 

@@ -147,6 +147,12 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if os.environ.get("SELFCHECK_INCLUDE_LIB") == "1":
+        # library operators outside the 50-entry driver registry that
+        # still get big-replica oracle verdicts (contamination_check,
+        # cosine_neardup_wide — VERDICT r7 #2)
+        qs = {**qs, **entrymod.lib_queries()}
+        oracles = {**oracles, **entrymod.lib_oracle_sql()}
     prefixes = [p for p in prefix.split(",") if p]
     # SELFCHECK_SKIP: comma-separated query names to exclude, recorded
     # as skipped in the JSON artifact. Since round 7 the sf1~ run needs
