@@ -251,6 +251,33 @@ def main() -> None:
                 )
             )
         return
+    if "--tier" in sys.argv and "sf1-ngram" in sys.argv:
+        # r7 #3: BASELINE.md recorded a 221 s Spark phase for
+        # dedup_ngram_jaccard at sf1~ with no oracle pairing — the
+        # heaviest per-byte operator needs a measured ratio, not a plan
+        # argument. Same files, same protocol (warm-up + runs, min).
+        # The DuckDB twin is feasible at sf1~ (the sf10 oracle is the
+        # one that OOMs); expect minutes per run on both sides.
+        build_replica()
+        qs = ["dedup_ngram_jaccard"]
+        duck = bench_duck(DST, qs)
+        spark = bench_spark(DST, qs)
+        for q in qs:
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
+            print(
+                json.dumps(
+                    {
+                        "sf": "sf1~",
+                        "query": q,
+                        "spark_s": spark[q]["min"],
+                        "spark_mean_s": spark[q]["mean"],
+                        "duck_s": duck[q]["min"],
+                        "duck_mean_s": duck[q]["mean"],
+                        "ratio": ratio,
+                    }
+                )
+            )
+        return
     if "--tier" in sys.argv and "sf10" in sys.argv:
         build_replica(DST10, COPIES10)
         rows = []
