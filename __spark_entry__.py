@@ -419,6 +419,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lib_cosine_neardup_wide": lambda s, d: sim.cosine_neardup_wide(
             _t(s, d)["embeddings"]
         ),
+        "lib_repetition_scores": lambda s, d: ta.repetition_scores(
+            _t(s, d)["documents"]
+        ),
     }
 
 
@@ -428,4 +431,5 @@ def lib_oracle_sql() -> dict[str, str]:
             _CONTAMINATION_BENCH_WHERE, 13
         ),
         "lib_cosine_neardup_wide": sim.cosine_neardup_wide_sql(),
+        "lib_repetition_scores": ta.repetition_scores_sql(),
     }

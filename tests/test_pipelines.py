@@ -338,3 +338,57 @@ def test_contamination_check_short_docs_and_clean_benchmark(spark):
     out = {r["doc_id"]: r for r in ta.contamination_check(docs, bench, n=13).collect()}
     assert (out[1]["doc_ngrams"], out[1]["hit_ngrams"], out[1]["contamination_ratio"]) == (0, 0, 0.0)
     assert out[2]["doc_ngrams"] == 8 and out[2]["hit_ngrams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# repeated-n-gram quality signals (text_analysis.repetition_scores)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_scores_matches_oracle(spark, tables, duck):
+    """Gopher-style repetition signals: Spark's explode-and-aggregate
+    plan and the DuckDB twin agree row-for-row; every doc gets a
+    verdict."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = tables["documents"]
+    out = (
+        ta.repetition_scores(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(ta.repetition_scores_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert len(out) == docs.count()
+    assert ((out["top2_ratio"] >= 0) & (out["top2_ratio"] <= 1)).all()
+    # dup fraction includes every occurrence of a repeated gram, so it
+    # can never be smaller than the top-gram fraction when repeats exist
+    rep = out[out["dup2_ratio"] > 0]
+    assert (rep["dup2_ratio"] >= rep["top2_ratio"] - 1e-12).all()
+
+
+def test_repetition_scores_known_values(spark):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> top 3/5, dup 5/5
+            (2, "x y z w"),            # all 2-grams distinct -> top 1/3, dup 0
+            (3, "solo"),               # shorter than 2 words -> zeros
+            (4, "A a a A"),            # lowercased: aa aa aa -> top 3/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ta.repetition_scores(docs).collect()}
+    assert out[1]["top2_ratio"] == 3 / 5 and out[1]["dup2_ratio"] == 1.0
+    assert out[2]["top2_ratio"] == 1 / 3 and out[2]["dup2_ratio"] == 0.0
+    assert out[3]["top2_ratio"] == 0.0 and out[3]["dup3_ratio"] == 0.0
+    assert out[4]["top2_ratio"] == 1.0
+    # 3-grams of doc 1: "a b a" x2, "b a b" x2 -> top 2/4, dup 4/4
+    assert out[1]["top3_ratio"] == 0.5 and out[1]["dup3_ratio"] == 1.0
