@@ -422,6 +422,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lib_repetition_scores": lambda s, d: ta.repetition_scores(
             _t(s, d)["documents"]
         ),
+        "lib_semantic_dedup_pairs": lambda s, d: sim.semantic_dedup_pairs(
+            _t(s, d)["embeddings"]
+        ),
     }
 
 
@@ -432,4 +435,5 @@ def lib_oracle_sql() -> dict[str, str]:
         ),
         "lib_cosine_neardup_wide": sim.cosine_neardup_wide_sql(),
         "lib_repetition_scores": ta.repetition_scores_sql(),
+        "lib_semantic_dedup_pairs": sim.semantic_dedup_pairs_sql(),
     }

@@ -804,3 +804,121 @@ def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> s
       FROM q JOIN with_cell w2 USING (cell) WHERE q.q_id <> w2.vec_id
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: coarse-cluster the embedding
+# space, then near-dup only WITHIN a cell (Abbas et al. 2023,
+# "SemDeDup" — cluster-then-pair is what makes embedding dedup
+# tractable at corpus scale).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine >= ``threshold`` between
+    vectors assigned to the SAME coarse cell. Output: ``(v1, v2, cell,
+    cosine)`` with ``v1 < v2``.
+
+    The cell structure is the shared IVF index (``_ivf_index``: the
+    deterministic first-``N_CELLS``-vectors quantizer, cached per
+    (session, corpus)) — the oracle replays the assignment exactly. In
+    production the quantizer is k-means-refined (``clustering.kmeans_fit``)
+    and k scales with corpus size to bound cell populations; the
+    algorithm is unchanged.
+
+    100 TB shape: pairing is ONE equi-join of the persisted index with
+    itself on the cell id — never all-pairs across cells; within-cell
+    pairs are quadratic in CELL population (the SemDeDup contract: pick
+    k so cells hold ~1e3-1e5 vectors; AQE skew-join splits hot cells).
+    ``cell_cap`` bounds the worst case like NEARDUP_BUCKET_CAP does for
+    the banded path: only the first ``cell_cap`` members of a cell by
+    vec_id participate (deterministic ROW_NUMBER, replayed in the
+    oracle) — a documented subset, not a silent one (cap stats via
+    ``neardup_truncation_stats``-style inspection of the index).
+    """
+    from pyspark.sql import Window
+
+    idx = _ivf_index(embeddings)
+    if cell_cap is not None:
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        idx = (
+            idx.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
+    a = idx.select(
+        F.col("vec_id").alias("v1"),
+        F.col("v").alias("e1"),
+        F.col("nv").alias("n1"),
+        "cell",
+    )
+    b = idx.select(
+        F.col("vec_id").alias("v2"),
+        F.col("v").alias("e2"),
+        F.col("nv").alias("n2"),
+        "cell",
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "cell", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_pairs_sql(
+    threshold: float = 0.4, cell_cap: int | None = None
+) -> str:
+    """DuckDB twin: same first-N_CELLS quantizer, same argmax-cosine
+    assignment (ties toward the smaller cell id), same sequential-fold
+    cosine between co-cell pairs."""
+    ccos = _cos_sql("b.v", "c.cv")
+    pcos = f"({DOT_SQL.format(a='x.v', b='y.v')}) / (x.nv * y.nv)"
+    cap_filter = "" if cell_cap is None else f"WHERE pos <= {cell_cap}"
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < {N_CELLS}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY {ccos} DESC, c.cid) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid AS cell,
+             sqrt({DOT_SQL.format(a="v", b="v")}) AS nv,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS pos
+      FROM scored WHERE rn = 1
+    ),
+    capped AS (SELECT vec_id, v, cell, nv FROM assigned {cap_filter})
+    SELECT x.vec_id AS v1, y.vec_id AS v2, x.cell AS cell, {pcos} AS cosine
+    FROM capped x JOIN capped y
+      ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE {pcos} >= {threshold!r}
+    """
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Survivor set under the repo's one-level drop rule (the
+    ``neardup_drop_ids`` convention): drop the HIGHER id of every
+    semantic pair, keep everything else. Output: ``(vec_id, cell)``.
+    One anti-join against the (small) drop set — fully declarative, no
+    iteration."""
+    drops = semantic_dedup_pairs(embeddings, threshold, cell_cap).select(
+        F.col("v2").alias("vec_id")
+    )
+    return (
+        _ivf_index(embeddings)
+        .join(drops, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+    )

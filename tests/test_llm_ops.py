@@ -623,3 +623,92 @@ def test_image_resize_real_png_nearest_neighbor(spark):
         want = src[ys][:, xs]
         out = np.frombuffer(bytes(b"".join(lines)), dtype=np.uint8).reshape(2, 3, spp)
         assert (out == want).all()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (similarity.semantic_dedup_pairs / _keep)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_matches_oracle(spark, tables, duck):
+    """Cluster-then-pair semantic dedup: Spark's IVF-index self-join and
+    the DuckDB twin agree row-for-row, and every reported pair is a
+    subset of the exact all-pairs result at the same threshold (cells
+    only ever REMOVE candidates, never invent cosine values)."""
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    out = (
+        sim.semantic_dedup_pairs(emb)
+        .toPandas()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(sim.semantic_dedup_pairs_sql())
+        .df()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    exact = {(r["v1"], r["v2"]): r["cosine"] for r in sim.cosine_neardup(emb).collect()}
+    for r in out.itertuples():
+        assert (r.v1, r.v2) in exact and exact[(r.v1, r.v2)] == r.cosine
+
+
+def test_semantic_dedup_planted_copies_always_pair(spark):
+    """Exact copies share a cell by construction (identical vectors get
+    identical argmax assignments), so planted duplicates can never be
+    split across cells — the property that makes cluster-then-pair
+    sound for true near-dups."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n, dim = 200, sim.DIM
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(2 * n, dtype=np.int64),
+            "embedding": list(map(list, np.vstack([base, base]))),
+        }
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    pairs = {(r["v1"], r["v2"]) for r in sim.semantic_dedup_pairs(emb, threshold=0.99).collect()}
+    assert {(i, i + n) for i in range(n)} <= pairs
+
+
+def test_semantic_dedup_cell_cap_deterministic_cross_engine(spark, tables, duck):
+    """With a cap engaged the result is a deterministic SUBSET replayed
+    identically by the oracle (the NEARDUP_BUCKET_CAP discipline)."""
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    capped = (
+        sim.semantic_dedup_pairs(emb, cell_cap=10)
+        .toPandas()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(sim.semantic_dedup_pairs_sql(cell_cap=10))
+        .df()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped, want, check_dtype=False)
+    full = sim.semantic_dedup_pairs(emb).toPandas()
+    full_pairs = set(zip(full["v1"], full["v2"]))
+    assert set(zip(capped["v1"], capped["v2"])) <= full_pairs
+
+
+def test_semantic_dedup_keep_drops_exactly_higher_ids(spark, tables):
+    """Survivors = corpus minus the v2 side of every pair (the repo's
+    one-level drop rule); no survivor pair can have BOTH sides dropped
+    spuriously."""
+    emb = tables["embeddings"]
+    pairs = sim.semantic_dedup_pairs(emb).collect()
+    dropped = {r["v2"] for r in pairs}
+    kept = {r["vec_id"] for r in sim.semantic_dedup_keep(emb).collect()}
+    n_total = emb.count()
+    assert kept == set(range(n_total)) - dropped
