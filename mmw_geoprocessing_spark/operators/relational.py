@@ -660,34 +660,67 @@ def array_functions_showcase_sql() -> str:
 
 def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of join: for each event, the user's most recent order at or
-    before the event timestamp. Composed from an inequality join + ranking
-    window (Spark has no native ASOF); at scale this becomes a
-    partition-by-user merge, and the window dedup keeps one row per event.
+    before the event timestamp (ties on o_orderdate break toward the
+    larger o_orderkey). Spark has no native ASOF, and the obvious
+    composition — inequality join then rank — materializes
+    |matching orders per event| intermediate rows, which is quadratic
+    in per-user history (measured: ~36 B rows at the sf10 replica,
+    where per-user order AND event counts both grow 100x; the r7 gate
+    attempt died there). This is the scalable shape instead: UNION the
+    two inputs, ONE shuffle on user_id, and a carry-forward window —
+    ``last(o_orderkey, ignorenulls)`` over (time, kind, orderkey) with
+    order rows sorted before events at the same instant (<= semantics).
+    Linear in input size, no join at all; per-user partitions are
+    bounded by that user's history.
     """
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    e = events.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("ok"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "kind", "ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        events.join(
-            orders,
-            (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
-            "inner",
-        )
-        .select("event_id", "user_id", "o_orderkey", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey")
+        e.unionByName(o)
+        .withColumn("o_orderkey", F.last("ok", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("o_orderkey").isNotNull())
+        .select("event_id", F.col("u").alias("user_id"), "o_orderkey")
     )
 
 
 def asof_join_events_orders_sql() -> str:
+    # Same carry-forward plan (the quadratic join-then-rank twin is
+    # equally infeasible for DuckDB at the sf10 replica). Event rows
+    # carry NULL ok, so ASC null placement (Spark nulls-first vs DuckDB
+    # nulls-last) never reorders rows that matter: within a (t, kind)
+    # tie, event rows are interchangeable and order rows are non-null.
     return """
     SELECT event_id, user_id, o_orderkey FROM (
-      SELECT e.event_id, e.user_id, o.o_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY e.event_id
-                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-      FROM events e JOIN orders o
-        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-    ) WHERE rn = 1
+      SELECT kind, event_id, u AS user_id,
+             LAST_VALUE(ok IGNORE NULLS) OVER (
+               PARTITION BY u ORDER BY t, kind, ok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_orderkey
+      FROM (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, 1 AS kind,
+               event_id, CAST(NULL AS BIGINT) AS ok
+        FROM events
+        UNION ALL
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), 0, NULL, o_orderkey
+        FROM orders
+      )
+    ) WHERE kind = 1 AND o_orderkey IS NOT NULL
     """
 
 
