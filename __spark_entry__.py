@@ -436,6 +436,16 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lib_semantic_dedup_pairs": lambda s, d: sim.semantic_dedup_pairs(
             _t(s, d)["embeddings"]
         ),
+        # round 8 additions
+        "text_unigram_surprisal": lambda s, d: ta.unigram_surprisal_scores(
+            _t(s, d)["documents"]
+        ),
+        "embedding_quantize_int8": lambda s, d: sim.quantize_embeddings(
+            _t(s, d)["embeddings"]
+        ),
+        "similarity_ann_ivf_q8_topk": lambda s, d: sim.ann_ivf_q8_topk(
+            _t(s, d)["embeddings"]
+        ),
     }
 
 
@@ -447,4 +457,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "lib_cosine_neardup_wide": sim.cosine_neardup_wide_sql(),
         "lib_repetition_scores": ta.repetition_scores_sql(),
         "lib_semantic_dedup_pairs": sim.semantic_dedup_pairs_sql(),
+        "text_unigram_surprisal": ta.unigram_surprisal_scores_sql(),
+        "embedding_quantize_int8": sim.quantize_embeddings_sql(),
+        "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
     }

@@ -49,7 +49,10 @@ class PlanCache:
     def __init__(self, max_entries: int = 8) -> None:
         self._max = max_entries
         self._cache: OrderedDict[tuple, DataFrame] = OrderedDict()
-        self._lock = threading.Lock()
+        # Reentrant: composite indexes build on top of cached base
+        # indexes (the int8 IVF index wraps _ivf_index), so build()
+        # may re-enter get_or_persist on the same thread.
+        self._lock = threading.RLock()
 
     def get_or_persist(
         self,

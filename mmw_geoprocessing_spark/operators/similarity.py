@@ -922,3 +922,206 @@ def semantic_dedup_keep(
         .join(drops, "vec_id", "left_anti")
         .select("vec_id", "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (symmetric, per-vector scale) + quantized
+# IVF search — the bandwidth/memory scale path: a 100 TB float32
+# embedding corpus becomes ~25 TB as int8 with one scale per vector,
+# and candidate scoring inside cells runs on EXACT integer arithmetic
+# (dot and squared norms are BIGINT sums of int products), so ranking
+# is bit-reproducible across engines with no float-summation caveats.
+# ---------------------------------------------------------------------------
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int arrays (BIGINT fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+QDOT_SQL = (
+    "list_reduce(list_apply(list_zip({a}, {b}), "
+    "t -> CAST(t[1] AS BIGINT) * t[2]), (x, y) -> x + y)"
+)
+
+
+def _quantized_index(embeddings: DataFrame) -> DataFrame:
+    """int8-quantized inverted file ``(vec_id, cell, scale, qv, qn2)``:
+    per-vector symmetric quantization ``q_i = round(v_i * 127/amax)``
+    (amax = largest |component|; zero vectors get scale 0 and an
+    all-zero code), carried on the SAME cells as the float IVF index so
+    the two indexes serve the same probe plan. ``qn2`` is the exact
+    integer squared norm. Built once per (session, corpus) like every
+    index here. Determinism note: v_i (float32->double, exact), the
+    scale division, the product, and round-half-away-from-zero are all
+    IEEE-exact and identically defined in Spark (HALF_UP) and DuckDB —
+    the quantized codes hash cross-engine."""
+
+    def build(emb: DataFrame) -> DataFrame:
+        idx = _ivf_index(emb)
+        amax = F.array_max(F.transform(F.col("v"), F.abs))
+        scaled = idx.withColumn(
+            "scale",
+            F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)),
+        )
+        qv = F.transform(
+            F.col("v"), lambda x: F.round(x * F.col("scale")).cast("int")
+        )
+        return (
+            scaled.withColumn("qv", qv)
+            .withColumn("qn2", _qdot(F.col("qv"), F.col("qv")))
+            .select("vec_id", "cell", "scale", "qv", "qn2")
+        )
+
+    return _INDEX_CACHE.get_or_persist(embeddings, "ivf_q8", build)
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Registered projection of the quantized index: exact-integer
+    diagnostics per vector — ``(vec_id, cell, scale, q_min, q_max,
+    q_l1, q_norm2)``. The array code itself stays distributed (array
+    columns don't value-hash portably across engines); these scalars
+    pin the full quantization — any per-component divergence moves at
+    least one of min/max/L1/norm2."""
+    idx = _quantized_index(embeddings)
+    return idx.select(
+        "vec_id",
+        "cell",
+        "scale",
+        F.array_min(F.col("qv")).alias("q_min"),
+        F.array_max(F.col("qv")).alias("q_max"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: F.abs(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+        F.col("qn2").alias("q_norm2"),
+    )
+
+
+def quantize_embeddings_sql() -> str:
+    """DuckDB twin: same quantization over the same argmax-cosine cell
+    assignment as the float IVF oracle."""
+    cos = _cos_sql("b.v", "c.cv")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < {N_CELLS}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY {cos} DESC, c.cid) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    with_cell AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    scaled AS (
+      SELECT vec_id, cell, v,
+             CASE WHEN list_max(list_apply(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_apply(v, x -> abs(x)))
+                  ELSE 0.0 END AS scale
+      FROM with_cell
+    ),
+    quant AS (
+      SELECT vec_id, cell, scale,
+             list_apply(v, x -> CAST(round(x * scale) AS INT)) AS qv
+      FROM scaled
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, scale,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_reduce(list_apply(qv, x -> CAST(abs(x) AS BIGINT)),
+                            (a, b) -> a + b) AS BIGINT) AS q_l1,
+           CAST({QDOT_SQL.format(a="qv", b="qv")} AS BIGINT) AS q_norm2
+    FROM quant
+    """
+
+
+def ann_ivf_q8_topk(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF top-k over the int8 index: the float index's probe plan
+    (query -> nprobe nearest cells by true cosine against the
+    centroids) with candidate scoring on quantized codes —
+    ``qcosine = qdot / (sqrt(qn2_a) * sqrt(qn2_b))``, exact integers
+    through the fold and IEEE sqrt/divide after, so ranking is
+    bit-reproducible. Output: ``(q_id, vec_id, qcosine, rank)``.
+
+    100 TB shape: identical join/shuffle plan to ``ann_ivf_topk`` (the
+    knob doc there applies) but the shuffled per-vector payload drops
+    ~4x (int8 codes vs float64 arrays) — at cluster scale the candidate
+    join is bandwidth-bound, which is the point of quantization."""
+    from pyspark.sql import Window
+
+    cents = _centroids(embeddings)
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qidx = _quantized_index(embeddings)
+    q = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
+        )
+        .join(
+            qidx.select(
+                F.col("vec_id"),
+                F.col("qv").alias("q_qv"),
+                F.col("qn2").alias("q_qn2"),
+            ),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell", "q_qv", "q_qn2")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcosine").desc(), F.col("vec_id"))
+    qcos = _qdot(F.col("q_qv"), F.col("qv")) / (
+        F.sqrt(F.col("q_qn2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
+    )
+    return (
+        F.broadcast(q)
+        .join(qidx, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", qcos.alias("qcosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf_q8_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> str:
+    cos = _cos_sql("b.v", "c.cv")
+    qdot = QDOT_SQL.format(a="q.qv", b="w2.qv")
+    qcos = f"({qdot}) / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(w2.qn2 AS DOUBLE)))"
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < {N_CELLS}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY {cos} DESC, c.cid) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    with_cell AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    quant AS (
+      SELECT vec_id, cell,
+             list_apply(v, x -> CAST(round(x * CASE
+                 WHEN list_max(list_apply(v, y -> abs(y))) > 0
+                 THEN 127.0 / list_max(list_apply(v, y -> abs(y)))
+                 ELSE 0.0 END) AS INT)) AS qv
+      FROM with_cell
+    ),
+    qn AS (SELECT vec_id, cell, qv,
+                  {QDOT_SQL.format(a="qv", b="qv")} AS qn2 FROM quant),
+    probes AS (SELECT vec_id AS q_id, cid AS cell FROM scored
+               WHERE vec_id < {n_queries} AND rn <= {nprobe}),
+    q AS (SELECT p.q_id, p.cell, n.qv, n.qn2
+          FROM probes p JOIN qn n ON n.vec_id = p.q_id)
+    SELECT q_id, vec_id, qcosine, rank FROM (
+      SELECT q.q_id, w2.vec_id, {qcos} AS qcosine,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {qcos} DESC, w2.vec_id) AS rank
+      FROM q JOIN qn w2 USING (cell) WHERE q.q_id <> w2.vec_id
+    ) WHERE rank <= {k}
+    """

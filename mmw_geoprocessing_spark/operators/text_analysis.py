@@ -528,3 +528,74 @@ def contamination_check_sql(
                AS contamination_ratio
     FROM agg
     """
+
+
+def unigram_surprisal_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet / "perplexity filter" shape,
+    Wenzek et al. 2020): score each doc by how surprising its tokens are
+    under the corpus's own unigram distribution. Rare-token-heavy docs
+    (OCR noise, codes, spam) score high; boilerplate scores low.
+
+    Surprisal is computed in EXACT INTEGER BITS: per token,
+    ``bits = bitlen(total_tokens) - bitlen(df)`` where ``bitlen`` is
+    the binary-digit count (``length(bin(x))``) — an integer within
+    ±1 bit of true ``-log2 p(w)``. Chosen deliberately: transcendental
+    log implementations differ bitwise between engines (measured: ~8
+    ulps DuckDB vs libm), so a float-log score cannot be value-hashed
+    cross-engine; integer bits can, and for FILTERING (a rank
+    threshold) the ±1-bit quantization is immaterial. A production
+    deployment can swap true ``log2`` into the same plan.
+
+    Output: ``(doc_id, n_tokens, sum_surprisal_bits,
+    mean_surprisal_bits, n_hapax, hapax_ratio)`` — means/ratios are
+    single divisions of exact longs.
+
+    100 TB shape: one scan -> explode -> ONE hash agg builds the
+    vocabulary (word, df) -> equi-join tokens back on the word (AQE
+    broadcasts the vocab when it fits — Heaps' law keeps it orders of
+    magnitude smaller than the corpus; shuffle-join otherwise) -> one
+    doc_id hash agg of integer sums. The 1-row totals frame joins by
+    broadcast. No Python, no windows, no skew (word-frequency skew
+    lands in the map-side partials of the vocab agg, not in a join
+    key: the token->vocab join's build side is the DISTINCT vocab).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_wordlist(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    totals = vocab.agg(F.sum("df").alias("tot"))
+    bits = F.length(F.bin(F.col("tot"))) - F.length(F.bin(F.col("df")))
+    scored = toks.join(vocab, "w").crossJoin(F.broadcast(totals))
+    n_tokens = F.count(F.lit(1))
+    sum_bits = F.sum(bits).alias("sum_surprisal_bits")
+    n_hapax = F.sum((F.col("df") == 1).cast("bigint"))
+    return scored.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        sum_bits,
+        (F.sum(bits) / n_tokens).alias("mean_surprisal_bits"),
+        n_hapax.alias("n_hapax"),
+        (n_hapax / n_tokens).alias("hapax_ratio"),
+    )
+
+
+def unigram_surprisal_scores_sql(table: str = "documents") -> str:
+    """DuckDB twin: same tokenization, same integer bit-surprisal."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM {table}
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY w),
+    totals AS (SELECT CAST(SUM(df) AS BIGINT) AS tot FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(tot)) - length(bin(df))) AS BIGINT)
+               AS sum_surprisal_bits,
+           SUM(length(bin(tot)) - length(bin(df)))
+               / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal_bits,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+    FROM toks t JOIN vocab v USING (w) CROSS JOIN totals
+    GROUP BY t.doc_id
+    """

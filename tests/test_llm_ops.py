@@ -712,3 +712,133 @@ def test_semantic_dedup_keep_drops_exactly_higher_ids(spark, tables):
     kept = {r["vec_id"] for r in sim.semantic_dedup_keep(emb).collect()}
     n_total = emb.count()
     assert kept == set(range(n_total)) - dropped
+
+
+def test_unigram_surprisal_matches_oracle(spark, tables, duck):
+    """Corpus-unigram surprisal (integer-bit CCNet-style quality score):
+    Spark and the DuckDB twin agree row-for-row on exact-integer sums
+    and the derived ratios."""
+    import pandas as pd
+
+    out = (
+        ta.unigram_surprisal_scores(tables["documents"])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(ta.unigram_surprisal_scores_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_unigram_surprisal_properties(spark, tables):
+    """Per-row invariants: token counts line up with the whitespace
+    tokenizer, hapax_ratio in [0,1], every doc's mean bits is positive
+    and bounded by bitlen(total corpus tokens)."""
+    scores = ta.unigram_surprisal_scores(tables["documents"]).toPandas()
+    toks = ta.token_counts(tables["documents"]).toPandas().set_index("doc_id")
+    total = int(scores["n_tokens"].sum())
+    for r in scores.itertuples():
+        assert r.n_tokens == toks.loc[r.doc_id, "ws_tokens"]
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        assert 0.0 < r.mean_surprisal_bits <= total.bit_length()
+        assert r.sum_surprisal_bits >= r.n_hapax  # hapax contributes >=1 bit
+
+
+def test_quantize_embeddings_matches_oracle(spark, tables, duck):
+    """int8 symmetric quantization diagnostics hash cross-engine (the
+    registered scalars pin every component via min/max/L1/norm2)."""
+    import pandas as pd
+
+    out = (
+        sim.quantize_embeddings(tables["embeddings"])
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(sim.quantize_embeddings_sql())
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_quantize_embeddings_bounds(spark, tables):
+    """Codes live in [-127, 127]; a nonzero vector's max-|component|
+    quantizes to exactly +/-127; norm2 is consistent with L1 bounds."""
+    rows = sim.quantize_embeddings(tables["embeddings"]).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert max(abs(r["q_min"]), abs(r["q_max"])) == 127 or r["scale"] == 0.0
+        # norm2 <= 127 * L1 (each |q_i| <= 127) and >= L1^2 / (dim*127) trivially >=0
+        assert r["q_norm2"] <= 127 * r["q_l1"]
+
+
+def test_ann_ivf_q8_matches_oracle(spark, tables, duck):
+    """Quantized IVF top-k is bit-reproducible cross-engine: integer
+    dot products + IEEE sqrt/divide leave no float-summation slack."""
+    import pandas as pd
+
+    out = (
+        sim.ann_ivf_q8_topk(tables["embeddings"])
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(sim.ann_ivf_q8_topk_sql())
+        .df()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_ann_ivf_q8_recall_vs_float_ivf(spark, tables):
+    """Quantization changes scores but must preserve ranking quality:
+    the q8 top-5 per query overlaps the float IVF top-5 (same probe
+    plan, same candidate sets) at >=0.8 mean recall on the fixture
+    corpus -- int8 with per-vector scales keeps ~2-3 decimal digits of
+    cosine, far inside the fixture's score gaps."""
+    q8 = sim.ann_ivf_q8_topk(tables["embeddings"]).collect()
+    fl = sim.ann_ivf_topk(tables["embeddings"]).collect()
+    by_q_q8: dict = {}
+    by_q_fl: dict = {}
+    for r in q8:
+        by_q_q8.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in fl:
+        by_q_fl.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(by_q_q8) == set(by_q_fl)
+    recalls = [
+        len(by_q_q8[q] & by_q_fl[q]) / len(by_q_fl[q]) for q in by_q_fl
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_plan_cache_reentrant_build(spark):
+    """Regression (round 8): a build() that itself consults the same
+    PlanCache (the int8 IVF index wraps the float IVF index) must not
+    deadlock -- the cache lock is reentrant."""
+    from mmw_geoprocessing_spark.functions.plan_cache import PlanCache
+
+    cache = PlanCache()
+    base = spark.range(10)
+
+    def inner(df):
+        return df.selectExpr("id", "id * 2 AS twice")
+
+    def outer(df):
+        got = cache.get_or_persist(df, "inner", inner)
+        return got.selectExpr("id", "twice + 1 AS odd")
+
+    out = cache.get_or_persist(base, "outer", outer)
+    assert out.count() == 10
+    # the nested build cached the inner index too
+    assert cache.get_or_persist(base, "inner", inner).count() == 10
