@@ -27,6 +27,7 @@ from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import relational_ext as rex
+from mmw_geoprocessing_spark.operators import sampling as samp
 from mmw_geoprocessing_spark.operators import similarity as sim
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
@@ -417,6 +418,10 @@ def oracle_sql() -> dict[str, str]:
 # vocabulary-renamed replica copies keep hits copy-local, so results
 # scale linearly like a real eval-suite overlap
 _CONTAMINATION_BENCH_WHERE = "doc_id % 101 = 7"
+# corpus_mix registered workload: one source cut hard, one effectively
+# unlimited, the rest at the 700-token default — exercises every branch
+# of the budget CASE on the fixture corpus.
+_MIX_BUDGETS = {"src0": 200, "src1": 1_000_000_000}
 
 
 def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -446,6 +451,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf_q8_topk": lambda s, d: sim.ann_ivf_q8_topk(
             _t(s, d)["embeddings"]
         ),
+        "sampling_corpus_mix": lambda s, d: samp.corpus_mix(
+            _t(s, d)["documents"], budgets=_MIX_BUDGETS
+        ),
     }
 
 
@@ -460,4 +468,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "text_unigram_surprisal": ta.unigram_surprisal_scores_sql(),
         "embedding_quantize_int8": sim.quantize_embeddings_sql(),
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
+        "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
     }

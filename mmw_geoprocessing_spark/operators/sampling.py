@@ -144,3 +144,118 @@ def pack_token_batches_sql(
            n_tokens
     FROM base
     """
+
+
+def _budget_case(budgets: dict[str, int], default_budget: int, col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    )
+    return f"CASE {whens} ELSE {default_budget} END" if whens else str(default_budget)
+
+
+def corpus_mix(
+    documents: DataFrame,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token budgeting — the corpus "mixing" step of a
+    training-data pipeline (fix the contribution of each source to the
+    final corpus, e.g. 60% web / 30% books / 10% code): each source's
+    documents are taken in a deterministic hash order until that
+    source's cumulative whitespace-token count reaches its budget; the
+    rest are cut.
+
+    A per-source ordered cumulative sum is the inherently sequential
+    part, and a single window per source is the 100 TB trap: one
+    source IS most of a real corpus, so PARTITION BY source puts ~all
+    rows in one task. This plan decomposes it (the same two-phase
+    prefix sum the zonal pixel ranks use): documents hash into
+    ``n_buckets`` sub-streams per source, the running sum is windowed
+    per (source, bucket) — bounded partitions, parallel across buckets
+    — and bucket-level totals (sources x buckets rows, tiny) are
+    prefix-summed per source and broadcast back as offsets. The global
+    take-order is therefore (bucket, order-hash, key) within source —
+    deterministic and replayed exactly by the single-window oracle.
+
+    Output: the KEPT rows as ``(doc_id, source, n_tokens,
+    cum_tokens)`` where cum_tokens is the source's exact running total
+    including this document (<= budget).
+    """
+    budgets = budgets or {}
+    base = documents.select(
+        F.col(key_col),
+        F.col(source_col).alias("source"),
+        F.size(F.split(F.col(text_col), " +")).cast("bigint").alias("n_tokens"),
+        (h28(F.col(key_col).cast("string")) % n_buckets).cast("int").alias("bucket"),
+        h28(
+            F.concat_ws(
+                "|", F.col(source_col).cast("string"), F.col(key_col).cast("string")
+            )
+        ).alias("ord"),
+    )
+    w_local = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("ord", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("source", "bucket", "offset")
+    )
+    budget = F.expr(_budget_case(budgets, default_budget, "source"))
+    return (
+        local.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("cum_tokens", (F.col("offset") + F.col("local_cum")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(key_col, "source", "n_tokens", "cum_tokens")
+    )
+
+
+def corpus_mix_sql(
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin: ONE window per source over the same deterministic
+    take-order (bucket, order-hash, key) — semantically identical to
+    the decomposed two-phase Spark plan."""
+    budgets = budgets or {}
+    hb = H28_SQL.format(x=f"CAST({key_col} AS VARCHAR)")
+    ho = H28_SQL.format(
+        x=f"CAST({source_col} AS VARCHAR) || '|' || CAST({key_col} AS VARCHAR)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {key_col},
+             {source_col} AS source,
+             CAST(len(regexp_split_to_array({text_col}, ' +')) AS BIGINT) AS n_tokens,
+             CAST(({hb}) % {n_buckets} AS INT) AS bucket,
+             ({ho}) AS ord
+      FROM documents
+    ),
+    cum AS (
+      SELECT {key_col}, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY bucket, ord, {key_col}
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM base
+    )
+    SELECT {key_col}, source, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= ({_budget_case(budgets, default_budget, 'source')})
+    """

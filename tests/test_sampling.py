@@ -63,3 +63,52 @@ def test_pack_token_batches_matches_oracle_and_budget(spark, tables, duck):
     assert totals
     for r in totals:
         assert r["tot"] < 256 + r["mx"]
+
+
+def test_corpus_mix_matches_oracle(spark, tables, duck):
+    """The decomposed two-phase prefix-sum plan and the single-window
+    DuckDB oracle produce identical kept sets and cumulative totals."""
+    budgets = {"src0": 200, "src1": 1_000_000_000}
+    out = sp.corpus_mix(tables["documents"], budgets=budgets)
+    _match(
+        out, duck, sp.corpus_mix_sql(budgets=budgets),
+        ["doc_id", "source", "n_tokens", "cum_tokens"],
+    )
+
+
+def test_corpus_mix_budget_semantics(spark, tables):
+    """Per-source invariants: every source's kept total respects its
+    budget; the take-order is a PREFIX (no doc kept after the first cut
+    doc in the deterministic order); an unlimited budget keeps all."""
+    budgets = {"src0": 200, "src1": 1_000_000_000}
+    out = sp.corpus_mix(tables["documents"], budgets=budgets).toPandas()
+    docs = tables["documents"].toPandas()
+    per_src_totals = out.groupby("source")["n_tokens"].sum()
+    assert per_src_totals.get("src0", 0) <= 200
+    for src, tot in per_src_totals.items():
+        cap = budgets.get(src, 700)
+        assert tot <= cap
+        # cum_tokens of the kept set is exactly its own running total:
+        # max cum == sum of kept n_tokens (prefix property)
+        kept = out[out["source"] == src]
+        assert kept["cum_tokens"].max() == kept["n_tokens"].sum()
+    # src1 is effectively unlimited: every src1 doc survives
+    n_src1 = (docs["source"] == "src1").sum()
+    assert (out["source"] == "src1").sum() == n_src1
+
+
+def test_corpus_mix_stable_under_repartition(spark, tables):
+    """The kept set is a pure function of (source, key, budgets) — not
+    of physical layout."""
+    budgets = {"src0": 200}
+    a = {
+        r["doc_id"]
+        for r in sp.corpus_mix(tables["documents"], budgets=budgets).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in sp.corpus_mix(
+            tables["documents"].repartition(13), budgets=budgets
+        ).collect()
+    }
+    assert a == b
