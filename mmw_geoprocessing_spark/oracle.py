@@ -185,9 +185,17 @@ def multi(
     return " UNION ALL ".join(selects)
 
 
-def mapshed_suite(aoi_ids: Sequence[str]) -> str:
+def mapshed_suite(aoi_ids: Sequence[str], labels: Sequence[str] | None = None) -> str:
     """Oracle for the single-pass 7-template MapShed/Subbasin suite
-    (operators/mapshed.py) — every template grouped by aoi_id."""
+    (operators/mapshed.py) — every template grouped by aoi_id.
+
+    ``labels``: restrict to a subset of templates. Used by the sf10
+    gate's sharded-oracle mode (tools/sf10_sharded.py): the full
+    10-template union in ONE DuckDB statement materializes every
+    joined-raster CTE simultaneously and exhausts spill disk at the
+    100x replica; per-template statements are individually feasible and
+    their union is definitionally the full oracle (the outer query is a
+    UNION ALL over independent template SELECTs)."""
     from mmw_geoprocessing_spark.operators.mapshed import TEMPLATES
 
     aoi_list = ", ".join(f"'{a}'" for a in aoi_ids)
@@ -206,6 +214,8 @@ def mapshed_suite(aoi_ids: Sequence[str]) -> str:
         return joined_defs[rasters]
 
     for label, (kind, rasters, target) in TEMPLATES.items():
+        if labels is not None and label not in labels:
+            continue
         vs = ", ".join(f"v{i}" for i in range(1, len(rasters) + 1))
         if kind in ("grouped_count", "lines_join"):
             j = joined_for(tuple(rasters))

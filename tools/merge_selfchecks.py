@@ -25,6 +25,8 @@ def main() -> int:
         merged["sf_dir"] = merged["sf_dir"] or part.get("sf_dir")
         if part.get("note"):
             merged["notes"].append(part["note"])
+        # inputs may themselves be merged artifacts carrying a notes list
+        merged["notes"].extend(part.get("notes") or [])
         for k in ("money_guard_decimal_engaged", "money_guard_forced"):
             if k in part:
                 merged[k] = part[k]
