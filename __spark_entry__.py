@@ -4,10 +4,10 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-Exactly 50 queries are registered (the driver's correctness gate checks
-the first 50 in dict order), with the similarity / text / multimodal /
-streaming families FIRST — they were beyond the cap in round 1 and had
-no correctness verdict. Redundant showcase queries were consolidated
+58 queries are registered (50 core + 8 promoted library operators, all
+with oracle twins), with the similarity / text / multimodal / streaming
+families FIRST — they were beyond the round-1 gate cap and had no
+correctness verdict then. Redundant showcase queries were consolidated
 (windows_showcase, aggregate_variants, events_windows_showcase, regexp
 folded into scalar_functions_showcase, lag into window_running_total);
 the removed variants remain as library functions covered by pytest.

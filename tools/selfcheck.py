@@ -172,7 +172,12 @@ def main() -> int:
             continue
         if name in skip:
             print(f"SKIP  {name} (SELFCHECK_SKIP)")
-            results[name] = {"skipped": True}
+            # SELFCHECK_SKIP_REASON: recorded with the skip so the
+            # artifact carries WHY, not just THAT (no silent skips)
+            results[name] = {
+                "skipped": True,
+                "reason": os.environ.get("SELFCHECK_SKIP_REASON") or None,
+            }
             continue
         if name in big and name in oracles:
             t0 = time.time()

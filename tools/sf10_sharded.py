@@ -110,9 +110,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    only = {s for s in os.environ.get("SF10_QUERIES", "").split(",") if s}
     results: dict[str, dict] = {}
     failures = 0
     for name, shards in _shards().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         spdf = qs[name](spark, sf_dir).toPandas()
         prefixes = [p for _, p, _ in shards]
@@ -127,6 +130,7 @@ def main() -> int:
                 odf = con.execute(sql).df()
                 con.close()
             except Exception as e:  # noqa: BLE001 — recorded verbatim
+                print(f"FAIL  {name}/{shard_name}: {str(e)[:200]}", flush=True)
                 shard_rows[shard_name] = {"err": str(e)[:200]}
                 ok = False
                 continue
