@@ -47,12 +47,15 @@ TEMPLATES: dict[str, tuple[str, list[str], str | None]] = {
 # bench/gate numbers stay comparable across rounds.
 MAPSHED_AOIS = ["huc8_01", *fx.SUBBASIN_AOIS, "huc8_02", *fx.SUBBASIN_AOIS_2]
 
-# The FULL fixture-world sweep (round 8: third HUC-8 + huc12_17..32 →
-# 35 AOIs): used by the per-(AOI, template) golden discipline
-# (tools/make_goldens.subbasin_cases → 350 frozen files, the analogue
-# of the reference's 61-subbasin x 7-template output set,
-# scripts/benchmark-subbasin:110-121).
-SWEEP_AOIS = [*MAPSHED_AOIS, "huc8_03", *fx.SUBBASIN_AOIS_3]
+# The FULL fixture-world sweep (round 8: third HUC-8 + huc12_17..32,
+# then the 29 sweep-only subbasins huc12_33..61 → 64 AOIs, 61 HUC-12s —
+# the reference's 61-subbasin count 1:1): used by the per-(AOI,
+# template) golden discipline (tools/make_goldens.subbasin_cases →
+# frozen files, the analogue of the reference's 61-subbasin x
+# 7-template output set, scripts/benchmark-subbasin:110-121). The
+# sweep-only subbasins are NOT in mask_all, so registered workloads
+# stay bit-stable (sources/fixtures.SWEEP_ONLY_AOI_DEFS).
+SWEEP_AOIS = [*MAPSHED_AOIS, "huc8_03", *fx.SUBBASIN_AOIS_3, *fx.SWEEP_ONLY_AOIS]
 
 
 def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:

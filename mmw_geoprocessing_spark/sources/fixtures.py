@@ -180,6 +180,23 @@ SUBBASIN_AOIS = [f"huc12_0{k + 1}" for k in range(8)]
 SUBBASIN_AOIS_2 = [f"huc12_{k + 9:02d}" for k in range(8)]
 SUBBASIN_AOIS_3 = [f"huc12_{k + 17:02d}" for k in range(16)]
 
+# Sweep-only subbasins (round 8): 29 more HUC-12s — a finer partition
+# of huc8_01 — bringing the fixture world to 61 HUC-12s total, the
+# reference's 61-subbasin sweep proportion 1:1
+# (scripts/benchmark-subbasin:110-121). Registered as INDIVIDUAL mask
+# fixtures only, deliberately NOT unioned into mask_all: the registered
+# count_many / multi_operation / mapshed workloads (and every recorded
+# gate, bench, and golden artifact over them) stay bit-stable. They are
+# exercised by the per-(AOI, template) golden sweep
+# (tools/make_goldens.subbasin_cases → tests/test_golden.py).
+SWEEP_ONLY_AOI_DEFS: dict[str, str] = {
+    f"huc12_{k + 33:02d}": (
+        f"pix % 10 < 6 AND CAST(FLOOR(pix / 10) AS BIGINT) % 29 = {k}"
+    )
+    for k in range(29)
+}
+SWEEP_ONLY_AOIS = list(SWEEP_ONLY_AOI_DEFS)
+
 N_LINES = 12
 
 
@@ -197,6 +214,15 @@ for _rid, (_vexpr, _pred, _dbl) in RASTER_DEFS.items():
     )
 
 for _aid, _pred in AOI_DEFS.items():
+    _register(
+        f"mask_{_aid}",
+        f"SELECT key_col, key_row, cell_col, cell_row FROM cells WHERE {_pred}",
+        ["cells"],
+    )
+
+# sweep-only masks: individual fixtures, never part of mask_all (see
+# SWEEP_ONLY_AOI_DEFS above)
+for _aid, _pred in SWEEP_ONLY_AOI_DEFS.items():
     _register(
         f"mask_{_aid}",
         f"SELECT key_col, key_row, cell_col, cell_row FROM cells WHERE {_pred}",

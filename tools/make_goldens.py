@@ -41,12 +41,16 @@ def subbasin_case(spark, aoi_id: str, template: str):
     from mmw_geoprocessing_spark.sources import fixtures as fx
     from mmw_geoprocessing_spark.sources.tables import register_views
 
+    from pyspark.sql import functions as F
+
     register_views(spark, SF_DIR)
     kind, rasters, target = mapshed.TEMPLATES[template]
-    m = fx.mask_all_df(spark)
-    return mapshed.template_df(
-        spark, template, kind, rasters, target, m.filter(m.aoi_id == aoi_id)
-    )
+    # per-AOI mask fixture (not mask_all): the 29 sweep-only subbasins
+    # (huc12_33..61) are deliberately absent from mask_all; the per-AOI
+    # path yields identical rows for the AOIs that ARE in mask_all
+    # (same pixel set), so pre-existing frozen goldens stay valid.
+    m = fx.mask_df(spark, aoi_id).withColumn("aoi_id", F.lit(aoi_id))
+    return mapshed.template_df(spark, template, kind, rasters, target, m)
 
 
 def subbasin_cases() -> list[tuple[str, str, str]]:
