@@ -255,3 +255,30 @@ def test_pyramid_down_negative_coordinates(spark):
     mask = df.select("key_col", "key_row", "cell_col", "cell_row")
     got_keys = {tuple(r) for r in pyramid_down_keys(mask, tile_size=T).collect()}
     assert got_keys == set(want)
+
+
+def test_sweep_only_subbasins_partition_huc8_01(spark, tables):
+    """The 29 sweep-only HUC-12s (huc12_33..61) are a PARTITION of
+    huc8_01: pairwise disjoint and their union is exactly the parent --
+    the hydrological invariant the reference's 61-subbasin sweep
+    assumes (scripts/benchmark-subbasin:110-121). Also pins that they
+    are absent from mask_all (registered workloads stay bit-stable)."""
+    from pyspark.sql import functions as F
+
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    parent = fx.mask_df(spark, "huc8_01").count()
+    union_cnt = 0
+    distinct_union = None
+    for aoi in fx.SWEEP_ONLY_AOIS:
+        m = fx.mask_df(spark, aoi)
+        union_cnt += m.count()
+        distinct_union = m if distinct_union is None else distinct_union.unionByName(m)
+    # disjoint + covering: sum of parts == parent == distinct union size
+    assert union_cnt == parent
+    assert distinct_union.distinct().count() == parent
+    in_mask_all = {
+        r["aoi_id"]
+        for r in fx.mask_all_df(spark).select("aoi_id").distinct().collect()
+    }
+    assert not (set(fx.SWEEP_ONLY_AOIS) & in_mask_all)
