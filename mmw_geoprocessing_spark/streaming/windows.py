@@ -380,3 +380,47 @@ def run_availablenow(
                 f"{checkpoint!r} retains the committed prefix; re-run resumes)"
             )
     return q
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the FIRST arrival of each key
+    and drop re-deliveries — the ingest-side dedup an at-least-once
+    source (log replay, retried producer) needs before anything
+    downstream counts rows.
+
+    Built on ``dropDuplicatesWithinWatermark``: per-key state is kept
+    only until the watermark passes the first arrival's event time, so
+    state is BOUNDED by (keys per watermark window), not by corpus
+    history — the property that keeps this runnable forever at ingest
+    rates where an unbounded seen-set would grow without limit. A
+    duplicate arriving later than the watermark window is NOT caught
+    here (state for its key is gone); the batch operators
+    (``operators/dedup.py``) are the corpus-wide net behind it — the
+    standard two-tier dedup deployment.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_content_dedup(
+    stream: DataFrame,
+    content_cols: tuple[str, ...] = ("user_id", "event_type", "value", "props"),
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CONTENT dedup: same bounded-state construction keyed by
+    an md5 of the content columns (the exact-dedup digest the batch
+    ``dedup_exact`` uses), so byte-identical payloads re-sent under new
+    surrogate ids are still dropped. Adds a ``content_key`` column."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        stream.withColumn("content_key", digest)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )

@@ -127,3 +127,54 @@ def test_watermark_drops_late_data(spark, tables):
     only_late = late_windows - recent_windows
     assert not (emitted_set & only_late)
     assert os.path.isdir(out)
+
+
+def _dup_events_dir(spark, tables) -> str:
+    """Two chunks where chunk 2 re-delivers HALF of chunk 1's events
+    (at-least-once replay) plus its own new events."""
+    out = tempfile.mkdtemp(prefix="events_dup_stream_")
+    ev = tables["events"]
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.coalesce(1).write.mode("append").parquet(out)
+    replay = first.filter(F.col("event_id") % 4 == 0)  # re-delivered
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    replay.unionByName(rest).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_stream_exact_dedup_drops_redeliveries(spark, tables):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key:
+    the drained sink holds every distinct event exactly once despite
+    the replayed chunk."""
+    src = _dup_events_dir(spark, tables)
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    sw.run_availablenow(
+        sw.stream_exact_dedup(sw.stream_events(spark, src)),
+        ckpt,
+        query_name="dedup_out",
+    )
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "sink contains duplicate event_ids"
+    assert set(ids) == {r.event_id for r in tables["events"].collect()}
+
+
+def test_stream_content_dedup_catches_new_surrogate_ids(spark, tables):
+    """Content dedup keys on the md5 of the content columns, so a
+    byte-identical payload re-sent under a NEW event_id is dropped."""
+    src = tempfile.mkdtemp(prefix="events_content_stream_")
+    ev = tables["events"].limit(50)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    resent = ev.withColumn("event_id", F.col("event_id") + max_id + 1)
+    resent.coalesce(1).write.mode("append").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="content_ckpt_")
+    sw.run_availablenow(
+        sw.stream_content_dedup(sw.stream_events(spark, src)),
+        ckpt,
+        query_name="content_dedup_out",
+    )
+    got = spark.sql("SELECT content_key FROM content_dedup_out").collect()
+    keys = [r.content_key for r in got]
+    assert len(keys) == len(set(keys))
+    assert len(keys) == 50  # every resent copy dropped
