@@ -334,3 +334,133 @@ def image_resize(
     return media.select("doc_id", "payload").mapInPandas(
         resize, "doc_id long, width int, height int, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV/PCM decode + resample (round 8). WAV is the one audio
+# container the stdlib really parses (`wave`), so — like the PNG/JPEG
+# codecs — the audio modality gets a REAL decoder with typed boundaries
+# for everything else (mp3/flac/ogg raise NotImplementedError naming the
+# format; a deployment installs soundfile/ffmpeg and swaps the kernel,
+# not the plan). All byte work stays in Arrow batches via mapInPandas.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, peak int, rms double"
+)
+
+
+def _decode_wav(payload: bytes):
+    """Parse a PCM WAV via the stdlib wave module -> (rate, nch, int16
+    numpy array of interleaved samples). 16-bit PCM only (the dominant
+    PCM profile); other sample widths raise with the width named."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode: only WAV/PCM is decodable with the stdlib; "
+            f"unrecognized container (magic {payload[:4]!r})"
+        )
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {w.getsampwidth() * 8} bit: only 16-bit "
+                "PCM is implemented"
+            )
+        frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2")
+        return w.getframerate(), w.getnchannels(), samples
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real audio decode for WAV/PCM payloads: per-clip stream metadata
+    plus exact signal stats — ``peak`` (max |sample|, exact int) and
+    ``rms`` (sqrt of the exact integer sum of squares / n, one IEEE
+    division+sqrt at the end). Output: ``AUDIO_SCHEMA``."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, samples = _decode_wav(bytes(payload))
+                n = int(samples.size // nch)
+                sq = int((samples.astype("int64") ** 2).sum())
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        nch,
+                        n,
+                        n / rate,
+                        int(abs(samples.astype("int64")).max()) if samples.size else 0,
+                        math.sqrt(sq / samples.size) if samples.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "peak", "rms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)
+
+
+RESAMPLED_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, peak int, rms double"
+)
+
+
+def audio_resample(media: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Resample WAV/PCM clips to ``target_rate`` by linear interpolation
+    (numpy ``interp`` per channel — the deterministic baseline kernel;
+    a production deployment swaps in a windowed-sinc/soxr kernel in the
+    SAME mapInPandas slot). Emits the resampled stream's stats so tests
+    can pin the kernel against a numpy replica without shipping audio
+    back to the driver."""
+
+    def resample(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, samples = _decode_wav(bytes(payload))
+                frames = samples.reshape(-1, nch).astype("float64")
+                n_in = frames.shape[0]
+                n_out = max(1, int(round(n_in * target_rate / rate)))
+                t_in = np.arange(n_in, dtype="float64") / rate
+                t_out = np.arange(n_out, dtype="float64") / target_rate
+                out = np.stack(
+                    [np.interp(t_out, t_in, frames[:, c]) for c in range(nch)],
+                    axis=1,
+                )
+                q = np.clip(np.rint(out), -32768, 32767).astype("int64")
+                sq = int((q**2).sum())
+                rows.append(
+                    (
+                        doc_id,
+                        target_rate,
+                        n_out,
+                        int(np.abs(q).max()) if q.size else 0,
+                        math.sqrt(sq / q.size) if q.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "peak", "rms"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(resample, RESAMPLED_SCHEMA)

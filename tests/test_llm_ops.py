@@ -842,3 +842,102 @@ def test_plan_cache_reentrant_build(spark):
     assert out.count() == 10
     # the nested build cached the inner index too
     assert cache.get_or_persist(base, "inner", inner).count() == 10
+
+
+def _synth_wav(freq_hz: float, rate: int, seconds: float, nch: int = 1) -> bytes:
+    """Stdlib-generated 16-bit PCM WAV (sine per channel, phase-shifted)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            for c in range(nch):
+                v = int(12000 * math.sin(2 * math.pi * freq_hz * i / rate + c))
+                frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_through_mapinpandas(spark):
+    """Real WAV/PCM decode in Arrow batches: rates, channel counts,
+    durations and exact peak/rms match a local stdlib+numpy replica."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    clips = [
+        (0, _synth_wav(440.0, 16000, 0.25, 1)),
+        (1, _synth_wav(220.0, 8000, 0.5, 2)),
+        (2, _synth_wav(1000.0, 44100, 0.1, 1)),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [c[0] for c in clips],
+                      "payload": [bytearray(c[1]) for c in clips]}),
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.decode_audio(media).collect()}
+    for doc_id, payload in clips:
+        rate, nch, samples = mm._decode_wav(payload)
+        r = got[doc_id]
+        assert r["sample_rate"] == rate and r["n_channels"] == nch
+        assert r["n_samples"] == samples.size // nch
+        assert r["peak"] == int(np.abs(samples.astype("int64")).max())
+        want_rms = math.sqrt(int((samples.astype("int64") ** 2).sum()) / samples.size)
+        assert r["rms"] == want_rms  # exact: integer sums, one division+sqrt
+
+
+def test_decode_audio_boundaries(spark):
+    """Non-WAV containers and non-16-bit PCM raise typed
+    NotImplementedError (documented boundaries, like the image codecs)."""
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="unrecognized container"):
+        mm._decode_wav(b"ID3\x04mp3-ish payload........")
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 100)
+    with _pytest.raises(NotImplementedError, match="8 bit"):
+        mm._decode_wav(buf.getvalue())
+
+
+def test_audio_resample_matches_numpy_replica(spark):
+    """Linear-interp resample pinned against a local numpy replica:
+    identical n_samples/peak/rms, duration preserved within one sample."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    payload = _synth_wav(330.0, 16000, 0.3, 2)
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [bytearray(payload)]}),
+        "doc_id long, payload binary",
+    )
+    target = 8000
+    r = mm.audio_resample(media, target_rate=target).collect()[0]
+    rate, nch, samples = mm._decode_wav(payload)
+    frames = samples.reshape(-1, nch).astype("float64")
+    n_out = max(1, int(round(frames.shape[0] * target / rate)))
+    t_in = np.arange(frames.shape[0]) / rate
+    t_out = np.arange(n_out) / target
+    out = np.stack([np.interp(t_out, t_in, frames[:, c]) for c in range(nch)], axis=1)
+    q = np.clip(np.rint(out), -32768, 32767).astype("int64")
+    assert r["sample_rate"] == target and r["n_samples"] == n_out
+    assert r["peak"] == int(np.abs(q).max())
+    assert r["rms"] == math.sqrt(int((q**2).sum()) / q.size)
+    assert abs(n_out / target - frames.shape[0] / rate) <= 1.0 / target
