@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-58 queries are registered (50 core + 8 promoted library operators, all
+59 queries are registered (50 core + 9 promoted library operators, all
 with oracle twins), with the similarity / text / multimodal / streaming
 families FIRST — they were beyond the round-1 gate cap and had no
 correctness verdict then. Redundant showcase queries were consolidated
@@ -454,6 +454,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_corpus_mix": lambda s, d: samp.corpus_mix(
             _t(s, d)["documents"], budgets=_MIX_BUDGETS
         ),
+        "text_quality_percentile_filter": lambda s, d: ta.quality_percentile_filter(
+            _t(s, d)["documents"], p=0.5
+        ),
     }
 
 
@@ -469,4 +472,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "embedding_quantize_int8": sim.quantize_embeddings_sql(),
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
+        "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
     }

@@ -8,7 +8,7 @@ engines without rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mmw_geoprocessing_spark.functions.text import h60
@@ -598,4 +598,63 @@ def unigram_surprisal_scores_sql(table: str = "documents") -> str:
                / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
     FROM toks t JOIN vocab v USING (w) CROSS JOIN totals
     GROUP BY t.doc_id
+    """
+
+
+def quality_percentile_filter(
+    documents: DataFrame, p: float = 0.5
+) -> DataFrame:
+    """Global percentile quality gate — keep the top ``(1-p)`` fraction
+    of the corpus by score — WITHOUT a global sort. "Filter to the top
+    X% by quality score" is the standard final gate after quality
+    scoring, and the naive plan (percent_rank over the whole corpus) is
+    a single-partition total order: the 100 TB trap.
+
+    Scalable construction: (1) ONE hash agg builds the score HISTOGRAM
+    (distinct score -> count) — for integer scores its cardinality is
+    bounded by the score range, thousands of rows at any corpus size;
+    (2) a running sum over the tiny histogram (the only ordered window,
+    over histogram rows, never corpus rows) finds the threshold = the
+    smallest score whose ascending cumulative count strictly exceeds
+    floor(p * N); (3) one broadcast of the 1-row threshold filters the
+    corpus. Ties at the threshold are KEPT (deterministic; the kept
+    fraction may exceed 1-p by the tie mass — documented semantics).
+
+    Score = whitespace token count (integer, hash-exact cross-engine).
+    Output: kept ``(doc_id, score)``.
+    """
+    scored = documents.select(
+        "doc_id", F.size(_wordlist(F.col("text"))).cast("bigint").alias("score")
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    total = scored.agg(F.floor(F.count(F.lit(1)) * F.lit(p)).alias("cut"))
+    thresh = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") > F.col("cut"))
+        .agg(F.min("score").alias("threshold"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .filter(F.col("score") >= F.col("threshold"))
+        .select("doc_id", "score")
+    )
+
+
+def quality_percentile_filter_sql(p: float = 0.5, table: str = "documents") -> str:
+    """DuckDB twin: same histogram -> running-sum -> threshold -> filter."""
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM {table}
+    ),
+    hist AS (SELECT score, COUNT(*) AS cnt FROM scored GROUP BY score),
+    cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+    total AS (SELECT FLOOR(COUNT(*) * {p}) AS cut FROM scored),
+    thresh AS (SELECT MIN(score) AS threshold FROM cum, total WHERE cum > cut)
+    SELECT s.doc_id, s.score FROM scored s, thresh t
+    WHERE s.score >= t.threshold
     """

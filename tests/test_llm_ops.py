@@ -941,3 +941,39 @@ def test_audio_resample_matches_numpy_replica(spark):
     assert r["peak"] == int(np.abs(q).max())
     assert r["rms"] == math.sqrt(int((q**2).sum()) / q.size)
     assert abs(n_out / target - frames.shape[0] / rate) <= 1.0 / target
+
+
+def test_quality_percentile_filter_matches_oracle(spark, tables, duck):
+    """Histogram-threshold percentile gate agrees with the DuckDB twin
+    row-for-row at several cut points."""
+    import pandas as pd
+
+    for p in (0.25, 0.5, 0.9):
+        out = (
+            ta.quality_percentile_filter(tables["documents"], p=p)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            duck.execute(ta.quality_percentile_filter_sql(p=p))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_quality_percentile_filter_semantics(spark, tables):
+    """Kept set = everything scoring >= the threshold; kept fraction is
+    >= 1-p (ties kept) and dropping any kept score would undershoot."""
+    n_total = tables["documents"].count()
+    for p in (0.25, 0.5, 0.9):
+        kept = ta.quality_percentile_filter(tables["documents"], p=p).toPandas()
+        assert len(kept) >= (1 - p) * n_total - 1
+        t = kept["score"].min()
+        # every doc scoring >= t is present (no arbitrary tie-breaking)
+        all_scores = ta.token_counts(tables["documents"]).toPandas()
+        assert len(kept) == (all_scores["ws_tokens"] >= t).sum()
+        # strictly above-threshold alone would undershoot the 1-p mass
+        assert (all_scores["ws_tokens"] > t).sum() < (1 - p) * n_total + 1
