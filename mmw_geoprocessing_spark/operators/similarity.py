@@ -629,15 +629,21 @@ _CENTROID_CACHE_MAX = 8
 _CENTROID_CACHE_LOCK = _threading.Lock()
 
 
-def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: the first N_CELLS vectors by
+def _centroids(
+    embeddings: DataFrame, n_cells: int = N_CELLS
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the first ``n_cells`` vectors by
     vec_id act as centroids (k-means would converge better but needs
     iteration; a fixed quantizer keeps the pipeline one-pass and lets
-    the oracle replay it exactly). Collected once per (session, corpus)."""
+    the oracle replay it exactly). Collected once per (session, corpus,
+    n_cells). ``n_cells`` defaults to the fixture N_CELLS; at-scale
+    gates pass k ~ N/1e3 to honor the SemDeDup cell-population
+    envelope (SCALE.md)."""
     try:
         key = (
             _session_token(embeddings),
             embeddings._jdf.queryExecution().analyzed().semanticHash(),
+            n_cells,
         )
     except Exception:
         key = None
@@ -648,7 +654,7 @@ def _centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
                 _CENTROID_CACHE.move_to_end(key)
                 return cached
     rows = (
-        embeddings.filter(F.col("vec_id") < N_CELLS)
+        embeddings.filter(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -818,6 +824,7 @@ def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     cell_cap: int | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine >= ``threshold`` between
     vectors assigned to the SAME coarse cell. Output: ``(v1, v2, cell,
@@ -842,7 +849,19 @@ def semantic_dedup_pairs(
     """
     from pyspark.sql import Window
 
-    idx = _ivf_index(embeddings)
+    if n_cells is None:
+        idx = _ivf_index(embeddings)
+    else:
+        # scale-appropriate quantizer (k ~ N/1e3): same construction,
+        # cached under its own tag; the oracle replays the same k
+        def build(emb: DataFrame, _n: int = n_cells) -> DataFrame:
+            cents = _centroids(emb, n_cells=_n)
+            base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
+                "nv", _norm(F.col("v"))
+            )
+
+        idx = _INDEX_CACHE.get_or_persist(embeddings, f"ivf_{n_cells}", build)
     if cell_cap is not None:
         w = Window.partitionBy("cell").orderBy("vec_id")
         idx = (
@@ -872,17 +891,18 @@ def semantic_dedup_pairs(
 
 
 def semantic_dedup_pairs_sql(
-    threshold: float = 0.4, cell_cap: int | None = None
+    threshold: float = 0.4, cell_cap: int | None = None, n_cells: int | None = None
 ) -> str:
-    """DuckDB twin: same first-N_CELLS quantizer, same argmax-cosine
-    assignment (ties toward the smaller cell id), same sequential-fold
-    cosine between co-cell pairs."""
+    """DuckDB twin: same first-``n_cells`` quantizer (default N_CELLS),
+    same argmax-cosine assignment (ties toward the smaller cell id),
+    same sequential-fold cosine between co-cell pairs."""
     ccos = _cos_sql("b.v", "c.cv")
     pcos = f"({DOT_SQL.format(a='x.v', b='y.v')}) / (x.nv * y.nv)"
     cap_filter = "" if cell_cap is None else f"WHERE pos <= {cell_cap}"
+    k = N_CELLS if n_cells is None else n_cells
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                   FROM embeddings WHERE vec_id < {N_CELLS}),
+                   FROM embeddings WHERE vec_id < {k}),
     base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT b.vec_id, b.v, c.cid,

