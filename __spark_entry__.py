@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-59 queries are registered (50 core + 9 promoted library operators, all
+60 queries are registered (50 core + 10 promoted library operators, all
 with oracle twins), with the similarity / text / multimodal / streaming
 families FIRST — they were beyond the round-1 gate cap and had no
 correctness verdict then. Redundant showcase queries were consolidated
@@ -457,6 +457,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_percentile_filter": lambda s, d: ta.quality_percentile_filter(
             _t(s, d)["documents"], p=0.5
         ),
+        "text_chunk_documents": lambda s, d: ta.chunk_documents(
+            _t(s, d)["documents"]
+        ),
     }
 
 
@@ -473,4 +476,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
+        "text_chunk_documents": ta.chunk_documents_sql(),
     }

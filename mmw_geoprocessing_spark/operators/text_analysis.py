@@ -658,3 +658,74 @@ def quality_percentile_filter_sql(p: float = 0.5, table: str = "documents") -> s
     SELECT s.doc_id, s.score FROM scored s, thresh t
     WHERE s.score >= t.threshold
     """
+
+
+def chunk_documents(
+    documents: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window chunking — split each document into overlapping
+    token windows (the step that turns a raw corpus into fixed-length
+    training sequences). Whitespace tokens; windows start at 0, stride,
+    2*stride, ... and the LAST window is the one whose start is the
+    first position where start + window >= n_tokens (so every token is
+    covered exactly once by a final possibly-short window, and no empty
+    windows are emitted for short docs — a 1-token doc yields 1 chunk).
+
+    Output: ``(doc_id, chunk_id, start_tok, n_tok, chunk_text)``.
+
+    100 TB shape: pure built-ins — split once, `sequence` generates the
+    window starts, `posexplode` fans out, `slice`+`concat_ws`
+    materialize each chunk JVM-side. No shuffle at all (a projection +
+    generator over the scan); chunk rows inherit the input partitioning,
+    which is exactly what the downstream tokenizer/pack stage wants.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.col("n")
+    # number of windows: 1 + ceil(max(0, n - window) / stride)
+    n_win = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_win - 1) * stride, F.lit(stride))
+    return (
+        documents.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            "toks",
+            F.posexplode(starts).alias("chunk_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.least(F.lit(window), F.col("n") - F.col("start_tok")).alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start_tok") + 1, window)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    window: int = 64, stride: int = 48, table: str = "documents"
+) -> str:
+    """DuckDB twin: same window-start arithmetic via generate_series."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM {table}
+    ),
+    wins AS (
+      SELECT doc_id, n, toks,
+             CAST(1 + CEIL(GREATEST(n - {window}, 0) / {stride}.0) AS INT) AS n_win
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(g.s AS INT) AS chunk_id,
+           CAST(g.s * {stride} AS INT) AS start_tok,
+           CAST(LEAST({window}, n - g.s * {stride}) AS INT) AS n_tok,
+           array_to_string(toks[(g.s * {stride} + 1):(g.s * {stride} + {window})], ' ')
+               AS chunk_text
+    FROM wins, LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS s) g
+    """

@@ -999,3 +999,43 @@ def test_semantic_dedup_scaled_quantizer_cross_engine(spark, tables, duck):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_chunk_documents_matches_oracle(spark, tables, duck):
+    """Context-window chunking agrees with the DuckDB twin row-for-row
+    at two (window, stride) configs."""
+    import pandas as pd
+
+    for window, stride in ((64, 48), (16, 16)):
+        out = (
+            ta.chunk_documents(tables["documents"], window=window, stride=stride)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duck.execute(ta.chunk_documents_sql(window=window, stride=stride))
+            .df()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_chunk_documents_coverage_semantics(spark, tables):
+    """Every token is covered; chunks except the last are full windows;
+    reassembling stride-spaced chunks reproduces the document."""
+    window, stride = 8, 8  # disjoint windows -> exact reassembly
+    chunks = (
+        ta.chunk_documents(tables["documents"], window=window, stride=stride)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    docs = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
+    for doc_id, grp in chunks.groupby("doc_id"):
+        rebuilt = " ".join(grp["chunk_text"])
+        assert rebuilt == docs[doc_id]
+        toks = docs[doc_id].split(" ")
+        assert grp["n_tok"].sum() == len(toks)
+        assert (grp["n_tok"].iloc[:-1] == window).all()
+        assert 0 < grp["n_tok"].iloc[-1] <= window
