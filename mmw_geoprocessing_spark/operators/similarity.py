@@ -1145,3 +1145,26 @@ def ann_ivf_q8_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -
       FROM q JOIN qn w2 USING (cell) WHERE q.q_id <> w2.vec_id
     ) WHERE rank <= {k}
     """
+
+
+def semantic_dedup_components(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the semantic near-dup pair graph —
+    keep-one-per-CLUSTER semantics where the pairwise one-level rule
+    (``semantic_dedup_keep``) under-prunes transitive chains (a~b, b~c
+    but a!~c still all collapse to one representative). Same pointer-
+    jumping machinery as the MinHash family (``dedup.connected_
+    components``); semantic components are near-cliques within a cell,
+    so convergence is ~2-3 rounds. Output: ``(vec_id, component)`` for
+    every vector that appears in at least one pair."""
+    from mmw_geoprocessing_spark.operators.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(embeddings, threshold=threshold, n_cells=n_cells)
+    edges = pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    return connected_components(edges, max_iters=max_iters).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )

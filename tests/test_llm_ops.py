@@ -1039,3 +1039,42 @@ def test_chunk_documents_coverage_semantics(spark, tables):
         assert grp["n_tok"].sum() == len(toks)
         assert (grp["n_tok"].iloc[:-1] == window).all()
         assert 0 < grp["n_tok"].iloc[-1] <= window
+
+
+def test_semantic_dedup_components_transitive_closure(spark, tables, duck):
+    """Components over semantic pairs: every pair's endpoints share a
+    component, components are transitively closed (verified against a
+    DuckDB recursive-CTE closure over the SAME pair set), and one
+    representative per component = the minimum vec_id."""
+    emb = tables["embeddings"]
+    pairs = sim.semantic_dedup_pairs(emb).collect()
+    comp = {r["vec_id"]: r["component"] for r in sim.semantic_dedup_components(emb).collect()}
+    for r in pairs:
+        assert comp[r["v1"]] == comp[r["v2"]]
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE sem_pairs AS "
+        + sim.semantic_dedup_pairs_sql()
+    )
+    want = dict(
+        duck.execute(
+            """
+            WITH RECURSIVE edges AS (
+              SELECT v1 AS a, v2 AS b FROM sem_pairs
+              UNION ALL SELECT v2, v1 FROM sem_pairs
+            ),
+            reach(x, y) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+            )
+            SELECT x, LEAST(x, MIN(y)) FROM reach GROUP BY x
+            """
+        ).fetchall()
+    )
+    assert comp == want
+    # component id is its minimum member
+    by_comp: dict = {}
+    for v, c in comp.items():
+        by_comp.setdefault(c, []).append(v)
+    for c, members in by_comp.items():
+        assert c == min(members)
