@@ -60,6 +60,18 @@ SWEEP_AOIS = [*MAPSHED_AOIS, "huc8_03", *fx.SUBBASIN_AOIS_3, *fx.SWEEP_ONLY_AOIS
 
 def _masks(spark: SparkSession, aoi_ids: list[str]) -> DataFrame:
     m = fx.mask_all_df(spark)
+    # Sweep-only subbasins (huc12_33..61) are deliberately absent from
+    # mask_all; filtering for them here would silently yield ZERO rows
+    # for those AOIs. Fail loudly instead — the sweep path goes through
+    # per-AOI mask fixtures (tools/make_goldens.py), not this table.
+    # mask_all's universe is exactly AOI_DEFS (fixtures.py), so the
+    # check is static — no extra Spark job on the suite hot path.
+    absent = sorted(set(aoi_ids) - set(fx.AOI_DEFS))
+    if absent:
+        raise ValueError(
+            f"aoi_ids not present in mask_all (sweep-only AOIs need "
+            f"per-AOI mask fixtures, see tools/make_goldens.py): {absent}"
+        )
     return m.filter(m.aoi_id.isin(aoi_ids))
 
 

@@ -820,6 +820,25 @@ def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> s
 # ---------------------------------------------------------------------------
 
 
+def _sem_index(embeddings: DataFrame, n_cells: int | None) -> DataFrame:
+    """The ONE cell assignment the whole semantic-dedup family shares:
+    default-``N_CELLS`` IVF index, or a scale-appropriate quantizer
+    (k ~ N/1e3) cached under its own tag. pairs / keep / components
+    must all derive from the same call so survivors come from the same
+    cell structure that built the pairs (round-8 ADVICE)."""
+    if n_cells is None:
+        return _ivf_index(embeddings)
+
+    def build(emb: DataFrame, _n: int = n_cells) -> DataFrame:
+        cents = _centroids(emb, n_cells=_n)
+        base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
+            "nv", _norm(F.col("v"))
+        )
+
+    return _INDEX_CACHE.get_or_persist(embeddings, f"ivf_{n_cells}", build)
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -849,19 +868,7 @@ def semantic_dedup_pairs(
     """
     from pyspark.sql import Window
 
-    if n_cells is None:
-        idx = _ivf_index(embeddings)
-    else:
-        # scale-appropriate quantizer (k ~ N/1e3): same construction,
-        # cached under its own tag; the oracle replays the same k
-        def build(emb: DataFrame, _n: int = n_cells) -> DataFrame:
-            cents = _centroids(emb, n_cells=_n)
-            base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-            return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
-                "nv", _norm(F.col("v"))
-            )
-
-        idx = _INDEX_CACHE.get_or_persist(embeddings, f"ivf_{n_cells}", build)
+    idx = _sem_index(embeddings, n_cells)
     if cell_cap is not None:
         w = Window.partitionBy("cell").orderBy("vec_id")
         idx = (
@@ -928,17 +935,21 @@ def semantic_dedup_keep(
     embeddings: DataFrame,
     threshold: float = 0.4,
     cell_cap: int | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Survivor set under the repo's one-level drop rule (the
     ``neardup_drop_ids`` convention): drop the HIGHER id of every
     semantic pair, keep everything else. Output: ``(vec_id, cell)``.
     One anti-join against the (small) drop set — fully declarative, no
-    iteration."""
-    drops = semantic_dedup_pairs(embeddings, threshold, cell_cap).select(
+    iteration. ``n_cells`` selects the scale-appropriate quantizer and
+    is threaded to BOTH the pair generation and the survivor base via
+    ``_sem_index``, so survivors always come from the exact cell
+    assignment that produced the pairs."""
+    drops = semantic_dedup_pairs(embeddings, threshold, cell_cap, n_cells).select(
         F.col("v2").alias("vec_id")
     )
     return (
-        _ivf_index(embeddings)
+        _sem_index(embeddings, n_cells)
         .join(drops, "vec_id", "left_anti")
         .select("vec_id", "cell")
     )

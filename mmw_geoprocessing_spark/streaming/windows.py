@@ -417,8 +417,23 @@ def stream_content_dedup(
     """Streaming CONTENT dedup: same bounded-state construction keyed by
     an md5 of the content columns (the exact-dedup digest the batch
     ``dedup_exact`` uses), so byte-identical payloads re-sent under new
-    surrogate ids are still dropped. Adds a ``content_key`` column."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    surrogate ids are still dropped. Adds a ``content_key`` column.
+
+    NULL encoding: each column is coalesced to an explicit sentinel
+    before joining — ``concat_ws`` alone SKIPS nulls, so
+    ``(NULL, 'x')`` and ``('x', NULL)`` would both digest as ``'x'``
+    and the later distinct payload would be wrongly dropped. The
+    sentinel (0x00-prefixed) cannot collide with a cast value that is
+    itself the empty string."""
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in content_cols
+            ],
+        )
+    )
     return (
         stream.withColumn("content_key", digest)
         .withWatermark(ts_col, watermark)

@@ -714,6 +714,31 @@ def test_semantic_dedup_keep_drops_exactly_higher_ids(spark, tables):
     assert kept == set(range(n_total)) - dropped
 
 
+def test_semantic_dedup_keep_n_cells_uses_pair_index(spark, tables):
+    """With a scale-appropriate quantizer (n_cells), survivors must be
+    derived from the SAME cell assignment that built the pairs — not
+    the default index (round-8 ADVICE). Checks the drop-rule identity
+    AND that every survivor's cell matches the n_cells index."""
+    emb = tables["embeddings"]
+    k = 32  # != N_CELLS (16) so the scaled assignment is distinguishable
+    pairs = sim.semantic_dedup_pairs(emb, n_cells=k).collect()
+    dropped = {r["v2"] for r in pairs}
+    kept_rows = sim.semantic_dedup_keep(emb, n_cells=k).collect()
+    kept = {r["vec_id"] for r in kept_rows}
+    assert kept == set(range(emb.count())) - dropped
+    idx_cells = {
+        r["vec_id"]: r["cell"]
+        for r in sim._sem_index(emb, k).select("vec_id", "cell").collect()
+    }
+    assert all(idx_cells[r["vec_id"]] == r["cell"] for r in kept_rows)
+    # and the scaled assignment genuinely differs from the default one
+    default_cells = {
+        r["vec_id"]: r["cell"]
+        for r in sim._sem_index(emb, None).select("vec_id", "cell").collect()
+    }
+    assert idx_cells != default_cells
+
+
 def test_unigram_surprisal_matches_oracle(spark, tables, duck):
     """Corpus-unigram surprisal (integer-bit CCNet-style quality score):
     Spark and the DuckDB twin agree row-for-row on exact-integer sums

@@ -178,3 +178,35 @@ def test_stream_content_dedup_catches_new_surrogate_ids(spark, tables):
     keys = [r.content_key for r in got]
     assert len(keys) == len(set(keys))
     assert len(keys) == 50  # every resent copy dropped
+
+
+def test_stream_content_dedup_null_fields_do_not_alias(spark):
+    """A NULL field must not alias a neighbor's value: (value=NULL,
+    props='x') and (value='x'... i.e. distinct payloads that concat_ws
+    would collapse to the same digest) must BOTH survive. Regression
+    for the null-skipping behavior of concat_ws."""
+    import datetime
+
+    src = tempfile.mkdtemp(prefix="events_null_stream_")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, 10, None, None, "x"),   # event_type NULL, props 'x'
+        (2, ts, 10, "x", None, None),   # event_type 'x', props NULL
+        (3, ts, 10, None, 7.0, None),   # value 7.0 only
+        (4, ts, 10, "7.0", None, None), # event_type literally '7.0'
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="null_ckpt_")
+    sw.run_availablenow(
+        sw.stream_content_dedup(sw.stream_events(spark, src)),
+        ckpt,
+        query_name="null_dedup_out",
+    )
+    got = spark.sql("SELECT event_id, content_key FROM null_dedup_out").collect()
+    assert len(got) == 4, (
+        f"distinct payloads collided: kept only {sorted(r.event_id for r in got)}"
+    )
+    assert len({r.content_key for r in got}) == 4

@@ -282,3 +282,15 @@ def test_sweep_only_subbasins_partition_huc8_01(spark, tables):
         for r in fx.mask_all_df(spark).select("aoi_id").distinct().collect()
     }
     assert not (set(fx.SWEEP_ONLY_AOIS) & in_mask_all)
+
+
+def test_mapshed_suite_rejects_sweep_only_aois(spark, tables):
+    """Sweep-only AOIs (huc12_33..61) are absent from mask_all by
+    design; mapshed_suite must raise instead of silently returning
+    zero rows for them (round-8 ADVICE)."""
+    import pytest
+
+    from mmw_geoprocessing_spark.operators import mapshed
+
+    with pytest.raises(ValueError, match="not present in mask_all"):
+        mapshed.mapshed_suite(spark, [mapshed.MAPSHED_AOIS[0], fx.SWEEP_ONLY_AOIS[0]])

@@ -93,7 +93,11 @@ def _slice(pdf, prefix: str, all_prefixes: list[str]):
     """Rows whose op_label belongs to this shard: longest-prefix match so
     'nlcd_soil:' never absorbs a hypothetical exact 'nlcd_soil' label."""
     mine = pdf["op_label"].map(
-        lambda s: max((p for p in all_prefixes if s == p or s.startswith(p)), key=len)
+        lambda s: max(
+            (p for p in all_prefixes if s == p or s.startswith(p)),
+            key=len,
+            default=None,  # no-match labels stay uncovered -> coverage check reports them
+        )
         == prefix
     )
     return pdf[mine].reset_index(drop=True)
