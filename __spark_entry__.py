@@ -382,7 +382,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 60, f"driver gate sized for <=60 queries; got {len(out)}"
+    assert len(out) <= 61, f"driver gate sized for <=61 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -460,6 +460,13 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_documents": lambda s, d: ta.chunk_documents(
             _t(s, d)["documents"]
         ),
+        # round 9: transitive closure over the semantic pair graph —
+        # the operator a real pipeline runs AFTER pair generation
+        # (keep one per CLUSTER; the pairwise one-level rule
+        # under-prunes transitive chains)
+        "semantic_dedup_components": lambda s, d: sim.semantic_dedup_components(
+            _t(s, d)["embeddings"]
+        ),
     }
 
 
@@ -477,4 +484,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
         "text_chunk_documents": ta.chunk_documents_sql(),
+        "semantic_dedup_components": sim.semantic_dedup_components_sql(),
     }

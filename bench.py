@@ -60,6 +60,21 @@ HEADLINE = [
     "events_windows_showcase",
 ]
 
+# Second section (round 9): the LLM-pipeline operators promoted in
+# round 8, benched with the same 5-run/warm-up protocol and same-window
+# DuckDB twins. Kept OUT of the 14-query headline so the r7/r8 headline
+# series stays byte-comparable; totals are reported separately.
+# dedup_ngram_jaccard is the warm-index serving state (the index is
+# built during the warm-up run, the same basis as the ann_ivf rows —
+# the deployment shape where the index is ingest-time).
+LLM_SECTION = [
+    "dedup_ngram_jaccard",
+    "similarity_ann_ivf_q8_topk",
+    "sampling_corpus_mix",
+    "text_quality_percentile_filter",
+    "text_chunk_documents",
+]
+
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
 
@@ -116,9 +131,12 @@ def main() -> None:
     prepared_exec: dict[str, float] = {}
     duck_results: dict[str, float] = {}
     phase_ts: dict[str, dict[str, float]] = {}
+    llm_results: dict[str, float] = {}
+    llm_floors: dict[str, float] = {}
+    llm_duck_results: dict[str, float] = {}
     bench_t0 = time.time()
 
-    for name in HEADLINE:
+    def measure(name, results, floors, duck_results):
         fn = qs[name]
         # materialize via Arrow (toPandas): the engine's result fast
         # path, symmetric with DuckDB's native .df() — row collect()
@@ -168,6 +186,11 @@ def main() -> None:
             # tile the full wall-clock with no unattributed gaps
             "end": round(time.time() - bench_t0, 3),
         }
+
+    for name in HEADLINE:
+        measure(name, results, floors, duck_results)
+    for name in LLM_SECTION:
+        measure(name, llm_results, llm_floors, llm_duck_results)
 
     if con is not None:
         con.close()
@@ -229,6 +252,23 @@ def main() -> None:
                 "duck_total": duck_total,
                 "duck_queries": duck_results,
                 "ratio_vs_duck": round(total / duck_total, 3) if duck_total else None,
+                # round-9 second section: LLM-pipeline operators, same
+                # protocol, reported separately so the headline series
+                # stays r7/r8-comparable
+                "llm_total": round(sum(llm_results.values()), 4),
+                "llm_queries": llm_results,
+                "llm_queries_min": llm_floors,
+                "llm_duck_total": (
+                    round(sum(llm_duck_results.values()), 4)
+                    if llm_duck_results
+                    else None
+                ),
+                "llm_duck_queries": llm_duck_results,
+                "llm_ratio_vs_duck": (
+                    round(sum(llm_results.values()) / sum(llm_duck_results.values()), 3)
+                    if llm_duck_results
+                    else None
+                ),
             },
             separators=(",", ":"),
         )

@@ -1179,3 +1179,30 @@ def semantic_dedup_components(
     return connected_components(edges, max_iters=max_iters).select(
         F.col("doc_id").alias("vec_id"), "component"
     )
+
+
+def semantic_dedup_components_sql(
+    threshold: float = 0.4, n_cells: int | None = None
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_components`: UNION
+    (distinct) recursive-CTE transitive closure over the SAME pair set
+    the pairs oracle produces, component id = minimum reachable vec_id.
+    Two roads, one result — the iterative pointer-jumping plan is the
+    engine shape (Spark's recursive CTE is UNION ALL-only and diverges
+    on cycles); the set-semantics closure is the oracle shape."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT v1, v2 FROM ({semantic_dedup_pairs_sql(threshold, n_cells=n_cells)})
+    ),
+    edges AS (
+      SELECT v1 AS a, v2 AS b FROM pairs
+      UNION ALL
+      SELECT v2, v1 FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+    )
+    SELECT x AS vec_id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x
+    """

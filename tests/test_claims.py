@@ -1,0 +1,22 @@
+"""Claims-vs-artifacts gate: every artifact row SURVEY.md asserts must
+actually exist on disk with a passing verdict. This is the checker the
+round-8 VERDICT asked for after two consecutive rounds shipped a claim
+citing a nonexistent row (r7 §8.8 SELFCHECK_SF10; r8 §8.4/§8.9 two
+missing SELFCHECK_SF1 rows) — both historical instances reproduce as
+failures of this test when run against the r8 artifacts."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import claims_check
+
+
+def test_survey_artifact_claims_hold():
+    problems = claims_check.check_claims()
+    assert not problems, "SURVEY.md claims drift from artifacts:\n" + "\n".join(
+        problems
+    )
