@@ -4,10 +4,14 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-60 queries are registered (50 core + 10 promoted library operators, all
-with oracle twins), with the similarity / text / multimodal / streaming
-families FIRST — they were beyond the round-1 gate cap and had no
-correctness verdict then. Redundant showcase queries were consolidated
+70 queries are registered (50 core + 10 round-8 promoted library
+operators + 10 round-9: the semantic/minhash transitive closures, the
+two stateful streaming dedup ops drained through availableNow with
+closed-form batch twins, the end-to-end curation pipeline, the
+dataset-assembly ops, and the injected-text PII/normalize stages — all
+with full oracle twins), with the similarity / text / multimodal /
+streaming families FIRST — they were beyond the round-1 gate cap and
+had no correctness verdict then. Redundant showcase queries were consolidated
 (windows_showcase, aggregate_variants, events_windows_showcase, regexp
 folded into scalar_functions_showcase, lag into window_running_total);
 the removed variants remain as library functions covered by pytest.
@@ -25,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mmw_geoprocessing_spark import oracle
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import multimodal as mm
+from mmw_geoprocessing_spark.operators import pipelines as pl
 from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import relational_ext as rex
 from mmw_geoprocessing_spark.operators import sampling as samp
@@ -91,10 +96,18 @@ _LLM_ORACLES: dict[str, str] = {
 
 _STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windows_showcase": lambda s, d: sw.windows_showcase(_t(s, d)["events"]),
+    # round 9: the stateful streaming dedup operators, driver-gated with
+    # FULL SQL oracles — the drained availableNow survivor set over the
+    # deterministic at-least-once replay source has a closed-form batch
+    # twin over the original events table (streaming/windows.py)
+    "stream_exact_dedup": sw.stream_exact_dedup_batch,
+    "stream_content_dedup": sw.stream_content_dedup_batch,
 }
 
 _STREAM_ORACLES: dict[str, str] = {
     "events_windows_showcase": sw.windows_showcase_sql(),
+    "stream_exact_dedup": sw.stream_exact_dedup_batch_sql(),
+    "stream_content_dedup": sw.stream_content_dedup_batch_sql(),
 }
 
 
@@ -382,7 +395,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 61, f"driver gate sized for <=61 queries; got {len(out)}"
+    assert len(out) <= 70, f"driver gate sized for <=70 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -418,6 +431,51 @@ def oracle_sql() -> dict[str, str]:
 # vocabulary-renamed replica copies keep hits copy-local, so results
 # scale linearly like a real eval-suite overlap
 _CONTAMINATION_BENCH_WHERE = "doc_id % 101 = 7"
+
+# Deterministic PII / markup injection shared by the text_pii_redact /
+# text_normalize entries and their oracles: the plain documents table
+# contains no PII or HTML, so both engines append the SAME synthetic
+# spans (one email / ipv4 / phone / ssn, or a tag + entity pair) before
+# the operator runs — the identical injection tools/make_goldens.py and
+# tests/test_pipelines.py use.
+_PII_INJECT_SQL = (
+    "SELECT doc_id, text || ' u' || CAST(doc_id AS VARCHAR) || '@ex.org"
+    " 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) ||"
+    " ' 555-867-5309 123-45-6789' AS text FROM documents"
+)
+_MARKUP_INJECT_SQL = (
+    "SELECT doc_id, '<p class=\"x\">' || text ||"
+    " '</p> &amp; &lt;tail&gt;   end' AS text FROM documents"
+)
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" 555-867-5309 123-45-6789"),
+        ).alias("text"),
+    )
+
+
+def _markup_injected(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit("</p> &amp; &lt;tail&gt;   end"),
+        ).alias("text"),
+    )
 # corpus_mix registered workload: one source cut hard, one effectively
 # unlimited, the rest at the 700-token default — exercises every branch
 # of the budget CASE on the fixture corpus.
@@ -467,6 +525,32 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_components": lambda s, d: sim.semantic_dedup_components(
             _t(s, d)["embeddings"]
         ),
+        # round 9: promotions of lib+pytest operators that always had
+        # SQL twins — the end-to-end curation pipeline, the minhash
+        # closure, dataset-assembly ops, and the PII/normalize text
+        # stages (run over deterministically injected text so both
+        # engines see real PII/markup; plain documents contain none)
+        "pipeline_curate_corpus": lambda s, d: pl.curate_corpus(
+            _t(s, d)["documents"]
+        ),
+        "dedup_neardup_components": lambda s, d: dd.neardup_components(
+            _t(s, d)["documents"]
+        ),
+        "sampling_deterministic_split": lambda s, d: samp.deterministic_split(
+            _t(s, d)["documents"]
+        ),
+        "sampling_stratified_sample": lambda s, d: samp.stratified_sample(
+            _t(s, d)["documents"], "source", 0.25
+        ),
+        "sampling_pack_token_batches": lambda s, d: samp.pack_token_batches(
+            _t(s, d)["documents"]
+        ),
+        "text_pii_redact": lambda s, d: ta.pii_redact(
+            _pii_injected(_t(s, d)["documents"])
+        ),
+        "text_normalize": lambda s, d: ta.normalize_text(
+            _markup_injected(_t(s, d)["documents"])
+        ),
     }
 
 
@@ -485,4 +569,11 @@ def lib_oracle_sql() -> dict[str, str]:
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
         "text_chunk_documents": ta.chunk_documents_sql(),
         "semantic_dedup_components": sim.semantic_dedup_components_sql(),
+        "pipeline_curate_corpus": pl.curate_corpus_sql(),
+        "dedup_neardup_components": dd.neardup_components_sql(),
+        "sampling_deterministic_split": samp.deterministic_split_sql(),
+        "sampling_stratified_sample": samp.stratified_sample_sql("source", 0.25),
+        "sampling_pack_token_batches": samp.pack_token_batches_sql(),
+        "text_pii_redact": ta.pii_redact_sql(table=f"({_PII_INJECT_SQL})"),
+        "text_normalize": ta.normalize_text_sql(table=f"({_MARKUP_INJECT_SQL})"),
     }

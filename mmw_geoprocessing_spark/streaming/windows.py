@@ -17,6 +17,8 @@ use the same BIGINT-cents determinism rules as the relational surface
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -382,6 +384,65 @@ def run_availablenow(
     return q
 
 
+def replay_events_dir(spark, sf_dir: str, *, resend_surrogates: bool) -> str:
+    """Deterministic at-least-once replay source derived from the sf
+    directory's events table: chunk 1 = even event_ids; chunk 2
+    re-delivers a quarter of chunk 1 byte-identically plus the odd ids,
+    and (with ``resend_surrogates``) re-sends 1/8 of chunk 1
+    content-identically under fresh surrogate event_ids — the case only
+    content dedup catches.
+
+    Built once per (sf_dir, variant) under /tmp with an atomic rename
+    (a crashed half-build can never be mistaken for a finished one), so
+    registry calls reuse the same files. Because every original event
+    appears EXACTLY once among the chunks (duplicates are extra
+    copies), the deduped stream has a closed-form batch twin over the
+    ORIGINAL events table — which is what lets the driver gate these
+    streaming operators with a full SQL oracle."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    variant = "resend" if resend_surrogates else "redeliver"
+    # key the cached dir by the source file's identity (size + mtime),
+    # not just its path: a regenerated events.parquet at the same path
+    # must invalidate the cached replay
+    src_file = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        tempfile.gettempdir(), f"stream_replay_{variant}_{tag}_{ident}"
+    )
+    if os.path.isdir(final):
+        return final
+    work = tempfile.mkdtemp(prefix=f"stream_replay_build_{variant}_")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.write.mode("append").parquet(work)
+    replay = first.filter(F.col("event_id") % 4 == 0)  # re-delivered
+    chunk2 = replay.unionByName(ev.filter(F.col("event_id") % 2 == 1))
+    if resend_surrogates:
+        max_id = ev.agg(F.max("event_id")).collect()[0][0]
+        resent = first.filter(F.col("event_id") % 8 == 0).withColumn(
+            "event_id", F.col("event_id") + max_id + 1
+        )
+        chunk2 = chunk2.unionByName(resent)
+    chunk2.write.mode("append").parquet(work)
+    try:
+        os.rename(work, final)
+    except OSError:
+        # another session won the race; theirs is complete (rename is
+        # the commit point)
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+    return final
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
@@ -439,3 +500,59 @@ def stream_content_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_key"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gatable batch twins for the streaming dedup operators: drain
+# the REAL streaming plan (availableNow + durable checkpoint + parquet
+# sink) over a deterministic at-least-once replay source, return the
+# drained sink as a batch DataFrame. Because every original event
+# appears exactly once among the replay chunks, the survivor set has a
+# CLOSED-FORM oracle over the original events table — a full SQL twin
+# for an operator whose execution is stateful streaming.
+# ---------------------------------------------------------------------------
+
+_CONTENT_COLS = ("user_id", "event_type", "value", "props")
+
+
+def _drain_to_batch(spark, op_df: "DataFrame") -> "DataFrame":
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_reg_ckpt_")
+    sink = tempfile.mkdtemp(prefix="stream_dedup_reg_sink_") + "/out"
+    run_availablenow(op_df, ckpt, sink_path=sink, timeout_s=1800)
+    return spark.read.parquet(sink)
+
+
+def stream_exact_dedup_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: exact ingest dedup drained over the re-delivery
+    replay (chunk 2 re-sends a quarter of chunk 1 byte-identically).
+    Survivors = every original event exactly once."""
+    src = replay_events_dir(spark, sf_dir, resend_surrogates=False)
+    out = _drain_to_batch(spark, stream_exact_dedup(stream_events(spark, src)))
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def stream_exact_dedup_batch_sql() -> str:
+    return """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """
+
+
+def stream_content_dedup_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: content ingest dedup drained over the surrogate
+    re-send replay (content-identical payloads under fresh event_ids —
+    the case only content dedup catches). Survivors compared on the
+    content columns (the surviving surrogate id is which-arrival-
+    dependent; the content payload is not)."""
+    src = replay_events_dir(spark, sf_dir, resend_surrogates=True)
+    out = _drain_to_batch(spark, stream_content_dedup(stream_events(spark, src)))
+    return out.select(*_CONTENT_COLS)
+
+
+def stream_content_dedup_batch_sql() -> str:
+    return f"""
+    SELECT DISTINCT {", ".join(_CONTENT_COLS)} FROM events
+    """

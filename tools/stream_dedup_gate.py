@@ -55,23 +55,11 @@ def _build_replay_dir(spark, sf_dir: str) -> str:
     """Two parquet chunks: chunk 1 = even event_ids; chunk 2 re-delivers
     a quarter of them byte-identically (at-least-once), adds the odd
     ids, AND re-sends 1/8 of chunk 1 content-identically under fresh
-    surrogate event_ids (the case only content dedup catches)."""
-    from pyspark.sql import functions as F
+    surrogate event_ids (the case only content dedup catches). Shared
+    with the registry entries (streaming.windows.replay_events_dir)."""
+    from mmw_geoprocessing_spark.streaming.windows import replay_events_dir
 
-    from mmw_geoprocessing_spark.sources.tables import load_table
-
-    out = tempfile.mkdtemp(prefix="stream_dedup_replay_")
-    ev = load_table(spark, sf_dir, "events")
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    first = ev.filter(F.col("event_id") % 2 == 0)
-    first.write.mode("append").parquet(out)
-    replay = first.filter(F.col("event_id") % 4 == 0)
-    rest = ev.filter(F.col("event_id") % 2 == 1)
-    resent = first.filter(F.col("event_id") % 8 == 0).withColumn(
-        "event_id", F.col("event_id") + max_id + 1
-    )
-    replay.unionByName(rest).unionByName(resent).write.mode("append").parquet(out)
-    return out
+    return replay_events_dir(spark, sf_dir, resend_surrogates=True)
 
 
 def main() -> int:
@@ -148,7 +136,7 @@ def main() -> int:
             shutil.rmtree(sink, ignore_errors=True)
         con.close()
     finally:
-        shutil.rmtree(src, ignore_errors=True)
+        pass  # src is the shared cached replay dir (reused by registry calls)
 
     artifact = {
         "sf_dir": sf_dir,
