@@ -27,12 +27,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mmw_geoprocessing_spark import oracle
+from mmw_geoprocessing_spark.operators import cdc
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
 from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import relational_ext as rex
 from mmw_geoprocessing_spark.operators import sampling as samp
+from mmw_geoprocessing_spark.operators import search as se
 from mmw_geoprocessing_spark.operators import similarity as sim
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
@@ -395,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 70, f"driver gate sized for <=70 queries; got {len(out)}"
+    assert len(out) <= 73, f"driver gate sized for <=73 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -551,6 +553,17 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": lambda s, d: ta.normalize_text(
             _markup_injected(_t(s, d)["documents"])
         ),
+        # round 9 additions: corpus keyword retrieval (BM25 top-k),
+        # CDC changelog compaction (latest-wins MERGE shape), and
+        # gap-based batch sessionization (the batch twin of the
+        # streaming session windows)
+        "search_bm25_topk": lambda s, d: se.bm25_topk(s, _t(s, d)["documents"]),
+        "cdc_changelog_merge": lambda s, d: cdc.changelog_merge_orders(
+            _t(s, d)["orders"]
+        ),
+        "sessionize_events": lambda s, d: rex.sessionize_events(
+            _t(s, d)["events"]
+        ),
     }
 
 
@@ -576,4 +589,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "sampling_pack_token_batches": samp.pack_token_batches_sql(),
         "text_pii_redact": ta.pii_redact_sql(table=f"({_PII_INJECT_SQL})"),
         "text_normalize": ta.normalize_text_sql(table=f"({_MARKUP_INJECT_SQL})"),
+        "search_bm25_topk": se.bm25_topk_sql(),
+        "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
+        "sessionize_events": rex.sessionize_events_sql(),
     }

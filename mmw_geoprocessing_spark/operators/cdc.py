@@ -1,0 +1,154 @@
+"""CDC / changelog compaction: latest-wins merge of a base snapshot
+with an upsert-delete changelog (the MERGE INTO / SCD-type-1 shape).
+
+Every large-scale ingest pipeline compacts a mutable feed this way:
+``merged = base ⊕ changelog`` where per key the highest-sequence
+change wins, a delete removes the key, and unseen keys insert. The
+scalable plan is the classic one: union the base (as sequence 0) with
+the changelog and keep the max-sequence row per key — ONE shuffle on
+the key, no join at all (a join-based MERGE shuffles both sides the
+same way and then still needs the dedup; the union form is strictly
+cheaper and is what Delta/Iceberg compaction does under the hood).
+
+Determinism: sequence numbers are unique per key by construction
+(ROW_NUMBER tie-break on seq desc, op — a total order either way), all
+payload arithmetic is exact IEEE (+100.0 on doubles), so the merged
+snapshot value-hashes cross-engine.
+
+The registered changelog is SYNTHESIZED deterministically from the
+orders table itself (the same device as the PII-injection entries —
+the fixture world has no mutable feed, so both engines derive the
+identical changelog before merging):
+
+- seq 1 'U' for ``o_orderkey % 7 = 3``: totalprice + 100.0
+- seq 2 'U' for ``o_orderkey % 21 = 3`` (a subset — exercises
+  latest-wins over seq 1): totalprice + 200.0
+- seq 3 'D' for ``o_orderkey % 13 = 4`` (some keys get U then D)
+- seq 1 'I' for ``o_orderkey % 17 = 5`` under a fresh key
+  (``o_orderkey + 500_000_000``): a new order at 2x the price
+
+100 TB shape: union is free, the single hash-shuffle on o_orderkey
+carries base + changelog together, AQE handles key skew (unique keys →
+none), and the window's per-key state is the handful of versions of
+that key. Bucketed base tables make the shuffle one-sided in a real
+deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PAYLOAD = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def synth_changelog(orders: DataFrame) -> DataFrame:
+    """Deterministic changelog derived from the orders table (see module
+    docstring). Output: ``(o_orderkey, seq, op, <payload cols>)``."""
+    k = F.col("o_orderkey")
+    u1 = (
+        orders.filter(k % 7 == 3)
+        .withColumn("seq", F.lit(1).cast("bigint"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+    )
+    u2 = (
+        orders.filter(k % 21 == 3)
+        .withColumn("seq", F.lit(2).cast("bigint"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(200.0))
+    )
+    d3 = (
+        orders.filter(k % 13 == 4)
+        .withColumn("seq", F.lit(3).cast("bigint"))
+        .withColumn("op", F.lit("D"))
+    )
+    i1 = (
+        orders.filter(k % 17 == 5)
+        .withColumn("o_orderkey", k + F.lit(500_000_000).cast("bigint"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+        .withColumn("op", F.lit("I"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+    )
+    cols = ["o_orderkey", "seq", "op", *PAYLOAD]
+    return (
+        u1.select(cols)
+        .unionByName(u2.select(cols))
+        .unionByName(d3.select(cols))
+        .unionByName(i1.select(cols))
+    )
+
+
+def changelog_merge(base: DataFrame, changelog: DataFrame) -> DataFrame:
+    """Latest-wins merge: per key, the max-``seq`` row survives unless
+    it is a delete. Output: merged snapshot with ``version`` (the
+    winning seq) and ``src_op``."""
+    cols = ["o_orderkey", "seq", "op", *PAYLOAD]
+    base_v = base.withColumn("seq", F.lit(0).cast("bigint")).withColumn(
+        "op", F.lit("I")
+    )
+    all_rows = base_v.select(cols).unionByName(changelog.select(cols))
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(), F.col("op").asc()
+    )
+    return (
+        all_rows.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            *PAYLOAD,
+            F.col("seq").alias("version"),
+            F.col("op").alias("src_op"),
+        )
+    )
+
+
+def changelog_merge_orders(orders: DataFrame) -> DataFrame:
+    """The registered entry: merge orders with its synthesized
+    changelog."""
+    return changelog_merge(orders, synth_changelog(orders))
+
+
+def changelog_merge_orders_sql(table: str = "orders") -> str:
+    """DuckDB twin: identical changelog synthesis + latest-wins merge."""
+    pay = ", ".join(PAYLOAD)
+    return f"""
+    WITH changelog AS (
+        SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+               o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus,
+               o_totalprice + 200.0, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 21 = 3
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 13 = 4
+        UNION ALL
+        SELECT o_orderkey + 500000000, 1, 'I', o_custkey, o_orderstatus,
+               o_totalprice * 2.0, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 17 = 5
+    ),
+    all_rows AS (
+        SELECT o_orderkey, CAST(0 AS BIGINT) AS seq, 'I' AS op, {pay}
+        FROM {table}
+        UNION ALL
+        SELECT o_orderkey, seq, op, {pay} FROM changelog
+    )
+    SELECT o_orderkey, {pay}, seq AS version, op AS src_op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC, op ASC
+        ) AS rn
+        FROM all_rows
+    )
+    WHERE rn = 1 AND op <> 'D'
+    """

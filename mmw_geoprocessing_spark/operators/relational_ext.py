@@ -461,3 +461,75 @@ def regexp_functions_showcase_sql() -> str:
            CAST(len(regexp_extract_all(p_name, '\w+')) AS INT) AS word_count
     FROM part WHERE p_partkey < 100
     """
+
+
+def sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based batch sessionization: split each user's event stream
+    into sessions wherever consecutive events are more than ``gap_s``
+    apart, then aggregate one row per session.
+
+    The batch twin of the streaming session windows
+    (streaming/windows.py): same gap semantics, runs over the full
+    history. Output: ``(user_id, session_id, session_start,
+    session_end, n_events, n_event_types, duration_s)``.
+
+    Determinism: the per-user order is (ts, event_id) — a total order —
+    and every output is exact (counts, min/max timestamps, integer
+    microsecond arithmetic), so the result value-hashes cross-engine.
+
+    100 TB shape: ONE shuffle on user_id serves both the lag/cumsum
+    window and the final per-(user, session) aggregation —
+    HashPartitioning(user_id) satisfies the clustering the groupBy
+    needs (session ids nest within users), so Catalyst inserts no
+    second exchange. Per-user state is a single pass; no skew beyond
+    the per-user event count itself (a power user is one partition's
+    sequential scan, not a hot join key).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = (
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_s * 1_000_000))
+    ).cast("bigint")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.withColumn("session_id", F.sum(new_sess).over(cum))
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000"
+        ).alias("duration_s"),
+    )
+
+
+def sessionize_events_sql(gap_s: int = 1800) -> str:
+    """DuckDB twin: identical (ts, event_id) order, gap flag, running
+    sum session id, per-session aggregate."""
+    return f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {gap_s} * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT *, CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM tagged GROUP BY user_id, session_id
+    """

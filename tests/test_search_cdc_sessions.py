@@ -1,0 +1,132 @@
+"""Round-9 operators: BM25 corpus search (operators/search.py), CDC
+changelog merge (operators/cdc.py), and batch sessionization
+(operators/relational_ext.sessionize_events). Each hash-checked against
+its DuckDB twin plus semantic property tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import cdc
+from mmw_geoprocessing_spark.operators import relational_ext as rex
+from mmw_geoprocessing_spark.operators import search as se
+
+
+def _match(spark_df, duck, sql):
+    a = spark_df.toPandas()
+    b = duck.execute(sql).df()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# --------------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_oracle(spark, tables, duck):
+    _match(se.bm25_topk(spark, tables["documents"]), duck, se.bm25_topk_sql())
+
+
+def test_bm25_topk_shape_and_order(spark, tables):
+    out = se.bm25_topk(spark, tables["documents"]).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        # ranks are 1..n contiguous, scores non-increasing
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        by_rank = grp.sort_values("rank")
+        assert (by_rank["score_scaled"].diff().dropna() <= 0).all()
+        assert len(grp) <= se.TOP_K
+
+
+def test_bm25_rare_term_outranks_common(spark, tables):
+    """A doc matching the corpus's one rare term ('dup', df~5%) must
+    outrank docs matching only the common term in q_dup_key."""
+    out = se.bm25_topk(spark, tables["documents"]).toPandas()
+    q = out[out.query_id == "q_dup_key"].sort_values("rank")
+    if len(q) == 0:
+        return  # sf without 'dup' occurrences
+    docs = tables["documents"].toPandas().set_index("doc_id")["text"]
+    top_doc = docs[q.iloc[0]["doc_id"]]
+    assert "dup" in top_doc.lower().split()
+
+
+# ---------------------------------------------------------------------- CDC
+
+
+def test_cdc_merge_matches_oracle(spark, tables, duck):
+    _match(
+        cdc.changelog_merge_orders(tables["orders"]),
+        duck,
+        cdc.changelog_merge_orders_sql(),
+    )
+
+
+def test_cdc_merge_semantics(spark, tables):
+    orders = tables["orders"]
+    merged = cdc.changelog_merge_orders(orders).toPandas().set_index("o_orderkey")
+    base = orders.toPandas().set_index("o_orderkey")
+
+    deleted = [k for k in base.index if k % 13 == 4]
+    assert deleted and not any(k in merged.index for k in deleted)
+
+    # latest-wins: %21==3 keys got seq-2 update (+200) over seq-1 (+100)
+    u2 = [k for k in base.index if k % 21 == 3 and k % 13 != 4]
+    for k in u2[:20]:
+        assert merged.loc[k, "o_totalprice"] == base.loc[k, "o_totalprice"] + 200.0
+        assert merged.loc[k, "version"] == 2
+
+    u1 = [k for k in base.index if k % 7 == 3 and k % 21 != 3 and k % 13 != 4]
+    for k in u1[:20]:
+        assert merged.loc[k, "o_totalprice"] == base.loc[k, "o_totalprice"] + 100.0
+
+    ins = [k + 500_000_000 for k in base.index if k % 17 == 5]
+    assert ins and all(k in merged.index for k in ins)
+    untouched = [
+        k for k in base.index if k % 7 != 3 and k % 13 != 4
+    ]
+    for k in untouched[:20]:
+        assert merged.loc[k, "version"] == 0
+        assert merged.loc[k, "o_totalprice"] == base.loc[k, "o_totalprice"]
+
+
+def test_cdc_merge_one_row_per_key(spark, tables):
+    merged = cdc.changelog_merge_orders(tables["orders"])
+    assert merged.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+# -------------------------------------------------------------- sessionize
+
+
+def test_sessionize_matches_oracle(spark, tables, duck):
+    _match(
+        rex.sessionize_events(tables["events"]),
+        duck,
+        rex.sessionize_events_sql(),
+    )
+
+
+def test_sessionize_gap_semantics(spark, tables):
+    """Every session's internal gaps are <= gap_s and consecutive
+    sessions of a user are separated by > gap_s."""
+    gap_s = 600
+    sessions = (
+        rex.sessionize_events(tables["events"], gap_s=gap_s)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+    )
+    # event counts conserved
+    assert sessions["n_events"].sum() == tables["events"].count()
+    for _, grp in sessions.groupby("user_id"):
+        starts = grp["session_start"].tolist()
+        ends = grp["session_end"].tolist()
+        for i in range(1, len(starts)):
+            assert (starts[i] - ends[i - 1]).total_seconds() > gap_s
+
+
+def test_sessionize_single_shuffle(spark, tables):
+    """HashPartitioning(user_id) from the window must satisfy the
+    final per-(user, session) aggregation — exactly one exchange."""
+    plan = rex.sessionize_events(tables["events"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
