@@ -73,6 +73,10 @@ LLM_SECTION = [
     "sampling_corpus_mix",
     "text_quality_percentile_filter",
     "text_chunk_documents",
+    # round-9 additions: corpus retrieval, CDC compaction, sessionization
+    "search_bm25_topk",
+    "cdc_changelog_merge",
+    "sessionize_events",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

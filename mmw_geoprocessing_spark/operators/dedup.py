@@ -655,11 +655,15 @@ def neardup_components(
 
 
 def neardup_components_sql(threshold: float = 0.5) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs into
+    # the recursive term and re-evaluates them on EVERY closure
+    # iteration — the full MinHash pipeline per round (measured at the
+    # 10x replica: >30 min inlined vs ~10 s materialized, round 9).
     return f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
       SELECT d1, d2 FROM ({minhash_lsh_neardup_sql(threshold)})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT d1 AS a, d2 AS b FROM pairs
       UNION ALL
       SELECT d2, d1 FROM pairs

@@ -26,13 +26,16 @@ float-fold hazards (see ``text_analysis.unigram_surprisal_scores``):
   integer division for a DOUBLE one — same plan, same ranking to
   within the scale quantum.)
 
-100 TB shape: ONE scan of the corpus computes both per-doc length
-(``size(split(...))`` — a projection, no explode survives the filter)
-and the query-term postings (explode -> ``w IN (terms)`` filter pushed
-against the generator, so only query-term tokens reach the (doc, term)
-hash agg). df/N/T reduce to a handful of rows and broadcast back; the
-final top-k is a per-query window over only the matched docs. No
-all-pairs, no global sort, no Python.
+100 TB shape: the corpus is scanned for (a) the query-term postings —
+explode filtered by ``term IN (...)`` before any shuffle, with the
+per-doc length riding along as a carried constant so no corpus-sized
+doc-length join exists — and (b) a zero-shuffle 1-row totals aggregate
+(N, total tokens), the corpus statistic a deployment persists at
+ingest alongside the other PlanCache indexes. df reduces to one row
+per query term and broadcasts back; the final top-k is a per-query
+window over only the matched docs (WindowGroupLimit prunes to k per
+partition before the shuffle). No all-pairs, no global sort, no
+Python.
 """
 
 from __future__ import annotations
@@ -82,25 +85,28 @@ def bm25_topk(
         F.col("doc_id"),
         F.split(F.lower(F.col("text")), " ").alias("w"),
     )
-    # per-doc length: projection only; corpus totals: 1-row broadcast
-    dl = toks.select("doc_id", F.size("w").alias("dl"))
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    # corpus totals: zero-shuffle 1-row aggregate, broadcast back
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("t_tokens"),
     )
 
-    # postings restricted to query terms BEFORE any shuffle
+    # postings restricted to query terms BEFORE any shuffle; the doc
+    # length rides along through the explode (max() of a per-doc
+    # constant) so no corpus-sized doc-length join is ever needed
     tf = (
-        toks.select("doc_id", F.explode("w").alias("term"))
+        toks.select(
+            "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+        )
         .filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(totals))
     )
     idf_bits = F.length(

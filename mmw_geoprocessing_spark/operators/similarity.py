@@ -1189,12 +1189,17 @@ def semantic_dedup_components_sql(
     the pairs oracle produces, component id = minimum reachable vec_id.
     Two roads, one result — the iterative pointer-jumping plan is the
     engine shape (Spark's recursive CTE is UNION ALL-only and diverges
-    on cycles); the set-semantics closure is the oracle shape."""
+    on cycles); the set-semantics closure is the oracle shape.
+
+    ``AS MATERIALIZED`` is load-bearing: DuckDB inlines plain CTEs into
+    the recursive term and re-evaluates them per closure iteration —
+    the full pair pipeline per round (measured >30 min inlined vs ~10 s
+    materialized at the 10x replica, round 9)."""
     return f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
       SELECT v1, v2 FROM ({semantic_dedup_pairs_sql(threshold, n_cells=n_cells)})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT v1 AS a, v2 AS b FROM pairs
       UNION ALL
       SELECT v2, v1 FROM pairs
