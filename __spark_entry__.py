@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 73, f"driver gate sized for <=73 queries; got {len(out)}"
+    assert len(out) <= 74, f"driver gate sized for <=74 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -564,6 +564,11 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": lambda s, d: rex.sessionize_events(
             _t(s, d)["events"]
         ),
+        # hybrid retrieval: BM25 keyword leg fused with the
+        # embedding-cosine leg via reciprocal-rank fusion
+        "search_hybrid_rrf_topk": lambda s, d: se.hybrid_rrf_topk(
+            s, _t(s, d)["documents"], _t(s, d)["embeddings"]
+        ),
     }
 
 
@@ -592,4 +597,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "search_bm25_topk": se.bm25_topk_sql(),
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
+        "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),
     }

@@ -77,6 +77,7 @@ LLM_SECTION = [
     "search_bm25_topk",
     "cdc_changelog_merge",
     "sessionize_events",
+    "search_hybrid_rrf_topk",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

@@ -166,7 +166,15 @@ def curate_corpus_sql(
       WHERE ({ta.lang_guess_case_sql()}) = '{lang}'
         AND n_words >= {min_words}
         AND distinct_ratio >= {min_distinct_ratio}
-    ), survivors AS (
+    ), survivors AS MATERIALIZED (
+      -- MATERIALIZED: survivors is referenced twice (the dropped-set's
+      -- IN subquery and the final FROM). As a plain CTE DuckDB INLINES
+      -- it into both, re-evaluating the full text-carrying gate
+      -- pipeline (string_split + per-doc lists over every document) —
+      -- at the 100x replica that second evaluation pushed the oracle
+      -- past 64 GB RAM + 67 GB of spill disk. Materialized it is one
+      -- evaluation yielding a narrow (doc_id, n_words) table. Same
+      -- hazard class as the recursive-closure twins (SCALE.md).
       SELECT doc_id, n_words FROM (
         SELECT doc_id, n_words,
                MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon

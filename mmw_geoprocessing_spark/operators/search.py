@@ -141,6 +141,167 @@ def bm25_topk(
     )
 
 
+# Hybrid retrieval: each registered query carries BOTH its keyword
+# terms (the BM25 leg) and a dense-query anchor — the embedding of a
+# fixed corpus row (doc_id == vec_id by fixture construction), the
+# "more like this document, about these words" request shape. Anchors
+# are < 50 so the query set is valid from sf0.001 up.
+HYBRID_ANCHORS: list[tuple[str, int]] = [
+    ("q_hash_join", 3),
+    ("q_sort_merge", 7),
+    ("q_window_scan", 11),
+    ("q_vector_batch", 19),
+    ("q_dup_key", 23),
+]
+
+RRF_K = 60
+N_CAND = 50
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_cand: int = N_CAND,
+    k: int = TOP_K,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank-fusion top-``k``: BM25 keyword ranking fused with
+    embedding-cosine ranking per registered query (Cormack et al., the
+    standard hybrid-retrieval combiner).
+
+    ``rrf_score = 1/(rrf_k + bm25_rank) + 1/(rrf_k + cos_rank)`` over
+    each leg's top-``n_cand`` candidates; a doc absent from a leg
+    contributes 0 from that leg (its rank column reads 0 — ranks are
+    1-based, so 0 is unambiguous and keeps the column non-null BIGINT
+    on both engines). Cross-engine exactness: ranks on both legs are
+    already hash-exact (integer BM25 scores; order-deterministic fold
+    cosine), and the score is two correctly-rounded IEEE divisions of
+    exact small integers added in a fixed order — bit-identical in
+    Spark and DuckDB.
+
+    100 TB shape: both legs produce BOUNDED per-query candidate lists
+    (WindowGroupLimit before the per-query exchange); the fusion join
+    touches <= 2 * n_cand * |queries| rows — broadcast-trivial no
+    matter the corpus size. The corpus-scale work is entirely inside
+    the legs, which keep their own scale paths (BM25 postings prune at
+    the explode; the dense leg here is the exact brute-force baseline —
+    a deployment swaps in the IVF index (``similarity.ann_ivf_topk``)
+    for the same (query_id, doc_id, rank) contract).
+
+    Output: ``(query_id, doc_id, rrf_rank, rrf_score, bm25_rank,
+    cos_rank)``.
+    """
+    from pyspark.sql import Window
+
+    from mmw_geoprocessing_spark.operators.similarity import _as_double, _dot, _norm
+
+    sparse = (
+        bm25_topk(spark, documents, k=n_cand)
+        .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    )
+
+    anchors = spark.createDataFrame(
+        HYBRID_ANCHORS, "query_id string, anchor_id bigint"
+    )
+    q = (
+        F.broadcast(anchors)
+        .join(embeddings, F.col("anchor_id") == F.col("vec_id"))
+        .select("query_id", _as_double(F.col("embedding")).alias("qv"))
+        .withColumn("nq", _norm(F.col("qv")))
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
+    ).withColumn("nc", _norm(F.col("cv")))
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "doc_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("cos_rank", F.row_number().over(w_cos).cast("bigint"))
+        .filter(F.col("cos_rank") <= n_cand)
+        .select("query_id", "doc_id", "cos_rank")
+    )
+
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
+        )
+        .withColumn("bm25_rank", F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint"))
+        .withColumn("cos_rank", F.coalesce(F.col("cos_rank"), F.lit(0)).cast("bigint"))
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("bigint"))
+        .filter(F.col("rrf_rank") <= k)
+        .select("query_id", "doc_id", "rrf_rank", "rrf_score", "bm25_rank", "cos_rank")
+    )
+
+
+def hybrid_rrf_topk_sql(
+    n_cand: int = N_CAND, k: int = TOP_K, rrf_k: int = RRF_K
+) -> str:
+    """DuckDB twin: the BM25 leg is the verbatim ``bm25_topk_sql``
+    statement as a subquery, the dense leg the fold-exact cosine, fused
+    with the identical fixed-order double arithmetic."""
+    from mmw_geoprocessing_spark.operators.similarity import _cos_sql
+
+    avals = ", ".join(f"('{qid}', {aid})" for qid, aid in HYBRID_ANCHORS)
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH sparse AS (
+        SELECT query_id, doc_id, rank AS bm25_rank
+        FROM ({bm25_topk_sql(k=n_cand)})
+    ),
+    anchors(query_id, anchor_id) AS (VALUES {avals}),
+    q AS (
+        SELECT query_id, embedding::DOUBLE[] AS qv
+        FROM anchors JOIN embeddings ON vec_id = anchor_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id, cos_rank FROM (
+            SELECT q.query_id, c.doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id ORDER BY {cos} DESC, c.doc_id
+                   ) AS BIGINT) AS cos_rank
+            FROM q CROSS JOIN (
+                SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
+            ) c
+        ) WHERE cos_rank <= {n_cand}
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               COALESCE(1.0::DOUBLE / ({rrf_k} + bm25_rank), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / ({rrf_k} + cos_rank), 0.0::DOUBLE)
+               AS rrf_score,
+               CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+               CAST(COALESCE(cos_rank, 0) AS BIGINT) AS cos_rank
+        FROM sparse FULL JOIN dense USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_rank, rrf_score, bm25_rank, cos_rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS BIGINT) AS rrf_rank
+        FROM fused
+    )
+    WHERE rrf_rank <= {k}
+    """
+
+
 def bm25_topk_sql(k: int = TOP_K, table: str = "documents") -> str:
     """DuckDB twin: identical tokenization, integer-bits idf, scaled
     integer tf-part, per-query ROW_NUMBER top-k."""

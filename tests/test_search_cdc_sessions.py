@@ -52,6 +52,57 @@ def test_bm25_rare_term_outranks_common(spark, tables):
     assert "dup" in top_doc.lower().split()
 
 
+# ------------------------------------------------------------- hybrid RRF
+
+
+def test_hybrid_rrf_matches_oracle(spark, tables, duck):
+    _match(
+        se.hybrid_rrf_topk(spark, tables["documents"], tables["embeddings"]),
+        duck,
+        se.hybrid_rrf_topk_sql(),
+    )
+
+
+def test_hybrid_rrf_fusion_semantics(spark, tables):
+    """rrf_score must equal the fixed-order recomputation from the leg
+    ranks, every output doc must come from at least one leg, and ranks
+    are 1..n contiguous per query."""
+    out = (
+        se.hybrid_rrf_topk(spark, tables["documents"], tables["embeddings"])
+        .toPandas()
+    )
+    assert ((out["bm25_rank"] > 0) | (out["cos_rank"] > 0)).all()
+    for _, r in out.iterrows():
+        expect = (1.0 / (se.RRF_K + r.bm25_rank) if r.bm25_rank > 0 else 0.0) + (
+            1.0 / (se.RRF_K + r.cos_rank) if r.cos_rank > 0 else 0.0
+        )
+        assert r.rrf_score == expect
+    for _, grp in out.groupby("query_id"):
+        assert sorted(grp["rrf_rank"]) == list(range(1, len(grp) + 1))
+        by_rank = grp.sort_values("rrf_rank")
+        assert (by_rank["rrf_score"].diff().dropna() <= 0).all()
+        assert len(grp) <= se.TOP_K
+
+
+def test_hybrid_rrf_both_legs_beat_single_leg(spark, tables):
+    """A doc present in BOTH candidate lists at equal ranks must score
+    strictly above a doc holding the same rank in only one leg — the
+    defining property of rank fusion."""
+    out = (
+        se.hybrid_rrf_topk(spark, tables["documents"], tables["embeddings"])
+        .toPandas()
+    )
+    both = out[(out.bm25_rank > 0) & (out.cos_rank > 0)]
+    solo = out[(out.bm25_rank == 0) | (out.cos_rank == 0)]
+    for _, b in both.iterrows():
+        worst_leg = max(b.bm25_rank, b.cos_rank)
+        dominated = solo[
+            (solo.bm25_rank.clip(lower=1) >= worst_leg)
+            & (solo.cos_rank.clip(lower=1) >= worst_leg)
+        ]
+        assert (b.rrf_score > dominated.rrf_score).all()
+
+
 # ---------------------------------------------------------------------- CDC
 
 

@@ -71,7 +71,16 @@ def _compare_big_inner(spark, df, oracle_sql: str, con, out: str) -> dict:
         f"CREATE OR REPLACE TEMP VIEW big_spark AS "
         f"SELECT * FROM read_parquet('{out}/*.parquet')"
     )
-    con.execute(f"CREATE OR REPLACE TEMP VIEW big_oracle AS {oracle_sql}")
+    # Materialize the oracle ONCE. As a view it is re-evaluated by the
+    # count AND by each EXCEPT ALL direction — 3 full evaluations of the
+    # oracle pipeline. For pipeline_curate_corpus at sf10 each
+    # evaluation spills ~25 GB (the MinHash shingle expansion), and the
+    # 3x re-evaluation is what filled the disk and killed the first r9
+    # gate attempt. The RESULT is small-to-moderate (0.4-35 M rows,
+    # compact columnar temp storage); the INTERMEDIATE state is what's
+    # huge — evaluate it exactly once.
+    con.execute("DROP TABLE IF EXISTS big_oracle")
+    con.execute(f"CREATE TEMP TABLE big_oracle AS {oracle_sql}")
     s_types = {r[0]: r[1] for r in con.execute("DESCRIBE big_spark").fetchall()}
     o_types = {r[0]: r[1] for r in con.execute("DESCRIBE big_oracle").fetchall()}
     cols_match = sorted(s_types) == sorted(o_types)
