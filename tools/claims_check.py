@@ -152,6 +152,26 @@ def check_claims() -> list[str]:
                 f"{art['n_failures']} — SURVEY row-count claims imply 0"
             )
 
+    # --- shape 0 (round 9): registry-wide at-scale coverage ----------
+    # Not a parsed claim but a standing invariant: every queries()
+    # entry must carry a row (pass, or an honest recorded skip) in BOTH
+    # at-scale artifacts. This is the invariant the r7/r8 claim drifts
+    # kept violating piecemeal; checking it wholesale means a newly
+    # promoted entry without an at-scale verdict fails pytest until the
+    # shard is run (or a skip is recorded), instead of surfacing as a
+    # judge finding a round later.
+    for art_name in _ARTIFACTS:
+        art = arts[art_name]
+        if art is None:
+            problems.append(f"{art_name}.json missing entirely")
+            continue
+        rows = art.get("queries", {})
+        for op in sorted(registry - set(rows)):
+            problems.append(
+                f"registry entry `{op}` has no {art_name} row (pass or "
+                f"recorded skip required)"
+            )
+
     # --- shape 3: SF10 skip reasons citing SF1 rows ------------------
     sf10, sf1 = arts["SELFCHECK_SF10"], arts["SELFCHECK_SF1"]
     if sf10 is not None:
