@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 74, f"driver gate sized for <=74 queries; got {len(out)}"
+    assert len(out) <= 75, f"driver gate sized for <=75 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -569,6 +569,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf_topk": lambda s, d: se.hybrid_rrf_topk(
             s, _t(s, d)["documents"], _t(s, d)["embeddings"]
         ),
+        # incremental crawl dedup: probe the incoming batch against the
+        # reference corpus's persisted LSH index — never batch x batch
+        # or ref x ref
+        "dedup_incremental_batch": lambda s, d: dd.incremental_batch_dedup(
+            _t(s, d)["documents"]
+        ),
     }
 
 
@@ -598,4 +604,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),
+        "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
     }

@@ -78,6 +78,7 @@ LLM_SECTION = [
     "cdc_changelog_merge",
     "sessionize_events",
     "search_hybrid_rrf_topk",
+    "dedup_incremental_batch",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

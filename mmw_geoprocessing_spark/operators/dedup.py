@@ -307,8 +307,13 @@ def _minhash_sql_cte() -> str:
         f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in ((i, minhash_params(i)) for i in range(MINHASH_N))
     )
+    # sh AS MATERIALIZED: every LSH oracle references sh 2-3 times
+    # (hashed + both sides of the exact-Jaccard inter join); as a plain
+    # CTE DuckDB re-runs the corpus-wide shingle UNNEST per reference —
+    # the dominant term in the 100x-replica oracle's memory/spill
+    # (SCALE.md "Oracle-side evaluation discipline").
     return (
-        f"sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})), "
+        f"sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})), "
         f"hashed AS (SELECT doc_id, {h} AS h FROM sh), "
         f"mh AS (SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id)"
     )
@@ -446,6 +451,125 @@ def minhash_lsh_neardup_sql(threshold: float = 0.5) -> str:
       WHERE inter / (n1.n + n2.n - inter) >= {threshold}
     )
     SELECT d1, d2, jaccard FROM cand JOIN verified USING (d1, d2)
+    """
+
+
+# Deterministic incoming-batch membership for the incremental dedup
+# operator: ~10% of the corpus plays the "today's crawl" batch, the
+# rest the already-ingested reference corpus.
+INCREMENTAL_BATCH_MOD = 10
+INCREMENTAL_BATCH_REM = 7
+
+
+def incremental_batch_dedup(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Dedup an INCOMING batch against a persisted REFERENCE corpus —
+    the shape a daily-crawl pipeline actually runs at 100 TB: never
+    re-dedup the corpus, LSH-probe the new documents against the
+    ingest-time band index and admit only the novel ones.
+
+    Batch membership is the deterministic id split above (both sides
+    come from the one fixture table). Plan: the incoming side's band
+    rows equi-join the reference side's on ``(band, bkey)`` — NO
+    incoming×incoming or reference×reference pairs are ever formed —
+    then exact-Jaccard verification over the persisted doc-array index
+    confirms candidates. Both band index and doc arrays are served
+    from the session-persisted ingest-time indexes (``PlanCache``), so
+    the warm cost is proportional to the BATCH, not the corpus; at
+    deployment scale the reference index is the bucketed table the
+    corpus build already wrote, making the probe join one-sided.
+
+    Output: ``(doc_id, n_ref_matches)`` for every incoming doc —
+    admitted iff ``n_ref_matches = 0``. The count (distinct reference
+    docs with verified Jaccard >= threshold) is exact-integer, so the
+    row set hashes cross-engine.
+    """
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
+    sh = _shingles_persisted(documents)
+    bands = _minhash_bands(sh)
+    cand = (
+        bands.filter(is_batch)
+        .select(F.col("doc_id").alias("inc_id"), "band", "bkey")
+        .join(
+            bands.filter(~is_batch).select(
+                F.col("doc_id").alias("ref_id"), "band", "bkey"
+            ),
+            ["band", "bkey"],
+        )
+        .select("inc_id", "ref_id")
+        .dropDuplicates(["inc_id", "ref_id"])
+    )
+    docs_arr = _shingle_arrays(sh)
+    a = docs_arr.select(
+        F.col("doc_id").alias("inc_id"), F.col("ss").alias("ss1"), F.col("n").alias("n1")
+    )
+    b = docs_arr.select(
+        F.col("doc_id").alias("ref_id"), F.col("ss").alias("ss2"), F.col("n").alias("n2")
+    )
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
+    matches = (
+        cand.join(a, "inc_id")
+        .join(b, "ref_id")
+        .filter(
+            (inter / (F.col("n1") + F.col("n2") - inter)) >= threshold
+        )
+        .groupBy("inc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
+    )
+    incoming = documents.filter(is_batch).select("doc_id")
+    return incoming.join(
+        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
+            "n_ref_matches"
+        ),
+    )
+
+
+def incremental_batch_dedup_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin: identical signature pipeline, batch-vs-reference
+    band join, exact-Jaccard verification, left-join count."""
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS bkey FROM mh".format(
+            i=i,
+            key=" || '_' || ".join(
+                f"CAST(mh{j} AS VARCHAR)"
+                for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for i in range(N_BANDS)
+    )
+    m, r = INCREMENTAL_BATCH_MOD, INCREMENTAL_BATCH_REM
+    return f"""
+    WITH {_minhash_sql_cte()},
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS inc_id, y.doc_id AS ref_id
+      FROM (SELECT * FROM bands WHERE doc_id % {m} = {r}) x
+      JOIN (SELECT * FROM bands WHERE doc_id % {m} <> {r}) y
+      USING (band, bkey)
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, COUNT(*) AS inter
+      FROM (SELECT * FROM sh WHERE doc_id % {m} = {r}) a
+      JOIN (SELECT * FROM sh WHERE doc_id % {m} <> {r}) b USING (s)
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS n_ref_matches
+      FROM cand
+      JOIN inter USING (inc_id, ref_id)
+      JOIN sizes n1 ON inc_id = n1.doc_id
+      JOIN sizes n2 ON ref_id = n2.doc_id
+      WHERE inter / (n1.n + n2.n - inter) >= {threshold}
+      GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(m2.n_ref_matches, 0) AS n_ref_matches
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {m} = {r}) d
+    LEFT JOIN matches m2 ON d.doc_id = m2.inc_id
     """
 
 

@@ -29,6 +29,39 @@ def test_minhash_lsh_recall_on_exact_dups(spark, tables):
         assert (r["doc_id"], r["doc_id"] + 1_000_000) in found
 
 
+def test_incremental_batch_dedup_planted_and_sided(spark, tables):
+    """An incoming doc that exactly duplicates a reference doc must be
+    flagged; a batch-only duplicate pair (both ids in the batch) must
+    NOT be — the probe is strictly batch-vs-reference."""
+    docs = tables["documents"].limit(40).toPandas()
+    m, r = dd.INCREMENTAL_BATCH_MOD, dd.INCREMENTAL_BATCH_REM
+    ref_src = docs[docs.doc_id % m != r].iloc[0]
+    rows = list(docs.itertuples(index=False))
+    # plant: batch id 1_000_007 (% 10 == 7) duplicating a REFERENCE doc,
+    # and two batch ids (2_000_007, 3_000_007) duplicating EACH OTHER
+    # with text that exists nowhere in the reference side
+    batch_only = "zq xv qj vk wz jx qx zk vq xj kz jv"  # 10 distinct 3-shingles
+    planted = [
+        (1_000_007, ref_src.text, "en", "web", len(ref_src.text)),
+        (2_000_007, batch_only, "en", "web", len(batch_only)),
+        (3_000_007, batch_only, "en", "web", len(batch_only)),
+    ]
+    df = spark.createDataFrame(
+        [tuple(t) for t in rows] + planted,
+        tables["documents"].schema,
+    )
+    out = {
+        r["doc_id"]: r["n_ref_matches"]
+        for r in dd.incremental_batch_dedup(df).collect()
+    }
+    assert out[1_000_007] >= 1  # exact dup of a reference doc -> flagged
+    assert out[2_000_007] == 0  # batch x batch dup -> NOT flagged
+    assert out[3_000_007] == 0
+    # every incoming doc gets a row, flagged or not
+    incoming = {int(i) for i in df.toPandas().doc_id if i % m == r}
+    assert set(out) == incoming
+
+
 def test_shingle_ops_survive_short_documents(spark, tables):
     """Documents with fewer than k words must yield empty shingle sets,
     not crash (sequence(1,0) in Spark is [1,0], not empty)."""
