@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 75, f"driver gate sized for <=75 queries; got {len(out)}"
+    assert len(out) <= 76, f"driver gate sized for <=76 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -575,6 +575,11 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_batch": lambda s, d: dd.incremental_batch_dedup(
             _t(s, d)["documents"]
         ),
+        # cross-document duplicated-span detection (ExactSubstr at word-
+        # window granularity, Lee et al.)
+        "text_duplicate_spans": lambda s, d: ta.duplicate_spans(
+            _t(s, d)["documents"]
+        ),
     }
 
 
@@ -605,4 +610,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),
         "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
+        "text_duplicate_spans": ta.duplicate_spans_sql(),
     }

@@ -79,6 +79,7 @@ LLM_SECTION = [
     "sessionize_events",
     "search_hybrid_rrf_topk",
     "dedup_incremental_batch",
+    "text_duplicate_spans",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

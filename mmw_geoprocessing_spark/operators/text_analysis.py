@@ -394,6 +394,100 @@ def contamination_check(
     )
 
 
+def duplicate_spans(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-document duplicated-span detection — the word-window
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": ExactSubstr): for each
+    document, how many of its DISTINCT ``n``-word spans appear verbatim
+    in at least one OTHER document.
+
+    Output: ``(doc_id, doc_spans, dup_spans, dup_ratio)`` — exact ints
+    plus one division (0 for docs shorter than ``n`` words). Downstream
+    use: cut documents above a dup_ratio threshold, or feed the span
+    table to a segment-removal pass.
+
+    100 TB shape: ONE corpus scan, per-row span expansion via JVM
+    higher-order functions (no Python); the span-frequency aggregate is
+    a partial+final hash agg on the span string (map-side combine
+    collapses within-partition repeats); the shared-span set — spans
+    seen in >=2 distinct docs — is the SMALL side in a real corpus
+    (dup spans are the tail), so the tag-back join broadcasts under AQE;
+    final partial+final agg on doc_id. Unlike suffix-array ExactSubstr
+    this needs no global sort — the price is window granularity (a
+    duplicated run shorter than ``n`` words is invisible), the standard
+    trade recorded in the paper's n=50-token operating point.
+    """
+    exploded = documents.select(
+        "doc_id",
+        F.array_distinct(_ngram_strings(_wordlist(F.col("text")), n)).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").alias("doc_spans"),
+        F.explode_outer("grams").alias("ng"),
+    )
+    # a span is shared iff >=2 distinct docs contain it; exploded rows
+    # are per-doc DISTINCT already, so count(*) == count(distinct doc)
+    shared = (
+        exploded.filter(F.col("ng").isNotNull())
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("ng", F.lit(1).alias("is_shared"))
+    )
+    return (
+        exploded.join(shared, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("doc_spans").alias("doc_spans"),
+            F.coalesce(F.sum("is_shared"), F.lit(0)).cast("long").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "doc_spans",
+            "dup_spans",
+            (
+                F.col("dup_spans")
+                / F.greatest(F.col("doc_spans"), F.lit(1)).cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def duplicate_spans_sql(n: int = 8, table: str = "documents") -> str:
+    """DuckDB twin: identical span expansion, >=2-distinct-doc shared
+    set, left-join tag-back. ``ex`` is MATERIALIZED — it feeds both the
+    shared-set aggregate and the tag-back join (the multiple-evaluation
+    hazard, SCALE.md 'Oracle-side evaluation discipline')."""
+    span = n - 1
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {span}, 0) + 1), "
+        f"i -> array_to_string(w[i:i+{span}], ' '))"
+    )
+    return f"""
+    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    ex AS MATERIALIZED (
+        SELECT doc_id, len(list_distinct({grams})) AS doc_spans,
+               unnest(list_concat(list_distinct({grams}), [NULL])) AS ng
+        FROM dw
+    ),
+    shared AS (
+        SELECT ng FROM ex WHERE ng IS NOT NULL
+        GROUP BY ng HAVING COUNT(*) >= 2
+    ),
+    agg AS (
+        SELECT ex.doc_id,
+               CAST(max(ex.doc_spans) AS INT) AS doc_spans,
+               CAST(count(shared.ng) AS BIGINT) AS dup_spans
+        FROM ex LEFT JOIN shared ON ex.ng = shared.ng
+        WHERE ex.ng IS NOT NULL OR ex.doc_spans = 0
+        GROUP BY ex.doc_id
+    )
+    SELECT doc_id, doc_spans, dup_spans,
+           dup_spans / CAST(greatest(doc_spans, 1) AS DOUBLE) AS dup_ratio
+    FROM agg
+    """
+
+
 def repetition_scores(documents: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
     """Repeated-n-gram quality signals (the Gopher/MassiveText repetition
     filters, adapted to word streams): for each ``n`` in ``ns``, the

@@ -341,6 +341,55 @@ def test_contamination_check_short_docs_and_clean_benchmark(spark):
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicated spans (text_analysis.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_matches_oracle(spark, tables, duck):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = tables["documents"]
+    out = (
+        ta.duplicate_spans(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(ta.duplicate_spans_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert len(out) == docs.count()
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    """A span shared across two docs is flagged in BOTH; a span repeated
+    only WITHIN one doc is not (cross-document semantics, unlike the
+    Gopher repetition signals); short docs report (0, 0, 0.0)."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-word span
+    within = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(8))),
+            (3, within + " x " + within),  # repeats only inside doc 3
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ta.duplicate_spans(docs, n=8).collect()}
+    assert out[1]["dup_spans"] == 1 and out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0  # within-doc repeat is not cross-doc
+    assert (out[4]["doc_spans"], out[4]["dup_spans"], out[4]["dup_ratio"]) == (0, 0, 0.0)
+    assert out[1]["dup_ratio"] == 1.0 / out[1]["doc_spans"]
+
+
+# ---------------------------------------------------------------------------
 # repeated-n-gram quality signals (text_analysis.repetition_scores)
 # ---------------------------------------------------------------------------
 
