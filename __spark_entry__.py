@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 76, f"driver gate sized for <=76 queries; got {len(out)}"
+    assert len(out) <= 77, f"driver gate sized for <=77 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -580,6 +580,11 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_duplicate_spans": lambda s, d: ta.duplicate_spans(
             _t(s, d)["documents"]
         ),
+        # hashed-feature linear classifier scoring (fastText/DCLM-style
+        # model-based quality filter; stub weights, real plumbing)
+        "text_classifier_score": lambda s, d: ta.classifier_score(
+            _t(s, d)["documents"]
+        ),
     }
 
 
@@ -611,4 +616,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),
         "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
         "text_duplicate_spans": ta.duplicate_spans_sql(),
+        "text_classifier_score": ta.classifier_score_sql(),
     }

@@ -80,6 +80,7 @@ LLM_SECTION = [
     "search_hybrid_rrf_topk",
     "dedup_incremental_batch",
     "text_duplicate_spans",
+    "text_classifier_score",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

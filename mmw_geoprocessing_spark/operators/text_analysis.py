@@ -394,6 +394,77 @@ def contamination_check(
     )
 
 
+CLF_BUCKETS = 1024
+CLF_WEIGHT_MULT = 2654435761  # Knuth multiplicative constant
+CLF_WEIGHT_MOD = 2001  # weights span [-1000, 1000]
+
+
+def classifier_score(documents: DataFrame) -> DataFrame:
+    """Model-based quality scoring via the hashing trick — the
+    linear-classifier filter stage every modern curation pipeline runs
+    (fastText-style quality classifiers in DCLM / FineWeb-Edu): each
+    token hashes to one of ``CLF_BUCKETS`` feature buckets, the doc
+    score is the sum of the buckets' weights, filter on the sign/value
+    downstream.
+
+    The WEIGHTS here are a deterministic stub (a fixed multiplicative
+    hash of the bucket id) standing in for trained coefficients — the
+    same stub policy as the multimodal decode family: the Spark-side
+    plumbing is the deliverable. That plumbing is the point at 100 TB:
+    inference is a PURE PROJECTION — ``aggregate(transform(tokens, w ->
+    weight(h(w))), 0, +)`` evaluated per row inside whole-stage codegen,
+    ZERO shuffles, no Python, no model server; swapping real fastText
+    coefficients in means broadcasting a 2 M-entry int map into the same
+    expression (or a generated CASE), not changing the plan. Integer
+    weights make the sum order-free and the row hash-exact cross-engine.
+
+    Output: ``(doc_id, n_tokens, clf_score_scaled, clf_score)`` —
+    exact-int token count and scaled score, plus the one division.
+    """
+    words = F.split(F.col("text"), " ")
+    # weight(w) = ((h28(w) % B) * MULT) % MOD - (MOD-1)/2  — all BIGINT
+    weight = lambda w: (  # noqa: E731
+        (F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("bigint") % CLF_BUCKETS)
+        * CLF_WEIGHT_MULT
+    ) % CLF_WEIGHT_MOD - (CLF_WEIGHT_MOD - 1) // 2
+    score = F.aggregate(
+        F.transform(words, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        score.alias("clf_score_scaled"),
+        (
+            score / F.greatest(F.size(words), F.lit(1)).cast("double")
+        ).alias("clf_score"),
+    )
+
+
+def classifier_score_sql(table: str = "documents") -> str:
+    """DuckDB twin: identical per-token weight expression folded with
+    an integer list_reduce (order-free sum)."""
+    from mmw_geoprocessing_spark.functions.text import H28_SQL
+
+    h = H28_SQL.format(x="w")
+    half = (CLF_WEIGHT_MOD - 1) // 2
+    wexpr = f"(({h} % {CLF_BUCKETS}) * {CLF_WEIGHT_MULT}) % {CLF_WEIGHT_MOD} - {half}"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(list_reduce(
+                   list_concat([CAST(0 AS BIGINT)],
+                               list_transform(l, w -> CAST({wexpr} AS BIGINT))),
+                   (a, b) -> a + b) AS BIGINT) AS clf_score_scaled
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, clf_score_scaled,
+           clf_score_scaled / CAST(greatest(n_tokens, 1) AS DOUBLE) AS clf_score
+    FROM scored
+    """
+
+
 def duplicate_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     """Cross-document duplicated-span detection — the word-window
     approximation of exact-substring dedup (Lee et al., "Deduplicating

@@ -390,6 +390,50 @@ def test_duplicate_spans_cross_doc_only(spark):
 
 
 # ---------------------------------------------------------------------------
+# hashed-feature classifier scoring (text_analysis.classifier_score)
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_matches_oracle(spark, tables, duck):
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = tables["documents"]
+    out = (
+        ta.classifier_score(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        duck.execute(ta.classifier_score_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert len(out) == docs.count()
+
+
+def test_classifier_score_is_linear_and_zero_shuffle(spark):
+    """The score must be the sum of per-token bucket weights (linearity:
+    score(a+b) = score(a) + score(b) over concatenation), and the plan a
+    pure projection — zero shuffle exchanges."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ta.classifier_score(docs).collect()}
+    assert (
+        out[3]["clf_score_scaled"]
+        == out[1]["clf_score_scaled"] + out[2]["clf_score_scaled"]
+    )
+    assert out[3]["n_tokens"] == 4
+    plan = (
+        ta.classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
 # repeated-n-gram quality signals (text_analysis.repetition_scores)
 # ---------------------------------------------------------------------------
 
