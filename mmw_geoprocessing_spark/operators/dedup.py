@@ -245,16 +245,23 @@ def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
     from mmw_geoprocessing_spark.functions.text import SHINGLES_CTE_SQL
 
     return f"""
-    WITH sh AS (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
+    WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM ({SHINGLES_CTE_SQL})),
     dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-    arr AS (
+    arr AS MATERIALIZED (
+      -- MATERIALIZED (and sh/pref above/below): arr is referenced 3x
+      -- (pref + both sides of the verify join), sh 2x, pref 2x — as
+      -- plain CTEs DuckDB re-ran the non-spillable list build per
+      -- reference, which is what OOM-killed the sf10 oracle in r8
+      -- even at a 90 GB cap (SCALE.md "Oracle-side evaluation
+      -- discipline"). Materialized, the ~1 GB doc-array table builds
+      -- once.
       SELECT sh.doc_id,
              list(sh.s ORDER BY dfreq.df, sh.s) AS ss,
              COUNT(*) AS n
       FROM sh JOIN dfreq USING (s)
       GROUP BY sh.doc_id
     ),
-    pref AS (
+    pref AS MATERIALIZED (
       SELECT doc_id,
              UNNEST(list_slice(ss, 1, CAST(n - CEIL({threshold} * n) + 1 AS BIGINT))) AS s
       FROM arr
