@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 77, f"driver gate sized for <=77 queries; got {len(out)}"
+    assert len(out) <= 78, f"driver gate sized for <=78 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -585,6 +585,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": lambda s, d: ta.classifier_score(
             _t(s, d)["documents"]
         ),
+        # cohort retention rollup (product-analytics shape) over orders
+        "retention_cohorts": lambda s, d: rex.retention_cohorts(
+            _t(s, d)["orders"]
+        ),
     }
 
 
@@ -617,4 +621,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
         "text_duplicate_spans": ta.duplicate_spans_sql(),
         "text_classifier_score": ta.classifier_score_sql(),
+        "retention_cohorts": rex.retention_cohorts_sql(),
     }

@@ -533,3 +533,79 @@ def sessionize_events_sql(gap_s: int = 1800) -> str:
            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
     FROM tagged GROUP BY user_id, session_id
     """
+
+
+def retention_cohorts(orders: DataFrame) -> DataFrame:
+    """Cohort retention analysis — the standard product-analytics
+    rollup: customers grouped by FIRST-order month (their cohort), and
+    for each (cohort, months-since-cohort) offset the count of distinct
+    cohort customers still active, plus the retention fraction.
+
+    Output: ``(cohort_month, month_offset, n_cohort, n_active,
+    retention)`` — exact integers plus one division (offset 0 rows
+    read retention 1.0 by construction).
+
+    100 TB shape: one scan reduced immediately to DISTINCT (customer,
+    month) — the only corpus-sized shuffle; the first-order month is a
+    min-aggregate reusing the customer key; cohort sizes are
+    |cohorts| ≈ dozens of rows, broadcast back under AQE. Month
+    arithmetic is integer (y*12+m), immune to calendar/timezone float
+    traps on both engines.
+    """
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint")
+    per = orders.select(
+        "o_custkey", midx.alias("midx")
+    ).distinct()
+    first = per.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    sizes = first.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    active = (
+        per.join(first, "o_custkey")
+        .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("month_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))  # (cust, midx) distinct already
+    )
+    return (
+        active.join(sizes, "cohort_idx")
+        .select(
+            F.concat_ws(
+                "-",
+                (F.col("cohort_idx") / 12).cast("bigint").cast("string"),
+                F.lpad((F.col("cohort_idx") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            "month_offset",
+            "n_cohort",
+            "n_active",
+            (F.col("n_active") / F.col("n_cohort").cast("double")).alias("retention"),
+        )
+    )
+
+
+def retention_cohorts_sql(table: str = "orders") -> str:
+    """DuckDB twin: identical integer month index, min-cohort,
+    offset aggregation, one division."""
+    return f"""
+    WITH per AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx
+        FROM {table}
+    ),
+    first_m AS (
+        SELECT o_custkey, MIN(midx) AS cohort_idx FROM per GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_idx, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM first_m GROUP BY 1
+    ),
+    active AS (
+        SELECT cohort_idx, midx - cohort_idx AS month_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM per JOIN first_m USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_idx // 12 AS VARCHAR) || '-' ||
+               lpad(CAST(cohort_idx % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+           month_offset, n_cohort, n_active,
+           n_active / CAST(n_cohort AS DOUBLE) AS retention
+    FROM active JOIN sizes USING (cohort_idx)
+    """

@@ -92,3 +92,37 @@ def test_grouped_zscore_applyinpandas(spark, tables):
     joined = out.join(ref, "o_orderkey")
     max_diff = joined.agg(F.max(F.abs(F.col("zscore") - F.col("ref_z")))).collect()[0][0]
     assert max_diff < 1e-6
+
+
+def test_retention_cohorts_matches_oracle(spark, tables, duck):
+    import pandas as pd
+
+    out = (
+        rex.retention_cohorts(tables["orders"])
+        .toPandas()
+        .sort_values(["cohort_month", "month_offset"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(rex.retention_cohorts_sql())
+        .df()
+        .sort_values(["cohort_month", "month_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_retention_cohorts_semantics(spark, tables):
+    """Offset-0 retention is exactly 1.0 (every cohort member is active
+    in their first month by definition), n_active never exceeds
+    n_cohort, offsets are non-negative, and cohort sizes sum to the
+    number of distinct customers."""
+    out = rex.retention_cohorts(tables["orders"]).toPandas()
+    zero = out[out.month_offset == 0]
+    assert set(zero.cohort_month) == set(out.cohort_month)
+    assert (zero.n_active == zero.n_cohort).all()
+    assert (zero.retention == 1.0).all()
+    assert (out.n_active <= out.n_cohort).all()
+    assert (out.month_offset >= 0).all()
+    n_cust = tables["orders"].select("o_custkey").distinct().count()
+    assert zero.n_cohort.sum() == n_cust
