@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 78, f"driver gate sized for <=78 queries; got {len(out)}"
+    assert len(out) <= 79, f"driver gate sized for <=79 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -589,6 +589,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": lambda s, d: rex.retention_cohorts(
             _t(s, d)["orders"]
         ),
+        # first-touch ordered funnel over events
+        "funnel_conversion": lambda s, d: rex.funnel_conversion(
+            _t(s, d)["events"]
+        ),
     }
 
 
@@ -622,4 +626,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "text_duplicate_spans": ta.duplicate_spans_sql(),
         "text_classifier_score": ta.classifier_score_sql(),
         "retention_cohorts": rex.retention_cohorts_sql(),
+        "funnel_conversion": rex.funnel_conversion_sql(),
     }

@@ -609,3 +609,92 @@ def retention_cohorts_sql(table: str = "orders") -> str:
            n_active / CAST(n_cohort AS DOUBLE) AS retention
     FROM active JOIN sizes USING (cohort_idx)
     """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 STRICTLY AFTER their first step-1 event, then step 3 after
+    that, ... (the other canonical event-analytics rollup next to
+    sessionization).
+
+    Semantics: a user advances to step i+1 iff they have a step-(i+1)
+    event with ``ts > `` their EARLIEST qualifying step-i time (the
+    standard first-touch funnel; ties at identical timestamps do not
+    advance). Output: ``(step, step_name, n_users, conversion)`` — one
+    row per step, conversion relative to step 1, exact counts + one
+    division.
+
+    100 TB shape: each step is one pushed-down ``event_type`` filter
+    over the events scan (never the full table in memory), a per-user
+    min-aggregate, and a user-keyed join against the previous step's
+    (user, t) frame — which only SHRINKS down the funnel, so every join
+    after step 1 has a small build side (AQE broadcasts it). The chain
+    reuses HashPartitioning(user_id) across steps; final counts are
+    1-row aggregates unioned driver-free.
+    """
+    prev: DataFrame | None = None
+    rows = []
+    for i, st in enumerate(steps):
+        f = events.filter(F.col("event_type") == st)
+        if prev is not None:
+            f = f.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        cur = f.groupBy("user_id").agg(F.min("ts").alias("t"))
+        rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(st).alias("step_name"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    first = rows[0].select(F.col("n_users").alias("n_first"))
+    return out.crossJoin(F.broadcast(first)).select(
+        "step",
+        "step_name",
+        "n_users",
+        (
+            F.col("n_users") / F.greatest(F.col("n_first"), F.lit(1)).cast("double")
+        ).alias("conversion"),
+    )
+
+
+def funnel_conversion_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS, table: str = "events"
+) -> str:
+    """DuckDB twin: chained first-touch CTEs with the identical strict
+    inequality and one division."""
+    ctes = []
+    for i, st in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT user_id, MIN(ts) AS t FROM {table} "
+                f"WHERE event_type = '{st}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT e.user_id, MIN(e.ts) AS t FROM {table} e "
+                f"JOIN s{i} USING (user_id) "
+                f"WHERE e.event_type = '{st}' AND e.ts > s{i}.t GROUP BY 1)"
+            )
+    counts = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, '{st}' AS step_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, st in enumerate(steps)
+    )
+    return f"""
+    WITH {', '.join(ctes)},
+    counts AS ({counts})
+    SELECT step, step_name, n_users,
+           n_users / CAST(greatest(
+               (SELECT n_users FROM counts WHERE step = 1), 1) AS DOUBLE)
+               AS conversion
+    FROM counts
+    """

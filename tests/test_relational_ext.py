@@ -126,3 +126,41 @@ def test_retention_cohorts_semantics(spark, tables):
     assert (out.month_offset >= 0).all()
     n_cust = tables["orders"].select("o_custkey").distinct().count()
     assert zero.n_cohort.sum() == n_cust
+
+
+def test_funnel_conversion_matches_oracle(spark, tables, duck):
+    import pandas as pd
+
+    out = rex.funnel_conversion(tables["events"]).toPandas().sort_values("step").reset_index(drop=True)
+    want = duck.execute(rex.funnel_conversion_sql()).df().sort_values("step").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # monotone shrinkage and step-1 conversion exactly 1.0
+    assert (out.n_users.diff().dropna() <= 0).all()
+    assert out.iloc[0].conversion == 1.0
+
+
+def test_funnel_strict_after_semantics(spark):
+    """A user whose step-2 event precedes (or ties) their first step-1
+    event must NOT advance; a properly ordered user advances through
+    all steps."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> purchase, strictly increasing
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + s, 1, "click", 0.0, ""),
+        (3, t0 + 2 * s, 1, "purchase", 0.0, ""),
+        # user 2: click BEFORE view -> stalls at step 1
+        (4, t0, 2, "click", 0.0, ""),
+        (5, t0 + s, 2, "view", 0.0, ""),
+        # user 3: click ties the first view timestamp -> stalls (strict >)
+        (6, t0, 3, "view", 0.0, ""),
+        (7, t0, 3, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["step"]: r["n_users"] for r in rex.funnel_conversion(ev).collect()}
+    assert out[1] == 3 and out[2] == 1 and out[3] == 1
