@@ -546,27 +546,34 @@ def retention_cohorts(orders: DataFrame) -> DataFrame:
     read retention 1.0 by construction).
 
     100 TB shape: one scan reduced immediately to DISTINCT (customer,
-    month) — the only corpus-sized shuffle; the first-order month is a
-    min-aggregate reusing the customer key; cohort sizes are
-    |cohorts| ≈ dozens of rows, broadcast back under AQE. Month
-    arithmetic is integer (y*12+m), immune to calendar/timezone float
-    traps on both engines.
+    month); the cohort month rides a ``min() over (partition by
+    customer)`` window on that reduced table — NO corpus-sized
+    first-order join exists — and the per-(cohort, offset) aggregate is
+    |cohorts·offsets| ≈ thousands of rows. Cohort sizes need no
+    separate aggregation either: they ARE the offset-0 counts (every
+    cohort member is active in their first month by definition), so the
+    denominator comes from a broadcast self-join of the tiny rollup
+    with its own offset-0 slice. 3 exchanges total, all on shrinking
+    data. Month arithmetic is integer (y*12+m), immune to
+    calendar/timezone float traps on both engines.
     """
+    from pyspark.sql import Window
+
     midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint")
     per = orders.select(
         "o_custkey", midx.alias("midx")
     ).distinct()
-    first = per.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
-    sizes = first.groupBy("cohort_idx").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
+    cohort = F.min("midx").over(Window.partitionBy("o_custkey"))
     active = (
-        per.join(first, "o_custkey")
+        per.withColumn("cohort_idx", cohort)
         .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("month_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))  # (cust, midx) distinct already
     )
+    sizes = active.filter(F.col("month_offset") == 0).select(
+        "cohort_idx", F.col("n_active").alias("n_cohort")
+    )
     return (
-        active.join(sizes, "cohort_idx")
+        active.join(F.broadcast(sizes), "cohort_idx")
         .select(
             F.concat_ws(
                 "-",
