@@ -397,7 +397,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 79, f"driver gate sized for <=79 queries; got {len(out)}"
+    assert len(out) <= 80, f"driver gate sized for <=80 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -593,6 +593,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": lambda s, d: rex.funnel_conversion(
             _t(s, d)["events"]
         ),
+        # market-basket pair affinity mining over lineitem baskets
+        "basket_pair_affinities": lambda s, d: rex.basket_pair_affinities(
+            _t(s, d)["lineitem"]
+        ),
     }
 
 
@@ -627,4 +631,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "text_classifier_score": ta.classifier_score_sql(),
         "retention_cohorts": rex.retention_cohorts_sql(),
         "funnel_conversion": rex.funnel_conversion_sql(),
+        "basket_pair_affinities": rex.basket_pair_affinities_sql(),
     }

@@ -705,3 +705,110 @@ def funnel_conversion_sql(
                AS conversion
     FROM counts
     """
+
+
+def basket_pair_affinities(
+    lineitem: DataFrame, min_support: int = 3
+) -> DataFrame:
+    """Market-basket co-occurrence mining: for every part pair bought
+    together in at least ``min_support`` orders, the pair's support and
+    lift (the association-rules staple).
+
+    Output: ``(p1, p2, pair_orders, orders1, orders2, lift)`` with
+    ``p1 < p2``; lift = |orders| · pair / (orders1 · orders2), one
+    division of exact BIGINTs.
+
+    100 TB shape: the classic self-join formulation shuffles the whole
+    (order, part) table TWICE and joins it against itself; here the
+    pair table is generated MAP-SIDE from per-order item arrays — one
+    shuffle builds the sorted basket array per order (baskets are
+    bounded: items-per-order is small and independent of corpus scale,
+    so the i<j combination expansion is O(basket²) per row, not a
+    join), then one partial+final hash agg on the pair key. Per-item
+    order counts are a small broadcast; the 1-row order total rides a
+    broadcast crossJoin (the corpus-totals pattern).
+    """
+    per = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = per.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    # i<j combinations, map-side: slice the tail of the sorted array
+    # for each position (transform exposes the element index)
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + F.lit(2),
+                            F.greatest(F.size("items") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    pair_counts = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_support)
+    )
+    item_counts = per.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    a = item_counts.select(F.col("l_partkey").alias("p1"), F.col("n_ord").alias("orders1"))
+    b = item_counts.select(F.col("l_partkey").alias("p2"), F.col("n_ord").alias("orders2"))
+    return (
+        pair_counts.join(F.broadcast(a), "p1")
+        .join(F.broadcast(b), "p2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p1",
+            "p2",
+            "pair_orders",
+            "orders1",
+            "orders2",
+            (
+                (F.col("pair_orders") * F.col("n_orders"))
+                / (F.col("orders1") * F.col("orders2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def basket_pair_affinities_sql(
+    min_support: int = 3, table: str = "lineitem"
+) -> str:
+    """DuckDB twin: identical pair semantics via the i<j self-join over
+    the distinct (order, part) table (the small-scale-friendly
+    formulation; the Spark side's array expansion produces the same
+    bag), identical integer lift."""
+    return f"""
+    WITH per AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM {table}
+    ),
+    pair_counts AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS pair_orders
+        FROM per a JOIN per b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_support}
+    ),
+    item_counts AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM per GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM per
+    )
+    SELECT p1, p2, pair_orders, a.n_ord AS orders1, b.n_ord AS orders2,
+           (pair_orders * n_orders) / CAST(a.n_ord * b.n_ord AS DOUBLE) AS lift
+    FROM pair_counts
+    JOIN item_counts a ON p1 = a.l_partkey
+    JOIN item_counts b ON p2 = b.l_partkey
+    CROSS JOIN totals
+    """

@@ -164,3 +164,43 @@ def test_funnel_strict_after_semantics(spark):
     )
     out = {r["step"]: r["n_users"] for r in rex.funnel_conversion(ev).collect()}
     assert out[1] == 3 and out[2] == 1 and out[3] == 1
+
+
+def test_basket_pair_affinities_matches_oracle(spark, tables, duck):
+    import pandas as pd
+
+    out = (
+        rex.basket_pair_affinities(tables["lineitem"])
+        .toPandas()
+        .sort_values(["p1", "p2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(rex.basket_pair_affinities_sql())
+        .df()
+        .sort_values(["p1", "p2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (out.p1 < out.p2).all()
+    assert (out.pair_orders >= 3).all()
+    # pair support can never exceed either item's own order count
+    assert (out.pair_orders <= out.orders1).all()
+    assert (out.pair_orders <= out.orders2).all()
+
+
+def test_basket_pair_lift_semantics(spark):
+    """Planted baskets: a pair always bought together has lift
+    n_orders / orders1 (here > 1); items never co-bought are absent."""
+    rows = []
+    # orders 1-4: parts (10, 20) always together; order 5-6: part 30 alone
+    for ok in (1, 2, 3, 4):
+        rows += [(ok, 10), (ok, 20)]
+    rows += [(5, 30), (6, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = rex.basket_pair_affinities(li, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"], r["pair_orders"]) == (10, 20, 4)
+    # lift = 6 total orders * 4 pair / (4 * 4) = 1.5
+    assert r["lift"] == 1.5

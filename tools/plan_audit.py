@@ -62,6 +62,7 @@ AUDITED = [
     "text_classifier_score",
     "retention_cohorts",
     "funnel_conversion",
+    "basket_pair_affinities",
 ]
 
 THETA_OK = {
@@ -74,6 +75,7 @@ THETA_OK = {
     "text_quality_percentile_filter",
     "search_bm25_topk",
     "funnel_conversion",  # 1-row step-1 count crossJoin(broadcast(...))
+    "basket_pair_affinities",  # 1-row order-total crossJoin(broadcast(...))
     # dense leg: |registered queries| (5) broadcast rows crossJoin the
     # corpus — the same intended exact-baseline shape as
     # similarity_cosine_topk (deployment swaps in the IVF index); the
