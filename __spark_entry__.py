@@ -40,6 +40,7 @@ from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
+from mmw_geoprocessing_spark.streaming import cdc as scdc
 from mmw_geoprocessing_spark.streaming import windows as sw
 
 
@@ -104,12 +105,17 @@ _STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twin over the original events table (streaming/windows.py)
     "stream_exact_dedup": sw.stream_exact_dedup_batch,
     "stream_content_dedup": sw.stream_content_dedup_batch,
+    # streaming CDC upsert: foreachBatch incremental latest-wins
+    # compaction drained over a chunked changelog replay; same
+    # closed-form oracle as the batch merge
+    "stream_cdc_merge": scdc.stream_cdc_merge_batch,
 }
 
 _STREAM_ORACLES: dict[str, str] = {
     "events_windows_showcase": sw.windows_showcase_sql(),
     "stream_exact_dedup": sw.stream_exact_dedup_batch_sql(),
     "stream_content_dedup": sw.stream_content_dedup_batch_sql(),
+    "stream_cdc_merge": scdc.stream_cdc_merge_batch_sql(),
 }
 
 
@@ -397,7 +403,7 @@ def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], Da
         # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 80, f"driver gate sized for <=80 queries; got {len(out)}"
+    assert len(out) <= 81, f"driver gate sized for <=81 queries; got {len(out)}"
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
