@@ -4,12 +4,16 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-70 queries are registered (50 core + 10 round-8 promoted library
-operators + 10 round-9: the semantic/minhash transitive closures, the
-two stateful streaming dedup ops drained through availableNow with
-closed-form batch twins, the end-to-end curation pipeline, the
-dataset-assembly ops, and the injected-text PII/normalize stages — all
-with full oracle twins), with the similarity / text / multimodal /
+81 queries are registered (50 core + 10 round-8 promoted library
+operators + 21 round-9: the semantic/minhash transitive closures, the
+stateful streaming dedup ops and the streaming CDC upsert drained
+through availableNow with closed-form batch twins, the end-to-end
+curation pipeline, the dataset-assembly ops, the injected-text
+PII/normalize stages, BM25 + hybrid-RRF retrieval, CDC compaction,
+sessionization, incremental batch-vs-reference dedup, cross-document
+duplicated spans, hashed-feature classifier scoring, cohort retention,
+funnel analysis, and market-basket affinities — all with full oracle
+twins), with the similarity / text / multimodal /
 streaming families FIRST — they were beyond the round-1 gate cap and
 had no correctness verdict then. Redundant showcase queries were consolidated
 (windows_showcase, aggregate_variants, events_windows_showcase, regexp
