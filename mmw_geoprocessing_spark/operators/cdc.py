@@ -25,7 +25,11 @@ identical changelog before merging):
   latest-wins over seq 1): totalprice + 200.0
 - seq 3 'D' for ``o_orderkey % 13 = 4`` (some keys get U then D)
 - seq 1 'I' for ``o_orderkey % 17 = 5`` under a fresh key
-  (``o_orderkey + 500_000_000``): a new order at 2x the price
+  (``-o_orderkey``): a new order at 2x the price. Negation keeps the
+  insert keyspace disjoint from real orderkeys (always >= 1) at ANY
+  scale factor — a fixed additive offset collides once SF ≳ 83
+  (TPC-H max o_orderkey ≈ 6M·SF) and silently turns inserts into
+  latest-wins overrides of unrelated base orders.
 
 100 TB shape: union is free, the single hash-shuffle on o_orderkey
 carries base + changelog together, AQE handles key skew (unique keys →
@@ -71,7 +75,7 @@ def synth_changelog(orders: DataFrame) -> DataFrame:
     )
     i1 = (
         orders.filter(k % 17 == 5)
-        .withColumn("o_orderkey", k + F.lit(500_000_000).cast("bigint"))
+        .withColumn("o_orderkey", (-k).cast("bigint"))
         .withColumn("seq", F.lit(1).cast("bigint"))
         .withColumn("op", F.lit("I"))
         .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
@@ -133,7 +137,7 @@ def changelog_merge_orders_sql(table: str = "orders") -> str:
                o_totalprice, o_orderdate, o_orderpriority
         FROM {table} WHERE o_orderkey % 13 = 4
         UNION ALL
-        SELECT o_orderkey + 500000000, 1, 'I', o_custkey, o_orderstatus,
+        SELECT -o_orderkey, 1, 'I', o_custkey, o_orderstatus,
                o_totalprice * 2.0, o_orderdate, o_orderpriority
         FROM {table} WHERE o_orderkey % 17 = 5
     ),

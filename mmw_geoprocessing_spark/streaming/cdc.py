@@ -19,8 +19,11 @@ operator a closed-form SQL oracle (the batch merge's own twin).
 
 State snapshots are written to ``state_<epoch>`` directories (never
 overwriting the snapshot being read — parquet cannot be rebuilt in
-place), with the max-epoch directory as the current state; a replayed
-epoch after a crash simply rewrites its own directory (idempotent).
+place), with the max-epoch directory as the current state. Crash
+safety: a replayed epoch N merges against the max snapshot with epoch
+< N — never against its own (possibly partial) ``state_N``, which it
+instead rewrites from scratch — so at-least-once redelivery of a batch
+is idempotent.
 
 100 TB shape: each micro-batch merge shuffles (current state ∪ batch)
 on the key — at deployment scale the state table is BUCKETED by key so
@@ -60,7 +63,9 @@ def replay_changelog_dir(spark, sf_dir: str) -> str:
     except OSError:
         ident = "nostat"
     tag = sf_dir.strip("/").replace("/", "_")
-    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_{tag}_{ident}")
+    # v2: changelog logic version (negated-key inserts) — bump whenever
+    # synth_changelog changes so stale cached replays are never reused
+    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_v2_{tag}_{ident}")
     if os.path.isdir(final):
         return final
     work = tempfile.mkdtemp(prefix="stream_cdc_build_")
@@ -81,17 +86,31 @@ def replay_changelog_dir(spark, sf_dir: str) -> str:
     try:
         os.rename(work, final)
     except OSError:
-        import shutil
+        # Either another builder won the race (final exists) or the
+        # rename failed for an unrelated reason (e.g. EXDEV when TMPDIR
+        # spans devices) — only discard our work when final is real.
+        if os.path.isdir(final):
+            import shutil
 
-        shutil.rmtree(work, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            return work
     return final
 
 
 def _merge_into_state(state_root: str, batch_df: DataFrame, epoch_id: int) -> None:
-    """foreachBatch body: state_{epoch} = latest-wins(state_max ∪ batch),
-    tombstones retained."""
+    """foreachBatch body: state_{epoch} = latest-wins(state_prev ∪ batch),
+    tombstones retained.
+
+    The merge base is the max snapshot with epoch STRICTLY BELOW this
+    one: on checkpoint replay of a crashed epoch N the max overall
+    snapshot is the partially-written ``state_N`` itself, and merging
+    against it while ``mode("overwrite")`` deletes it would read a
+    partial (or vanishing) input. Excluding epoch >= N makes replay
+    rebuild ``state_N`` from the same durable base as the first attempt
+    — genuinely idempotent."""
     spark = batch_df.sparkSession
-    cur = _latest_state_df(spark, state_root)
+    cur = _latest_state_df(spark, state_root, before_epoch=epoch_id)
     allr = batch_df.select(_COLS) if cur is None else cur.unionByName(
         batch_df.select(_COLS)
     )
@@ -106,13 +125,25 @@ def _merge_into_state(state_root: str, batch_df: DataFrame, epoch_id: int) -> No
     )
 
 
-def _latest_state_df(spark, state_root: str) -> DataFrame | None:
+def _state_epochs(state_root: str) -> list[int]:
     if not os.path.isdir(state_root):
+        return []
+    return sorted(
+        int(d[len("state_"):])
+        for d in os.listdir(state_root)
+        if d.startswith("state_") and d[len("state_"):].isdigit()
+    )
+
+
+def _latest_state_df(
+    spark, state_root: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    epochs = _state_epochs(state_root)
+    if before_epoch is not None:
+        epochs = [e for e in epochs if e < before_epoch]
+    if not epochs:
         return None
-    snaps = sorted(d for d in os.listdir(state_root) if d.startswith("state_"))
-    if not snaps:
-        return None
-    return spark.read.parquet(os.path.join(state_root, snaps[-1]))
+    return spark.read.parquet(os.path.join(state_root, f"state_{epochs[-1]:09d}"))
 
 
 def stream_cdc_merge(spark, replay_dir: str, state_root: str, checkpoint: str):
@@ -141,15 +172,39 @@ def stream_cdc_merge(spark, replay_dir: str, state_root: str, checkpoint: str):
     return q
 
 
+def _prune_old_snapshots(state_root: str) -> None:
+    """Keep only the max-epoch snapshot: each drained epoch's snapshot
+    is cumulative, so the superseded ones are pure disk pressure
+    (~n_batches × full-state copies per run otherwise)."""
+    import shutil
+
+    epochs = _state_epochs(state_root)
+    for e in epochs[:-1]:
+        shutil.rmtree(
+            os.path.join(state_root, f"state_{e:09d}"), ignore_errors=True
+        )
+
+
 def stream_cdc_merge_batch(spark, sf_dir: str) -> DataFrame:
     """Registry entry: drain the streaming upsert over the chunked
     changelog replay, then read the final state minus tombstones —
     identical contract to the batch ``changelog_merge_orders``, so the
-    same closed-form oracle gates the stateful streaming plan."""
+    same closed-form oracle gates the stateful streaming plan.
+
+    The state root and checkpoint are KEYED by (sf_dir, source mtime)
+    and reused across invocations — a repeat drain finds the durable
+    checkpoint fully caught up, processes zero batches, and reads the
+    existing snapshot (this is also what exercises the restartability
+    claim). Superseded epoch snapshots are pruned after each drain so
+    the steady-state footprint is ONE merged table per sf_dir, not
+    n_runs x n_batches copies."""
     replay = replay_changelog_dir(spark, sf_dir)
-    state_root = tempfile.mkdtemp(prefix="stream_cdc_state_")
-    ckpt = tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
+    # replay dir name already encodes (sf_dir, size, mtime)
+    ident = os.path.basename(replay)
+    state_root = os.path.join(tempfile.gettempdir(), f"{ident}_state")
+    ckpt = os.path.join(tempfile.gettempdir(), f"{ident}_ckpt")
     stream_cdc_merge(spark, replay, state_root, ckpt)
+    _prune_old_snapshots(state_root)
     final = _latest_state_df(spark, state_root)
     return final.filter(F.col("op") != "D").select(
         "o_orderkey",

@@ -132,7 +132,7 @@ def test_cdc_merge_semantics(spark, tables):
     for k in u1[:20]:
         assert merged.loc[k, "o_totalprice"] == base.loc[k, "o_totalprice"] + 100.0
 
-    ins = [k + 500_000_000 for k in base.index if k % 17 == 5]
+    ins = [-k for k in base.index if k % 17 == 5]
     assert ins and all(k in merged.index for k in ins)
     untouched = [
         k for k in base.index if k % 7 != 3 and k % 13 != 4

@@ -43,7 +43,7 @@ def test_stream_cdc_merges_across_micro_batches(spark):
     assert final.filter(F.col("op") == "D").count() > 0
     rows = {r["o_orderkey"]: r for r in final.collect()}
     # ...and latest-wins held across batches
-    base_keys = [k for k in rows if k < 500_000_000]  # exclude insert surrogates
+    base_keys = [k for k in rows if k > 0]  # exclude negated insert surrogates
     seq2_keys = [k for k in base_keys if k % 21 == 3 and k % 13 != 4]
     assert seq2_keys and all(rows[k]["seq"] == 2 for k in seq2_keys)
     deleted = [k for k in base_keys if k % 13 == 4]
@@ -64,3 +64,41 @@ def test_stream_cdc_checkpoint_resume_is_idempotent(spark):
     snaps2 = sorted(os.listdir(state_root))
     assert snaps1 == snaps2
     assert scdc._latest_state_df(spark, state_root).count() == n1
+
+
+def test_crashed_epoch_replay_merges_against_prior_snapshot(spark):
+    """Crash-safety (r9 ADVICE): a replayed epoch N must merge against
+    the max snapshot with epoch < N, never its own partially-written
+    state_N (which mode('overwrite') deletes while the lazy read of the
+    same path is in flight). Simulate the crash by running epochs 0 and
+    1, then re-invoking _merge_into_state for epoch 1 — the rebuilt
+    state_1 must equal the first attempt's, not a state_1-based merge."""
+    sf = "/root/testdata/sf0.001"
+    replay = scdc.replay_changelog_dir(spark, sf)
+    state_root = tempfile.mkdtemp(prefix="cdc_state_crash_")
+    chunks = sorted(
+        d for d in os.listdir(replay) if os.path.isdir(os.path.join(replay, d))
+    )
+    assert len(chunks) >= 2
+    b0 = spark.read.parquet(os.path.join(replay, chunks[0]))
+    b1 = spark.read.parquet(os.path.join(replay, chunks[1]))
+    scdc._merge_into_state(state_root, b0, 0)
+    scdc._merge_into_state(state_root, b1, 1)
+    first = {
+        (r["o_orderkey"], r["seq"], r["op"])
+        for r in spark.read.parquet(
+            os.path.join(state_root, "state_000000001")
+        ).collect()
+    }
+    # replay of epoch 1 (at-least-once redelivery after a crash)
+    scdc._merge_into_state(state_root, b1, 1)
+    second = {
+        (r["o_orderkey"], r["seq"], r["op"])
+        for r in spark.read.parquet(
+            os.path.join(state_root, "state_000000001")
+        ).collect()
+    }
+    assert first == second
+    # and the base it merged against was state_0, not state_1:
+    base = scdc._latest_state_df(spark, state_root, before_epoch=1)
+    assert base.count() == b0.count()
