@@ -4,24 +4,24 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-81 queries are registered (50 core + 10 round-8 promoted library
-operators + 21 round-9: the semantic/minhash transitive closures, the
-stateful streaming dedup ops and the streaming CDC upsert drained
-through availableNow with closed-form batch twins, the end-to-end
-curation pipeline, the dataset-assembly ops, the injected-text
-PII/normalize stages, BM25 + hybrid-RRF retrieval, CDC compaction,
-sessionization, incremental batch-vs-reference dedup, cross-document
-duplicated spans, hashed-feature classifier scoring, cohort retention,
-funnel analysis, and market-basket affinities — all with full oracle
-twins), with the similarity / text / multimodal /
-streaming families FIRST — they were beyond the round-1 gate cap and
-had no correctness verdict then. Redundant showcase queries were consolidated
-(windows_showcase, aggregate_variants, events_windows_showcase, regexp
-folded into scalar_functions_showcase, lag into window_running_total);
-the removed variants remain as library functions covered by pytest.
+83 queries are registered (the round-9 81 plus round 10's
+``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
+— and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
+replaces the exact variant's full-corpus crossJoin), all with full
+oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
+correctness gate reads the FIRST 50 entries of ``queries()``, and the
+round-8/9 promotions had never been inside that window — their only
+verdicts were selfcheck artifacts. ``_GATE_WINDOW`` below pins the
+window to the 31 never-driver-checked entries + the 2 new round-10
+operators + the 17 most semantics-critical rows (all zonal O1-O8 +
+NODATA + MultiOperation, the four streaming drains, minhash-LSH,
+IVF ANN, pricing_summary). The 33 displaced entries (showcase /
+scalar / set-op queries green since round 3, plus the exact-baseline
+LLM rows) keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL
+entries).
 
-Column names are aliased identically on both sides (the driver's compare
-sorts columns by name before hashing).
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).
 """
 
 from __future__ import annotations
@@ -113,6 +113,10 @@ _STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # compaction drained over a chunked changelog replay; same
     # closed-form oracle as the batch merge
     "stream_cdc_merge": scdc.stream_cdc_merge_batch,
+    # round 10: the bucketed-state deployment shape — each micro-batch
+    # merges/rewrites only the key buckets it touches (per-batch I/O ∝
+    # touched buckets, not full state); identical final table + oracle
+    "stream_cdc_merge_bucketed": scdc.stream_cdc_merge_bucketed_batch,
 }
 
 _STREAM_ORACLES: dict[str, str] = {
@@ -120,6 +124,7 @@ _STREAM_ORACLES: dict[str, str] = {
     "stream_exact_dedup": sw.stream_exact_dedup_batch_sql(),
     "stream_content_dedup": sw.stream_content_dedup_batch_sql(),
     "stream_cdc_merge": scdc.stream_cdc_merge_batch_sql(),
+    "stream_cdc_merge_bucketed": scdc.stream_cdc_merge_bucketed_batch_sql(),
 }
 
 
@@ -393,21 +398,89 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     return wrapper
 
 
+# The driver's correctness gate reads the FIRST 50 entries of
+# queries(). Round-10 rotation (r9 verdict #1): lead with the 31
+# entries that had never received a driver verdict (all round-8/9
+# promotions + the three REL_EXT stragglers), the 2 new round-10
+# operators, then the 17 most semantics-critical rows. Everything else
+# follows (still registered, still selfcheck-covered at SF1/SF10).
+_GATE_WINDOW: list[str] = [
+    # -- 28 round-8/9 promoted library operators (never driver-checked)
+    "lib_contamination_check",
+    "lib_cosine_neardup_wide",
+    "lib_repetition_scores",
+    "lib_semantic_dedup_pairs",
+    "text_unigram_surprisal",
+    "embedding_quantize_int8",
+    "similarity_ann_ivf_q8_topk",
+    "sampling_corpus_mix",
+    "text_quality_percentile_filter",
+    "text_chunk_documents",
+    "semantic_dedup_components",
+    "pipeline_curate_corpus",
+    "dedup_neardup_components",
+    "sampling_deterministic_split",
+    "sampling_stratified_sample",
+    "sampling_pack_token_batches",
+    "text_pii_redact",
+    "text_normalize",
+    "search_bm25_topk",
+    "cdc_changelog_merge",
+    "sessionize_events",
+    "search_hybrid_rrf_topk",
+    "dedup_incremental_batch",
+    "text_duplicate_spans",
+    "text_classifier_score",
+    "retention_cohorts",
+    "funnel_conversion",
+    "basket_pair_affinities",
+    # -- 3 REL_EXT entries that sat past the old window
+    "tpch_q3",
+    "tpch_q5",
+    "udtf_word_positions",
+    # -- 2 new round-10 operators
+    "stream_cdc_merge_bucketed",
+    "search_hybrid_rrf_ivf_topk",
+    # -- 17 semantics-critical §2 rows (zonal O1-O8 + NODATA + multi,
+    #    the streaming drains, minhash-LSH, IVF ANN, pricing_summary)
+    "mapshed_suite",
+    "raster_grouped_count",
+    "raster_grouped_count_nodata",
+    "raster_grouped_count_many",
+    "raster_average",
+    "raster_grouped_average",
+    "raster_grouped_sum",
+    "raster_lines_join",
+    "raster_summary",
+    "multi_operation",
+    "events_windows_showcase",
+    "stream_exact_dedup",
+    "stream_content_dedup",
+    "stream_cdc_merge",
+    "dedup_minhash_lsh",
+    "similarity_ann_ivf_topk",
+    "pricing_summary",
+]
+
+
 def queries(prepared: bool = True) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {
+    all_q = {
         **_LLM_QUERIES,
         **_STREAM_QUERIES,
         **_ZONAL_QUERIES,
         **_RELATIONAL_QUERIES,
         **_REL_EXT_QUERIES,
-        # round 8: the four lib operators (contamination, wide neardup,
-        # repetition scores, semantic dedup) promoted into the driver
-        # registry — every claimed-done operator carries BOTH a
-        # queries() entry and an oracle_sql() twin. The lib_ prefix is
-        # kept so SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
+        # round 8: the lib operators promoted into the driver registry —
+        # every claimed-done operator carries BOTH a queries() entry and
+        # an oracle_sql() twin. The lib_ prefix is kept so
+        # SELFCHECK_SF1/SF10 artifact rows stay name-aligned.
         **lib_queries(),
     }
-    assert len(out) <= 81, f"driver gate sized for <=81 queries; got {len(out)}"
+    assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)
+    missing = [n for n in _GATE_WINDOW if n not in all_q]
+    assert not missing, f"gate window names unknown: {missing}"
+    out = {n: all_q[n] for n in _GATE_WINDOW}
+    out.update({n: f for n, f in all_q.items() if n not in out})
     if not prepared:
         # raw builders — for tools that re-plan under changed session
         # modes (tools/plan_audit.py flips the fixture layout mid-run)
@@ -579,6 +652,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf_topk": lambda s, d: se.hybrid_rrf_topk(
             s, _t(s, d)["documents"], _t(s, d)["embeddings"]
         ),
+        # round 10: the scale twin — dense leg probes the persisted IVF
+        # index (no full-corpus crossJoin); recall vs the exact leg is
+        # pinned in tests/test_search_cdc_sessions.py
+        "search_hybrid_rrf_ivf_topk": lambda s, d: se.hybrid_rrf_ivf_topk(
+            s, _t(s, d)["documents"], _t(s, d)["embeddings"]
+        ),
         # incremental crawl dedup: probe the incoming batch against the
         # reference corpus's persisted LSH index — never batch x batch
         # or ref x ref
@@ -636,6 +715,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),
+        "search_hybrid_rrf_ivf_topk": se.hybrid_rrf_ivf_topk_sql(),
         "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
         "text_duplicate_spans": ta.duplicate_spans_sql(),
         "text_classifier_score": ta.classifier_score_sql(),

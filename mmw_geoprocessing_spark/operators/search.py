@@ -302,6 +302,177 @@ def hybrid_rrf_topk_sql(
     """
 
 
+def hybrid_rrf_ivf_topk(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_cand: int = N_CAND,
+    k: int = TOP_K,
+    rrf_k: int = RRF_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """The SCALE twin of ``hybrid_rrf_topk`` (r9 verdict #3): identical
+    fusion contract, but the dense leg probes the persisted IVF index
+    (``similarity._ivf_index``) instead of brute-forcing the corpus.
+
+    The exact variant's dense leg broadcasts the 5 query anchors and
+    crossJoins the FULL embeddings table — O(corpus x |queries|) compute
+    per retrieval call; at 100 TB that is a full-corpus scan to answer 5
+    queries. Here each anchor probes its ``nprobe`` nearest coarse cells
+    and candidates come from ONE equi-join on the cell id against the
+    ingest-time inverted file — compute ∝ probed-cell population
+    (nprobe/N_CELLS of the corpus; at deployment cell counts, ~nprobe/
+    sqrt(N)), with the same bounded WindowGroupLimit per-query top-k.
+    Recall vs the exact leg is pinned in tests/test_search_cdc_sessions
+    (the ``cosine_neardup_wide`` pattern).
+
+    Output contract is identical: ``(query_id, doc_id, rrf_rank,
+    rrf_score, bm25_rank, cos_rank)`` — cos_rank now the IVF leg's rank.
+    """
+    from pyspark.sql import Window
+
+    from mmw_geoprocessing_spark.operators.similarity import (
+        NPROBE,
+        _as_double,
+        _cell_topn,
+        _centroids,
+        _dot,
+        _ivf_index,
+        _norm,
+    )
+
+    if nprobe is None:
+        nprobe = NPROBE
+    sparse = (
+        bm25_topk(spark, documents, k=n_cand)
+        .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    )
+
+    cents = _centroids(embeddings)
+    inv = _ivf_index(embeddings)  # (vec_id, v, nv, cell) — built at ingest
+    anchors = spark.createDataFrame(
+        HYBRID_ANCHORS, "query_id string, anchor_id bigint"
+    )
+    q = (
+        F.broadcast(anchors)
+        .join(embeddings, F.col("anchor_id") == F.col("vec_id"))
+        .select("query_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nq", _norm(F.col("v")))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            "nq",
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        F.broadcast(q)
+        .join(inv, "cell")  # probed cells are disjoint — no dedup needed
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("cos_rank", F.row_number().over(w_cos).cast("bigint"))
+        .filter(F.col("cos_rank") <= n_cand)
+        .select("query_id", "doc_id", "cos_rank")
+    )
+
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
+        )
+        .withColumn("bm25_rank", F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint"))
+        .withColumn("cos_rank", F.coalesce(F.col("cos_rank"), F.lit(0)).cast("bigint"))
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("bigint"))
+        .filter(F.col("rrf_rank") <= k)
+        .select("query_id", "doc_id", "rrf_rank", "rrf_score", "bm25_rank", "cos_rank")
+    )
+
+
+def hybrid_rrf_ivf_topk_sql(
+    n_cand: int = N_CAND,
+    k: int = TOP_K,
+    rrf_k: int = RRF_K,
+    nprobe: int | None = None,
+) -> str:
+    """DuckDB twin: the BM25 leg verbatim; the dense leg replays the
+    same fixed quantizer (first N_CELLS vectors), argmax cell
+    assignment, and nprobe multi-probe as ``ann_ivf_topk_sql``."""
+    from mmw_geoprocessing_spark.operators.similarity import (
+        N_CELLS,
+        NPROBE,
+        _cos_sql,
+    )
+
+    if nprobe is None:
+        nprobe = NPROBE
+    avals = ", ".join(f"('{qid}', {aid})" for qid, aid in HYBRID_ANCHORS)
+    ccos = _cos_sql("b.v", "c.cv")
+    qcos = _cos_sql("q.qv", "w2.v")
+    return f"""
+    WITH sparse AS (
+        SELECT query_id, doc_id, rank AS bm25_rank
+        FROM ({bm25_topk_sql(k=n_cand)})
+    ),
+    cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < {N_CELLS}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid, {ccos} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY {ccos} DESC, c.cid) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    with_cell AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    anchors(query_id, anchor_id) AS (VALUES {avals}),
+    qprobe AS (
+      SELECT a.query_id, s.v AS qv, s.cid AS cell
+      FROM anchors a JOIN scored s ON s.vec_id = a.anchor_id
+      WHERE s.rn <= {nprobe}
+    ),
+    dense AS (
+        SELECT query_id, doc_id, cos_rank FROM (
+            SELECT q.query_id, w2.vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id ORDER BY {qcos} DESC, w2.vec_id
+                   ) AS BIGINT) AS cos_rank
+            FROM qprobe q JOIN with_cell w2 USING (cell)
+        ) WHERE cos_rank <= {n_cand}
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               COALESCE(1.0::DOUBLE / ({rrf_k} + bm25_rank), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / ({rrf_k} + cos_rank), 0.0::DOUBLE)
+               AS rrf_score,
+               CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+               CAST(COALESCE(cos_rank, 0) AS BIGINT) AS cos_rank
+        FROM sparse FULL JOIN dense USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_rank, rrf_score, bm25_rank, cos_rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS BIGINT) AS rrf_rank
+        FROM fused
+    )
+    WHERE rrf_rank <= {k}
+    """
+
+
 def bm25_topk_sql(k: int = TOP_K, table: str = "documents") -> str:
     """DuckDB twin: identical tokenization, integer-bits idf, scaled
     integer tf-part, per-query ROW_NUMBER top-k."""

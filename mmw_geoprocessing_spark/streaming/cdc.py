@@ -218,3 +218,146 @@ def stream_cdc_merge_batch_sql() -> str:
     from mmw_geoprocessing_spark.operators.cdc import changelog_merge_orders_sql
 
     return changelog_merge_orders_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-state variant: the deployment shape the flat-snapshot
+# docstring promises. State is hash-partitioned into N_BUCKETS key
+# buckets (bucket = pmod(o_orderkey, N)); each micro-batch merges and
+# rewrites ONLY the buckets its keys touch, so per-batch I/O is
+# O(touched buckets × bucket size), not O(full state). At 100 TB with
+# 2^14 buckets a typical changelog batch touches a few hundred buckets
+# — the rewrite is ~1-2% of state instead of 100%.
+#
+# Layout: state_root/state_<epoch>/bucket=<b>/... (parquet
+# partitionBy). The current state of bucket b is its max-epoch
+# directory that CONTAINS b; untouched buckets simply stay owned by an
+# older epoch. Crash replay of epoch N ignores epoch >= N when
+# resolving bucket owners, same rule as the flat variant.
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 7
+
+
+def _bucket_owners(state_root: str, before_epoch: int | None = None) -> dict[int, str]:
+    """bucket id -> path of the max-epoch snapshot that contains it."""
+    owners: dict[int, str] = {}
+    for e in _state_epochs(state_root):
+        if before_epoch is not None and e >= before_epoch:
+            break
+        snap = os.path.join(state_root, f"state_{e:09d}")
+        for d in os.listdir(snap):
+            if d.startswith("bucket="):
+                owners[int(d.split("=", 1)[1])] = os.path.join(snap, d)
+    return owners
+
+
+def _merge_into_state_bucketed(
+    state_root: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    n_buckets: int = N_BUCKETS,
+    rewritten_log: list[int] | None = None,
+) -> None:
+    """foreachBatch body, bucketed: latest-wins merge per TOUCHED bucket
+    only. ``rewritten_log`` (if given) records the number of buckets
+    rewritten by this batch — the observability hook the pytest uses to
+    assert rewritten < total."""
+    spark = batch_df.sparkSession
+    batch = batch_df.select(_COLS).withColumn(
+        "bucket", F.pmod(F.col("o_orderkey"), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(
+        r["bucket"] for r in batch.select("bucket").distinct().collect()
+    )
+    if rewritten_log is not None:
+        rewritten_log.append(len(touched))
+    if not touched:
+        return
+    owners = _bucket_owners(state_root, before_epoch=epoch_id)
+    base_paths = [owners[b] for b in touched if b in owners]
+    allr = batch
+    if base_paths:
+        # read the owning bucket=<b> leaf dirs directly (mixed-epoch
+        # parents break partition discovery); bucket is re-derived from
+        # the key, so the partition column is not needed
+        base = spark.read.parquet(*base_paths)
+        base = base.select(_COLS).withColumn(
+            "bucket", F.pmod(F.col("o_orderkey"), F.lit(n_buckets)).cast("int")
+        )
+        allr = base.unionByName(batch)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(), F.col("op").asc()
+    )
+    merged = (
+        allr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(state_root, f"state_{epoch_id:09d}")
+    )
+
+
+def _bucketed_state_df(spark, state_root: str) -> DataFrame | None:
+    owners = _bucket_owners(state_root)
+    if not owners:
+        return None
+    df = spark.read.parquet(*owners.values())
+    return df.select(_COLS)
+
+
+def stream_cdc_merge_bucketed(
+    spark,
+    replay_dir: str,
+    state_root: str,
+    checkpoint: str,
+    n_buckets: int = N_BUCKETS,
+    rewritten_log: list[int] | None = None,
+):
+    """Drain the bucketed-state streaming upsert (availableNow +
+    durable checkpoint)."""
+    schema = spark.read.parquet(os.path.join(replay_dir, "a_base")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: _merge_into_state_bucketed(
+                state_root, df, eid, n_buckets, rewritten_log
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(1800):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError("stream_cdc_merge_bucketed drain exceeded 1800s")
+    return q
+
+
+def stream_cdc_merge_bucketed_batch(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: bucketed-state drain, same contract and oracle as
+    ``stream_cdc_merge_batch`` — identical final table, different state
+    maintenance cost (per-batch I/O ∝ touched buckets)."""
+    replay = replay_changelog_dir(spark, sf_dir)
+    ident = os.path.basename(replay)
+    state_root = os.path.join(tempfile.gettempdir(), f"{ident}_bstate")
+    ckpt = os.path.join(tempfile.gettempdir(), f"{ident}_bckpt")
+    stream_cdc_merge_bucketed(spark, replay, state_root, ckpt)
+    final = _bucketed_state_df(spark, state_root)
+    return final.filter(F.col("op") != "D").select(
+        "o_orderkey",
+        *PAYLOAD,
+        F.col("seq").alias("version"),
+        F.col("op").alias("src_op"),
+    )
+
+
+def stream_cdc_merge_bucketed_batch_sql() -> str:
+    return stream_cdc_merge_batch_sql()

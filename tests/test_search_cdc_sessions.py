@@ -103,6 +103,45 @@ def test_hybrid_rrf_both_legs_beat_single_leg(spark, tables):
         assert (b.rrf_score > dominated.rrf_score).all()
 
 
+def test_hybrid_rrf_ivf_matches_oracle(spark, tables, duck):
+    _match(
+        se.hybrid_rrf_ivf_topk(spark, tables["documents"], tables["embeddings"]),
+        duck,
+        se.hybrid_rrf_ivf_topk_sql(),
+    )
+
+
+def test_hybrid_rrf_ivf_recall_vs_exact_leg(spark, tables):
+    """Recall pin for the scale twin (r9 verdict #3): the IVF-probed
+    dense leg must recover >= 0.8 of the exact brute-force hybrid's
+    top-k per query on the isotropic fixture corpus (ann_ivf's own
+    measured recall at nprobe=8 is 0.93; the fused lists differ only
+    where the dense legs do, so fused overlap tracks dense recall)."""
+    exact = se.hybrid_rrf_topk(spark, tables["documents"], tables["embeddings"])
+    ivf = se.hybrid_rrf_ivf_topk(spark, tables["documents"], tables["embeddings"])
+    e = {(r["query_id"], r["doc_id"]) for r in exact.collect()}
+    v = {(r["query_id"], r["doc_id"]) for r in ivf.collect()}
+    assert e and v
+    recall = len(e & v) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_hybrid_rrf_ivf_no_corpus_crossjoin(spark, tables):
+    """The whole point of the twin: the dense leg's full-corpus product
+    is gone. Both variants keep ONE nested-loop join — the BM25 leg's
+    1-row corpus-totals broadcast (the accepted pattern) — so the exact
+    variant shows 2 (totals + corpus crossJoin) and the IVF variant
+    must show exactly 1, with the dense leg a broadcast HASH join on
+    the probed cell id."""
+    exact = se.hybrid_rrf_topk(spark, tables["documents"], tables["embeddings"])
+    ivf = se.hybrid_rrf_ivf_topk(spark, tables["documents"], tables["embeddings"])
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    p_ivf = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p_ivf
+    assert p_exact.count("BroadcastNestedLoopJoin") == 2, p_exact
+    assert p_ivf.count("BroadcastNestedLoopJoin") == 1, p_ivf
+
+
 # ---------------------------------------------------------------------- CDC
 
 

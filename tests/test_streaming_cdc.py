@@ -102,3 +102,41 @@ def test_crashed_epoch_replay_merges_against_prior_snapshot(spark):
     # and the base it merged against was state_0, not state_1:
     base = scdc._latest_state_df(spark, state_root, before_epoch=1)
     assert base.count() == b0.count()
+
+
+def test_bucketed_state_rewrites_only_touched_buckets(spark):
+    """Deployment-shape claim (r9 verdict #4): the bucketed-state
+    variant must rewrite ONLY the key buckets each micro-batch touches.
+    With N_BUCKETS=7, the seq-1 chunk's keys are all ≡ 3 (mod 7), so
+    its batch must rewrite exactly 1 of 7 buckets — and the drained
+    result must still equal the batch changelog merge row-for-row."""
+    from mmw_geoprocessing_spark.operators.cdc import changelog_merge_orders
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    replay = scdc.replay_changelog_dir(spark, sf)
+    state_root = tempfile.mkdtemp(prefix="cdc_bstate_test_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_bckpt_test_")
+    rewritten: list[int] = []
+    scdc.stream_cdc_merge_bucketed(
+        spark, replay, state_root, ckpt, n_buckets=7, rewritten_log=rewritten
+    )
+    # one batch per FILE (maxFilesPerTrigger=1; chunks may span several
+    # part files). The seq-1 chunk's files (keys ≡ 3 mod 7) must each
+    # rewrite exactly 1 bucket, and the total rewrite volume must be
+    # strictly below full-state-per-batch.
+    assert len(rewritten) >= 3, rewritten
+    assert min(rewritten) == 1, rewritten
+    assert max(rewritten) <= 7, rewritten
+    assert sum(rewritten) < len(rewritten) * 7, rewritten
+    # final state == batch merge (same closed-form oracle), tombstones out
+    got = (
+        scdc._bucketed_state_df(spark, state_root)
+        .filter(F.col("op") != "D")
+        .select("o_orderkey", "seq", "o_totalprice")
+    )
+    want = changelog_merge_orders(load_table(spark, sf, "orders")).select(
+        "o_orderkey", F.col("version").alias("seq"), "o_totalprice"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

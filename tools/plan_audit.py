@@ -63,6 +63,8 @@ AUDITED = [
     "retention_cohorts",
     "funnel_conversion",
     "basket_pair_affinities",
+    # round-10 additions
+    "search_hybrid_rrf_ivf_topk",
 ]
 
 THETA_OK = {
@@ -81,6 +83,10 @@ THETA_OK = {
     # similarity_cosine_topk (deployment swaps in the IVF index); the
     # BM25 leg also inherits bm25's 1-row totals crossJoin
     "search_hybrid_rrf_topk",
+    # IVF twin: dense leg is a broadcast HASH join on the probed cell id
+    # (no corpus product) but the BM25 leg still carries bm25's 1-row
+    # totals crossJoin
+    "search_hybrid_rrf_ivf_topk",
 }
 
 
