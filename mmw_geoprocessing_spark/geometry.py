@@ -70,6 +70,15 @@ class GridLayout:
     origin_x: float = 0.0
     origin_y: float = 0.0
     cellsize: float = 1.0
+    # Optional LAYER extent in tile-key space (kc0, kr0, kc1, kr1),
+    # inclusive. GeoTrellis rasterizes an AOI against the layer's
+    # TileLayerMetadata extent (Geoprocessing.scala:219-221) — the mask
+    # can only ever join tiles that exist, so candidate enumeration
+    # outside the layer grid is pure waste. A continent-sized AOI over
+    # a regional layer (the reference's DRB examples replayed against
+    # the synthetic fixture grid) would otherwise enumerate millions of
+    # cells that no layer tile can match.
+    extent_keys: tuple[int, int, int, int] | None = None
 
     def to_grid(self, x: float, y: float) -> tuple[float, float]:
         return (x - self.origin_x) / self.cellsize, (y - self.origin_y) / self.cellsize
@@ -151,28 +160,51 @@ def validate_crs(crs: str | None) -> str:
 
 def ring_is_simple(ring) -> bool:
     """True iff no two non-adjacent edges of the closed ring properly
-    cross (O(E^2) — ring vertex counts are request-sized). A ring that
-    fails this is 'invalid' in the OGC sense and triggers the winding
-    repair below, the pure-python equivalent of the reference's
-    ``buffer(0)`` regularization (Utils.scala:137-143)."""
+    cross (O(E^2) pairs, evaluated as one numpy broadcast — ring vertex
+    counts are request-sized, but real watershed boundaries run to
+    ~1000+ vertices and the pure-python double loop was the 61-HUC
+    replay's bottleneck). A ring that fails this is 'invalid' in the
+    OGC sense and triggers the winding repair below, the pure-python
+    equivalent of the reference's ``buffer(0)`` regularization
+    (Utils.scala:137-143)."""
+    import numpy as np
+
     pts = list(ring)
     if len(pts) > 1 and pts[0] == pts[-1]:
         pts = pts[:-1]
     n = len(pts)
+    if n < 4:
+        return True
 
-    def orient(a, b, p):
-        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    r = np.asarray(pts, dtype=np.float64)
+    ax, ay = r[:, 0], r[:, 1]
+    bx, by = np.roll(ax, -1), np.roll(ay, -1)
+    j_idx = np.arange(n)[None, :]
 
-    for i in range(n):
-        a, b = pts[i], pts[(i + 1) % n]
-        for j in range(i + 1, n):
-            if j == i + 1 or (i == 0 and j == n - 1):
-                continue  # adjacent edges share a vertex
-            c, d = pts[j], pts[(j + 1) % n]
-            o1, o2 = orient(a, b, c), orient(a, b, d)
-            o3, o4 = orient(c, d, a), orient(c, d, b)
-            if o1 * o2 < 0 and o3 * o4 < 0:
-                return False
+    # orient(a_i, b_i, p_j) for edge-pair blocks, via broadcast; the
+    # elementwise formula is identical to the scalar (b-a) x (p-a)
+    # cross product, so the sign tests match exactly. Blocked over i
+    # (BLK x n arrays, not n x n — a 10k-vertex watershed ring would
+    # otherwise materialize ~6 GB of temporaries) with early exit.
+    BLK = 128
+    for s in range(0, n, BLK):
+        e = min(s + BLK, n)
+        i_idx = np.arange(s, e)[:, None]
+        abx = (bx - ax)[s:e, None]
+        aby = (by - ay)[s:e, None]
+        o1 = abx * (ay[None, :] - ay[s:e, None]) - aby * (ax[None, :] - ax[s:e, None])
+        o2 = abx * (by[None, :] - ay[s:e, None]) - aby * (bx[None, :] - ax[s:e, None])
+        cdx = (bx - ax)[None, :]
+        cdy = (by - ay)[None, :]
+        o3 = cdx * (ay[s:e, None] - ay[None, :]) - cdy * (ax[s:e, None] - ax[None, :])
+        o4 = cdx * (by[s:e, None] - ay[None, :]) - cdy * (bx[s:e, None] - ax[None, :])
+
+        proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+        # same exclusions as the scalar: j in (i+2 .. n-1), and not the
+        # wraparound-adjacent (i == 0, j == n-1) pair
+        nonadj = (j_idx > i_idx + 1) & ~((i_idx == 0) & (j_idx == n - 1))
+        if bool((proper & nonadj).any()):
+            return False
     return True
 
 
@@ -213,6 +245,19 @@ def rasterize_polygons(
     x0, y0, x1, y1 = bbox(poly_rings)
     kc0, kc1 = int(math.floor(x0 / T)), int(math.floor(x1 / T))
     kr0, kr1 = int(math.floor(y0 / T)), int(math.floor(y1 / T))
+
+    # clip the candidate tile range to the layer extent (see
+    # GridLayout.extent_keys) — the analogue of partition pruning on
+    # the layer scan side
+    if layout.extent_keys is not None:
+        ekc0, ekr0, ekc1, ekr1 = layout.extent_keys
+        kc0, kc1 = max(kc0, ekc0), min(kc1, ekc1)
+        kr0, kr1 = max(kr0, ekr0), min(kr1, ekr1)
+        if kc0 > kc1 or kr0 > kr1:
+            return spark.range(0).selectExpr(
+                "CAST(0 AS INT) key_col", "CAST(0 AS INT) key_row",
+                "CAST(0 AS INT) cell_col", "CAST(0 AS INT) cell_row"
+            ).limit(0)
 
     # candidate cells: bbox-pruned cartesian of tile/cell coordinates —
     # the analogue of the reference's tile-level Intersects pushdown
@@ -344,16 +389,26 @@ def rasterize_polygons(
     )
 
 
-def _point_in_polys(px: float, py: float, polys) -> bool:
+def _poly_simple_flags(polys) -> list[list[bool]]:
+    """Per-poly, per-ring ``ring_is_simple`` — computed ONCE per AOI.
+    The O(E^2) simplicity test must never run per tested point (it did,
+    via ``_point_in_polys``'s inline call, and made the 61-HUC
+    streamLines clip effectively unbounded)."""
+    return [[ring_is_simple(ring) for ring in poly] for poly in polys]
+
+
+def _point_in_polys(px: float, py: float, polys, simple_flags=None) -> bool:
     """Scalar union containment, same rules as the rasterization
     kernel: per ring even-odd when simple, nonzero winding when
     self-crossing (the buffer(0) repair); XOR across a polygon's
     rings, OR across polygons."""
+    if simple_flags is None:
+        simple_flags = _poly_simple_flags(polys)
     res = False
-    for poly in polys:
+    for poly, flags in zip(polys, simple_flags):
         fill = False
-        for ring in poly:
-            if ring_is_simple(ring):
+        for ring, simple in zip(poly, flags):
+            if simple:
                 crossings = 0
                 for (ax, ay), (bx, by) in zip(ring, ring[1:]):
                     if (ay > py) != (by > py):
@@ -378,6 +433,45 @@ def _point_in_polys(px: float, py: float, polys) -> bool:
     return res
 
 
+def _points_in_polys_batch(pxs, pys, polys, simple_flags):
+    """Vectorized union containment for a batch of points — the same
+    per-element formulas as ``_point_in_polys`` (even-odd crossing /
+    nonzero winding with identical xin arithmetic), evaluated as
+    (points x edges) numpy broadcasts per ring."""
+    import numpy as np
+
+    px = np.asarray(pxs, dtype=np.float64)
+    py = np.asarray(pys, dtype=np.float64)
+    res = np.zeros(len(px), dtype=bool)
+    for poly, flags in zip(polys, simple_flags):
+        fill = np.zeros(len(px), dtype=bool)
+        for ring, simple in zip(poly, flags):
+            r = np.asarray(ring, dtype=np.float64)
+            ax, ay = r[:-1, 0], r[:-1, 1]   # edges: consecutive pairs,
+            bx, by = r[1:, 0], r[1:, 1]     # ring explicitly closed
+            dy = by - ay
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # xin[e, p] = ax + (py - ay)/(by - ay) * (bx - ax)
+                xin = ax[:, None] + (py[None, :] - ay[:, None]) / dy[:, None] * (
+                    bx - ax
+                )[:, None]
+            left = px[None, :] < xin
+            if simple:
+                crossing = (ay[:, None] > py[None, :]) != (by[:, None] > py[None, :])
+                ring_fill = ((crossing & left).sum(axis=0) % 2) == 1
+            else:
+                nz = dy != 0.0
+                up = (ay[:, None] <= py[None, :]) & (py[None, :] < by[:, None])
+                dn = (by[:, None] <= py[None, :]) & (py[None, :] < ay[:, None])
+                wn = (left & up & nz[:, None]).sum(axis=0) - (
+                    left & dn & nz[:, None]
+                ).sum(axis=0)
+                ring_fill = wn != 0
+            fill ^= ring_fill
+        res |= fill
+    return res
+
+
 def clip_lines(lines, polys):
     """Clip polylines to the union of polygons — the reference's
     geometric clip-before-rasterize (Utils.scala:196-198
@@ -393,34 +487,103 @@ def clip_lines(lines, polys):
     Returns a list of 2-point segments (``rasterize_lines`` accepts any
     polyline list and dedups cells).
     """
+    import numpy as np
+
     edges = [
         (ax, ay, bx, by)
         for poly in polys
         for ring in poly
         for (ax, ay), (bx, by) in zip(ring, ring[1:])
     ]
+    simple_flags = _poly_simple_flags(polys)  # O(E^2) ONCE, not per point
+
+    # flatten all input segments, keeping input order (the output order
+    # contract: line order, then parameter order within a segment)
+    seg = np.asarray(
+        [
+            (x0, y0, x1, y1)
+            for line in lines
+            for (x0, y0), (x1, y1) in zip(line, line[1:])
+        ],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    if len(seg) == 0 or not edges:
+        # no polygon edges: containment alone decides (degenerate AOIs)
+        out0: list[list[tuple[float, float]]] = []
+        for x0, y0, x1, y1 in seg:
+            tm = 0.5
+            if _point_in_polys(
+                x0 + (x1 - x0) * tm, y0 + (y1 - y0) * tm, polys, simple_flags
+            ):
+                out0.append([(x0, y0), (x1, y1)])
+        return out0
+
+    E = np.asarray(edges, dtype=np.float64)
+    eax, eay, ebx, eby = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    ex, ey = ebx - eax, eby - eay
+
+    # AOI bbox prune: a segment whose bbox misses the polygon bbox can
+    # produce no crossings and no inside midpoints — for per-shape
+    # clipping of a basin-wide stream network this removes most of the
+    # (segments x edges) work
+    bx0, by0 = E[:, [0, 2]].min(), E[:, [1, 3]].min()
+    bx1, by1 = E[:, [0, 2]].max(), E[:, [1, 3]].max()
+    sx0 = np.minimum(seg[:, 0], seg[:, 2])
+    sx1 = np.maximum(seg[:, 0], seg[:, 2])
+    sy0 = np.minimum(seg[:, 1], seg[:, 3])
+    sy1 = np.maximum(seg[:, 1], seg[:, 3])
+    alive = ~((sx1 < bx0) | (sx0 > bx1) | (sy1 < by0) | (sy0 > by1))
+
     out: list[list[tuple[float, float]]] = []
-    for line in lines:
-        for (x0, y0), (x1, y1) in zip(line, line[1:]):
-            dx, dy = x1 - x0, y1 - y0
+    CHUNK = 512  # segments per broadcast block (bounds the S x E arrays)
+    idx_alive = np.nonzero(alive)[0]
+    # gather cut lists per surviving segment (vectorized inner loop),
+    # then midpoint-test every candidate sub-interval in ONE batch per
+    # chunk — the same formulas as the scalar path, so results match
+    # bit-for-bit
+    for start in range(0, len(idx_alive), CHUNK):
+        ids = idx_alive[start : start + CHUNK]
+        s = seg[ids]
+        x0, y0 = s[:, 0], s[:, 1]
+        dx, dy = s[:, 2] - x0, s[:, 3] - y0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]
+            t = (
+                (eax[None, :] - x0[:, None]) * ey[None, :]
+                - (eay[None, :] - y0[:, None]) * ex[None, :]
+            ) / den
+            u = (
+                (eax[None, :] - x0[:, None]) * dy[:, None]
+                - (eay[None, :] - y0[:, None]) * dx[:, None]
+            ) / den
+        valid = (den != 0.0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+
+        # per-segment sorted unique cut parameters + interval midpoints
+        cand_mx: list[float] = []
+        cand_my: list[float] = []
+        cand_seg: list[int] = []
+        cand_ab: list[tuple[float, float]] = []
+        for k in range(len(ids)):
             ts = {0.0, 1.0}
-            for ax, ay, bx, by in edges:
-                ex, ey = bx - ax, by - ay
-                den = dx * ey - dy * ex
-                if den == 0.0:
-                    continue  # parallel/collinear: midpoint test decides
-                # solve P0 + t*d = A + u*e
-                t = ((ax - x0) * ey - (ay - y0) * ex) / den
-                u = ((ax - x0) * dy - (ay - y0) * dx) / den
-                if 0.0 < t < 1.0 and 0.0 <= u <= 1.0:
-                    ts.add(t)
+            ts.update(t[k][valid[k]].tolist())
             cuts = sorted(ts)
             for ta, tb in zip(cuts, cuts[1:]):
                 tm = (ta + tb) / 2.0
-                if _point_in_polys(x0 + dx * tm, y0 + dy * tm, polys):
-                    out.append(
-                        [(x0 + dx * ta, y0 + dy * ta), (x0 + dx * tb, y0 + dy * tb)]
-                    )
+                cand_mx.append(x0[k] + dx[k] * tm)
+                cand_my.append(y0[k] + dy[k] * tm)
+                cand_seg.append(k)
+                cand_ab.append((ta, tb))
+        if not cand_seg:
+            continue
+        inside = _points_in_polys_batch(cand_mx, cand_my, polys, simple_flags)
+        for keep, k, (ta, tb) in zip(inside, cand_seg, cand_ab):
+            if keep:
+                out.append(
+                    [
+                        (x0[k] + dx[k] * ta, y0[k] + dy[k] * ta),
+                        (x0[k] + dx[k] * tb, y0[k] + dy[k] * tb),
+                    ]
+                )
     return out
 
 

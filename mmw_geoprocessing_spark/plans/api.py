@@ -92,9 +92,25 @@ def _mask(spark: SparkSession, input_data: InputData):
     polys = _aoi_polys(input_data)
     if polys is not None:
         return geometry.rasterize_polygons(
-            spark, polys, input_data.pixel_is_area, layout=_layout(input_data)
+            spark, polys, input_data.pixel_is_area,
+            layout=_with_layer_extent(spark, _layout(input_data)),
         )
     raise MissingVectorError("operation requires an AOI (aoi_ids or shape GeoJSON)")
+
+
+def _with_layer_extent(spark: SparkSession, layout):
+    """Attach the layer grid's tile-key extent to the rasterization
+    frame (GridLayout.extent_keys) — GeoTrellis rasterizes an AOI
+    against the LAYER's TileLayerMetadata extent
+    (Geoprocessing.scala:219-221), so candidate cells outside the layer
+    grid are never enumerated. All fixture layers share the cells grid;
+    a catalog deployment passes per-layer extents through
+    register_zoom_layouts instead."""
+    import dataclasses
+
+    if layout.extent_keys is not None:
+        return layout
+    return dataclasses.replace(layout, extent_keys=fx.grid_key_extent(spark))
 
 
 def _parse_lines_geojson(strings: list[str]) -> list[list[tuple[float, float]]]:
@@ -282,11 +298,18 @@ def run_request(spark: SparkSession, input_data: InputData) -> dict:
         if not targets:
             raise MissingVectorError("RasterSummary requires rasters")
         df = zonal.raster_summary(targets, _mask(spark, input_data))
-        rows = sorted(df.collect(), key=lambda r: r["raster_idx"])
-        # input-raster order preserved (Geoprocessing.scala:422-423)
+        by_idx = {r["raster_idx"]: r for r in df.collect()}
+        # input-raster order preserved (Geoprocessing.scala:422-423);
+        # a raster with no surviving mask cells (e.g. an AOI outside
+        # the layer extent, where the mask is empty by construction)
+        # still answers its {min, avg, max} slot, all-NULL
         return [
-            {"min": r["min_value"], "avg": r["avg_value"], "max": r["max_value"]}
-            for r in rows
+            {
+                "min": r["min_value"] if r is not None else None,
+                "avg": r["avg_value"] if r is not None else None,
+                "max": r["max_value"] if r is not None else None,
+            }
+            for r in (by_idx.get(i) for i in range(len(targets)))
         ]
 
     raise InvalidOperationError(op)  # unreachable
@@ -343,7 +366,7 @@ def multi_request(spark: SparkSession, multi: MultiInput) -> dict:
                 f"zoom {multi.zoom} has no registered layer layout; "
                 f"registered zooms: {sorted(geometry.ZOOM_LAYOUTS)}"
             )
-        multi_layout = geometry.ZOOM_LAYOUTS[multi.zoom]
+        multi_layout = _with_layer_extent(spark, geometry.ZOOM_LAYOUTS[multi.zoom])
 
         def masks_for(pixel_is_area: bool):
             parts_masks = [

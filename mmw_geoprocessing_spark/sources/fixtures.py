@@ -441,6 +441,7 @@ def clear_fixture_cache() -> None:
     as it was found."""
     _FIXTURE_CACHE.clear()
     _PYRAMID_CACHE.clear()
+    _EXTENT_CACHE.clear()
     while _SAVED_BUCKET_CONFS:
         _, (spark, saved) = _SAVED_BUCKET_CONFS.popitem()
         for conf_key, prior in saved.items():
@@ -533,3 +534,30 @@ def mask_all_df_at_zoom(spark: SparkSession, zoom: int) -> DataFrame:
 
 def line_pixels_df_at_zoom(spark: SparkSession, zoom: int) -> DataFrame:
     return _pixelset_df_at_zoom(spark, "line_pixels", zoom, ("line_id",))
+
+
+# (session id, sf_dir) -> fixture grid key extent. One tiny agg over the
+# cells CTE, computed once per session like the other fixture caches.
+_EXTENT_CACHE: dict[tuple[int, str], tuple[int, int, int, int]] = {}
+
+
+def grid_key_extent(spark: SparkSession) -> tuple[int, int, int, int]:
+    """The fixture layer grid's tile-key extent ``(kc0, kr0, kc1, kr1)``
+    — the analogue of the reference's per-layer TileLayerMetadata extent
+    (Geoprocessing.scala:219-221). AOI rasterization clips its candidate
+    enumeration to this range (geometry.GridLayout.extent_keys): a
+    request whose AOI lies outside the layer grid then costs O(1)
+    instead of O(AOI-bbox cells)."""
+    key = (id(spark), _ACTIVE_DIR.get(id(spark), _ACTIVE_DIR.get(0, "")))
+    cached = _EXTENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    row = fixture_df(spark, "cells").selectExpr(
+        "min(key_col) AS kc0",
+        "min(key_row) AS kr0",
+        "max(key_col) AS kc1",
+        "max(key_row) AS kr1",
+    ).collect()[0]
+    ext = (int(row["kc0"]), int(row["kr0"]), int(row["kc1"]), int(row["kr1"]))
+    _EXTENT_CACHE[key] = ext
+    return ext

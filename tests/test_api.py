@@ -356,7 +356,16 @@ def test_run_zoom_selects_grid_layout(spark, tables):
     from mmw_geoprocessing_spark import geometry
     from mmw_geoprocessing_spark.errors import InvalidZoomError
 
-    assert _mask_at(spark, 0, _zoom_shape(1.0)).count() == 64 * 64
+    # the candidate enumeration is clipped to the LAYER grid extent
+    # (GridLayout.extent_keys — GeoTrellis rasterizes against the
+    # layer's TileLayerMetadata extent), so the 64x64-cell request
+    # square yields 64 cells per covered row, bounded by the fixture
+    # grid's tile rows at this sf
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    kc0, kr0, kc1, kr1 = fx.grid_key_extent(spark)
+    covered_rows = min(64, (kr1 + 1) * 8) - max(0, kr0 * 8)
+    assert _mask_at(spark, 0, _zoom_shape(1.0)).count() == 64 * covered_rows
     with pytest.raises(InvalidZoomError):
         _mask_at(spark, 5, _zoom_shape(1.0))
 
