@@ -4,10 +4,13 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-83 queries are registered (the round-9 81 plus round 10's
+85 queries are registered (the round-9 81 plus round 10's
 ``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
 — and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
-replaces the exact variant's full-corpus crossJoin), all with full
+replaces the exact variant's full-corpus crossJoin — and
+``similarity_cosine_topk_pandas``, the Arrow matmul kernel's
+rank-only face with a full oracle — and ``search_bm25_indexed_topk``,
+bm25 served from persisted ingest-time postings), all with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only
@@ -591,6 +594,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": lambda s, d: sim.quantize_embeddings(
             _t(s, d)["embeddings"]
         ),
+        # round 10 (r9 verdict #8): the Arrow matmul kernel's rank-only
+        # face — full oracle via the exact fold's ranking (raw cosines
+        # are summation-order-sensitive; the ranking is not)
+        "similarity_cosine_topk_pandas": lambda s, d: sim.cosine_topk_pandas_ranks(
+            _t(s, d)["embeddings"]
+        ),
         "similarity_ann_ivf_q8_topk": lambda s, d: sim.ann_ivf_q8_topk(
             _t(s, d)["embeddings"]
         ),
@@ -641,6 +650,11 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gap-based batch sessionization (the batch twin of the
         # streaming session windows)
         "search_bm25_topk": lambda s, d: se.bm25_topk(s, _t(s, d)["documents"]),
+        # round 10: the ingest-time-index serving shape (persisted
+        # postings/df/totals; the per-query corpus scan moves to ingest)
+        "search_bm25_indexed_topk": lambda s, d: se.bm25_indexed_topk(
+            s, _t(s, d)["documents"]
+        ),
         "cdc_changelog_merge": lambda s, d: cdc.changelog_merge_orders(
             _t(s, d)["orders"]
         ),
@@ -699,6 +713,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "lib_semantic_dedup_pairs": sim.semantic_dedup_pairs_sql(),
         "text_unigram_surprisal": ta.unigram_surprisal_scores_sql(),
         "embedding_quantize_int8": sim.quantize_embeddings_sql(),
+        "similarity_cosine_topk_pandas": sim.cosine_topk_pandas_ranks_sql(),
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
@@ -712,6 +727,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "text_pii_redact": ta.pii_redact_sql(table=f"({_PII_INJECT_SQL})"),
         "text_normalize": ta.normalize_text_sql(table=f"({_MARKUP_INJECT_SQL})"),
         "search_bm25_topk": se.bm25_topk_sql(),
+        "search_bm25_indexed_topk": se.bm25_indexed_topk_sql(),
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),

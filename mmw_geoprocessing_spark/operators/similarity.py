@@ -605,6 +605,39 @@ def cosine_topk_pandas(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_pandas_ranks(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """The REGISTERED face of the Arrow kernel (r9 verdict #8): project
+    the rank list only. numpy's matmul accumulates in a different order
+    than the SQL fold, so the raw cosine DOUBLEs are not value-hashable
+    — but the induced RANKING is (ties break on vec_id; the fixture
+    corpus has no cosine ties within 1e-12, pinned in
+    tests/test_llm_ops.py), which gives the kernel a full DuckDB oracle
+    instead of a rows-only check."""
+    return cosine_topk_pandas(embeddings, n_queries, k).select(
+        "q_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def cosine_topk_pandas_ranks_sql(n_queries: int = 20, k: int = 5) -> str:
+    """Rank-only oracle: the exact fold cosine's ranking (matmul and
+    fold agree on order wherever no near-tie exists)."""
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id, v AS cv FROM base)
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q.q_id, c.vec_id,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id ORDER BY {cos} DESC, c.vec_id
+             ) AS BIGINT) AS rank
+      FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id
+    ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer -> per-cell inverted lists.
 # ---------------------------------------------------------------------------

@@ -123,6 +123,21 @@ def _merge_into_state(state_root: str, batch_df: DataFrame, epoch_id: int) -> No
     win.write.mode("overwrite").parquet(
         os.path.join(state_root, f"state_{epoch_id:09d}")
     )
+    # prune superseded snapshots NOW, not just post-drain: each epoch's
+    # snapshot is cumulative, so a long drain would otherwise hold
+    # n_batches full copies on disk simultaneously (the sf10 gate run
+    # filled the device at ~50 epochs x full-table). Epoch N-1 is KEPT:
+    # the checkpoint commits N only after this function returns, so a
+    # crash between here and the commit replays N — whose merge base is
+    # the max epoch < N. Pruning only epochs < N-1 keeps that base
+    # alive in every crash window; steady-state disk = 2 snapshots.
+    import shutil
+
+    for e in _state_epochs(state_root):
+        if e < epoch_id - 1:
+            shutil.rmtree(
+                os.path.join(state_root, f"state_{e:09d}"), ignore_errors=True
+            )
 
 
 def _state_epochs(state_root: str) -> list[int]:
@@ -297,6 +312,27 @@ def _merge_into_state_bucketed(
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(state_root, f"state_{epoch_id:09d}")
     )
+    # per-bucket analogue of the flat variant's in-drain pruning: a
+    # touched bucket's copies older than its newest pre-N owner are
+    # superseded twice over and can never serve as a replay base (the
+    # replay of N resolves owners among epochs < N, which finds the
+    # kept newest copy). Keeps disk ∝ 2x state, not n_batches x state.
+    import shutil
+
+    for b in touched:
+        owner_epochs = sorted(
+            e
+            for e in _state_epochs(state_root)
+            if e < epoch_id
+            and os.path.isdir(
+                os.path.join(state_root, f"state_{e:09d}", f"bucket={b}")
+            )
+        )
+        for e in owner_epochs[:-1]:
+            shutil.rmtree(
+                os.path.join(state_root, f"state_{e:09d}", f"bucket={b}"),
+                ignore_errors=True,
+            )
 
 
 def _bucketed_state_df(spark, state_root: str) -> DataFrame | None:

@@ -1136,3 +1136,27 @@ def test_semantic_dedup_components_transitive_closure(spark, tables, duck):
         by_comp.setdefault(c, []).append(v)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_cosine_topk_pandas_ranks_oracle_and_no_near_ties(spark, tables, duck):
+    """r9 verdict #8: the Arrow matmul kernel's registered rank-only
+    face must hash-match the exact fold's ranking, and the premise —
+    no cosine near-ties within the top-k on this corpus — is pinned so
+    a future fixture change that breaks it fails loudly here, not in
+    the driver gate."""
+    import pandas as pd
+
+    from mmw_geoprocessing_spark.operators import similarity as sim
+
+    got = sim.cosine_topk_pandas_ranks(tables["embeddings"]).toPandas()
+    want = duck.execute(sim.cosine_topk_pandas_ranks_sql()).df()
+    cols = ["q_id", "vec_id", "rank"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # near-tie premise: adjacent top-k cosines differ by > 1e-12
+    sc = sim.cosine_topk(tables["embeddings"]).toPandas()
+    for _, grp in sc.groupby("q_id"):
+        c = grp.sort_values("rank")["cosine"].values
+        assert all(abs(c[i] - c[i + 1]) > 1e-12 for i in range(len(c) - 1))

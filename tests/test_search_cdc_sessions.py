@@ -103,6 +103,25 @@ def test_hybrid_rrf_both_legs_beat_single_leg(spark, tables):
         assert (b.rrf_score > dominated.rrf_score).all()
 
 
+def test_bm25_indexed_matches_fresh_and_serves_from_index(spark, tables, duck):
+    """round 10: the ingest-time-index serving shape must return the
+    IDENTICAL result set as the fresh plan (same oracle), and its warm
+    plan must read the persisted postings (InMemoryTableScan), not
+    re-scan the corpus."""
+    import pandas as pd
+
+    fresh = se.bm25_topk(spark, tables["documents"]).toPandas()
+    warm = se.bm25_indexed_topk(spark, tables["documents"])
+    got = warm.toPandas()
+    cols = sorted(fresh.columns)
+    a = fresh[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    _match(warm, duck, se.bm25_indexed_topk_sql())
+    plan = warm._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
 def test_hybrid_rrf_ivf_matches_oracle(spark, tables, duck):
     _match(
         se.hybrid_rrf_ivf_topk(spark, tables["documents"], tables["embeddings"]),

@@ -191,6 +191,48 @@ def check_claims() -> list[str]:
                     f"SELFCHECK_SF10 skip reason for `{op}` cites a "
                     f"SELFCHECK_SF1 row that is not a pass"
                 )
+
+    # --- shape 4 (r9 verdict #7): schema-v2 artifacts must carry
+    # machine-readable per-row verdicts ---------------------------------
+    problems.extend(check_artifact_schema(arts))
+    return problems
+
+
+_VALID_VERDICTS = {"pass", "fail", "rows_only", "skipped"}
+
+
+def check_artifact_schema(arts: dict | None = None) -> list[str]:
+    """Validate the SELFCHECK artifact shape: schema_version >= 2 means
+    EVERY row carries {verdict, reason, rows} with verdict in
+    {pass, fail, rows_only, skipped} — so the judge and driver can
+    machine-read the rows without parsing free-text notes. Version-1
+    artifacts (written before round 10) are accepted as legacy but
+    reported once so they get regenerated."""
+    if arts is None:
+        arts = {name: _load(name) for name in _ARTIFACTS}
+    problems: list[str] = []
+    for name, art in arts.items():
+        if art is None:
+            continue
+        if art.get("schema_version", 1) < 2:
+            problems.append(
+                f"{name}.json is a legacy (v1) artifact — regenerate with the "
+                f"round-10 selfcheck so every row carries verdict/reason/rows"
+            )
+            continue
+        for op, row in art.get("queries", {}).items():
+            if not isinstance(row, dict):
+                problems.append(f"{name}.json `{op}`: row is not an object")
+                continue
+            v = row.get("verdict")
+            if v not in _VALID_VERDICTS:
+                problems.append(
+                    f"{name}.json `{op}`: verdict {v!r} not in {_VALID_VERDICTS}"
+                )
+            if "reason" not in row:
+                problems.append(f"{name}.json `{op}`: missing reason")
+            if "rows" not in row:
+                problems.append(f"{name}.json `{op}`: missing rows")
     return problems
 
 

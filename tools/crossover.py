@@ -278,6 +278,69 @@ def main() -> None:
                 )
             )
         return
+    if "--tier" in sys.argv and "sf1-llm" in sys.argv:
+        # r9 verdict #2: the six round-8/9 LLM rows whose sf0.1 ratios
+        # sit over 2x with no at-scale TIMING (plans audited bounded,
+        # ratios argued to be the multi-stage fixed floor — this tier
+        # measures it). The new IVF-backed hybrid rides along so the
+        # exact-vs-indexed dense-leg gap is on record at scale.
+        build_replica()
+        qs = [
+            "search_bm25_topk",
+            "search_hybrid_rrf_topk",
+            "search_hybrid_rrf_ivf_topk",
+            "sessionize_events",
+            "text_classifier_score",
+            "sampling_corpus_mix",
+            "text_quality_percentile_filter",
+        ]
+        duck = bench_duck(DST, qs)
+        spark = bench_spark(DST, qs)
+        for q in qs:
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
+            print(
+                json.dumps(
+                    {
+                        "sf": "sf1~",
+                        "query": q,
+                        "spark_s": spark[q]["min"],
+                        "spark_mean_s": spark[q]["mean"],
+                        "duck_s": duck[q]["min"],
+                        "duck_mean_s": duck[q]["mean"],
+                        "ratio": ratio,
+                    }
+                )
+            )
+        return
+    if "--tier" in sys.argv and "sf10-llm" in sys.argv:
+        # the 100x tier for any sf1-llm row that has not converged:
+        # fixed floor amortizes further, structural deficits do not
+        build_replica(DST10, COPIES10)
+        qs = sys.argv[sys.argv.index("--tier") + 2 :] or [
+            "search_bm25_topk",
+            "sessionize_events",
+            "text_classifier_score",
+            "sampling_corpus_mix",
+            "text_quality_percentile_filter",
+        ]
+        duck = bench_duck(DST10, qs)
+        spark = bench_spark(DST10, qs)
+        for q in qs:
+            ratio = round(spark[q]["min"] / duck[q]["min"], 2) if duck[q]["min"] else None
+            print(
+                json.dumps(
+                    {
+                        "sf": "sf10~",
+                        "query": q,
+                        "spark_s": spark[q]["min"],
+                        "spark_mean_s": spark[q]["mean"],
+                        "duck_s": duck[q]["min"],
+                        "duck_mean_s": duck[q]["mean"],
+                        "ratio": ratio,
+                    }
+                )
+            )
+        return
     if "--tier" in sys.argv and "sf10" in sys.argv:
         build_replica(DST10, COPIES10)
         rows = []

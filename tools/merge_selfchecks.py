@@ -18,7 +18,7 @@ import sys
 
 def main() -> int:
     out_path, in_paths = sys.argv[1], sys.argv[2:]
-    merged: dict = {"sf_dir": None, "notes": [], "queries": {}}
+    merged: dict = {"schema_version": 2, "sf_dir": None, "notes": [], "queries": {}}
     for p in in_paths:
         with open(p) as f:
             part = json.load(f)

@@ -185,7 +185,9 @@ def main() -> int:
             # artifact carries WHY, not just THAT (no silent skips)
             results[name] = {
                 "skipped": True,
+                "verdict": "skipped",
                 "reason": os.environ.get("SELFCHECK_SKIP_REASON") or None,
+                "rows": None,
             }
             continue
         if name in big and name in oracles:
@@ -195,7 +197,12 @@ def main() -> int:
             except Exception as e:
                 print(f"FAIL  {name}: bigresult error: {str(e)[:300]}")
                 failures += 1
-                results[name] = {"err": f"bigresult: {str(e)[:200]}"}
+                results[name] = {
+                    "err": f"bigresult: {str(e)[:200]}",
+                    "verdict": "fail",
+                    "reason": f"bigresult error: {str(e)[:200]}",
+                    "rows": None,
+                }
                 continue
             ok = res.get("hash_match", False)
             failures += not ok
@@ -206,6 +213,13 @@ def main() -> int:
                 f"{res.get('except_all_diff_rows')} (duckdb_except_all) "
                 f"[{time.time() - t0:.1f}s]"
             )
+            res["verdict"] = "pass" if ok else "fail"
+            res["reason"] = (
+                "EXCEPT ALL empty both ways vs DuckDB oracle (big-result path)"
+                if ok
+                else "EXCEPT ALL non-empty vs DuckDB oracle"
+            )
+            res["rows"] = res.get("spark_rows")
             results[name] = res
             continue
         t0 = time.time()
@@ -214,12 +228,23 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             failures += 1
-            results[name] = {"err": f"spark: {str(e)[:200]}"}
+            results[name] = {
+                "err": f"spark: {str(e)[:200]}",
+                "verdict": "fail",
+                "reason": f"spark error: {str(e)[:200]}",
+                "rows": None,
+            }
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t1 - t0:.1f}s]")
-            results[name] = {"spark_rows": len(sdf), "oracle": None}
+            results[name] = {
+                "spark_rows": len(sdf),
+                "oracle": None,
+                "verdict": "rows_only",
+                "reason": "no oracle registered (non-SQL-expressible)",
+                "rows": len(sdf),
+            }
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -243,11 +268,19 @@ def main() -> int:
                 results[name] = {
                     "spark_rows": len(sdf),
                     "oracle_infeasible": str(e)[:200],
+                    "verdict": "rows_only",
+                    "reason": f"oracle infeasible at this scale: {str(e)[:160]}",
+                    "rows": len(sdf),
                 }
                 continue
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
-            results[name] = {"err": f"duckdb: {str(e)[:200]}"}
+            results[name] = {
+                "err": f"duckdb: {str(e)[:200]}",
+                "verdict": "fail",
+                "reason": f"duckdb error: {str(e)[:200]}",
+                "rows": len(sdf),
+            }
             continue
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
@@ -275,6 +308,14 @@ def main() -> int:
             "hash_match": ok_hash,
             "spark_rows": len(sdf),
             "oracle_rows": len(ddf),
+            "verdict": "pass" if ok_hash else "fail",
+            "reason": (
+                "rows + schema + order-insensitive value hash vs DuckDB oracle"
+                if ok_hash
+                else "mismatch: rows_match=%s schema_match=%s hash_match=%s"
+                % (ok_rows, ok_cols and ok_kinds, ok_hash)
+            ),
+            "rows": len(sdf),
         }
         if not ok_hash and ok_cols and ok_rows:
             s, d = _canon(sdf), _canon(ddf)
@@ -296,6 +337,11 @@ def main() -> int:
 
         lineitem = load_table(spark, sf_dir, "lineitem")
         artifact = {
+            # schema v2 (r9 verdict #7): every row carries machine-
+            # readable {verdict, reason, rows}; verdict in
+            # {pass, fail, rows_only, skipped}. tools/claims_check.py
+            # validates this shape.
+            "schema_version": 2,
             "sf_dir": sf_dir,
             "n_queries": len(results),
             "n_failures": failures,
