@@ -65,6 +65,7 @@ AUDITED = [
     "basket_pair_affinities",
     # round-10 additions
     "search_hybrid_rrf_ivf_topk",
+    "search_bm25_indexed_topk",
 ]
 
 THETA_OK = {
@@ -87,6 +88,8 @@ THETA_OK = {
     # (no corpus product) but the BM25 leg still carries bm25's 1-row
     # totals crossJoin
     "search_hybrid_rrf_ivf_topk",
+    # served from persisted indexes; inherits bm25's 1-row totals crossJoin
+    "search_bm25_indexed_topk",
 }
 
 
