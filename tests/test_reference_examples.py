@@ -37,11 +37,13 @@ def _remap_rasters(names):
     return table
 
 
-# input-style examples small enough to replay quickly (DRB_Medium's
-# 1.4 MB line payload covers the same code path as DRB_Small's 0.6 MB)
+# every input-style example replays, including DRB_Medium's 1.4 MB
+# 1856-line payload (feasible since the round-10 clip_lines/
+# ring_is_simple vectorization; it was excluded for speed before)
 INPUT_EXAMPLES = [
     "EmptyTileRequest.json",
     "MapshedJob_DRB_Small.json",
+    "MapshedJob_DRB_Medium.json",
     "MapshedJob_NHD.json",
     "MapshedJob_RasterAverage.json",
     "MapshedJob_RasterGroupedAverage.json",
