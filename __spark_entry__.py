@@ -4,13 +4,15 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-85 queries are registered (the round-9 81 plus round 10's
+86 queries are registered (the round-9 81 plus round 10's
 ``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
 — and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
 replaces the exact variant's full-corpus crossJoin — and
 ``similarity_cosine_topk_pandas``, the Arrow matmul kernel's
 rank-only face with a full oracle — and ``search_bm25_indexed_topk``,
-bm25 served from persisted ingest-time postings), all with full
+bm25 served from persisted ingest-time postings — and
+``stream_interval_join``, the watermarked stream-stream attribution
+join over a time-ordered exactly-once replay), all with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only
@@ -120,6 +122,11 @@ _STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # merges/rewrites only the key buckets it touches (per-batch I/O ∝
     # touched buckets, not full state); identical final table + oracle
     "stream_cdc_merge_bucketed": scdc.stream_cdc_merge_bucketed_batch,
+    # round 10: stream-stream interval join (view→purchase attribution)
+    # over the time-ordered exactly-once replay — the two-input
+    # stateful streaming operator, with the batch self-join as its
+    # closed-form oracle
+    "stream_interval_join": sw.stream_interval_join_batch,
 }
 
 _STREAM_ORACLES: dict[str, str] = {
@@ -128,6 +135,7 @@ _STREAM_ORACLES: dict[str, str] = {
     "stream_content_dedup": sw.stream_content_dedup_batch_sql(),
     "stream_cdc_merge": scdc.stream_cdc_merge_batch_sql(),
     "stream_cdc_merge_bucketed": scdc.stream_cdc_merge_bucketed_batch_sql(),
+    "stream_interval_join": sw.stream_interval_join_batch_sql(),
 }
 
 

@@ -435,11 +435,16 @@ def replay_events_dir(spark, sf_dir: str, *, resend_surrogates: bool) -> str:
     try:
         os.rename(work, final)
     except OSError:
-        # another session won the race; theirs is complete (rename is
-        # the commit point)
-        import shutil
+        # either another session won the race (final exists, complete —
+        # rename is the commit point) or the rename failed for an
+        # unrelated reason (EXDEV across devices): only discard our
+        # work when the winner is real
+        if os.path.isdir(final):
+            import shutil
 
-        shutil.rmtree(work, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            return work
     return final
 
 
@@ -515,11 +520,22 @@ def stream_content_dedup(
 _CONTENT_COLS = ("user_id", "event_type", "value", "props")
 
 
-def _drain_to_batch(spark, op_df: "DataFrame") -> "DataFrame":
+def _drain_to_batch(spark, op_df: "DataFrame", key: str | None = None) -> "DataFrame":
+    """Drain ``op_df`` to a parquet sink and read it back.
+
+    With ``key`` set, the checkpoint and sink are KEYED and reused
+    across invocations (the streaming/cdc.py discipline): a repeat
+    drain finds the durable checkpoint caught up, appends nothing, and
+    re-reads the committed sink — instead of leaking a fresh
+    events-table-sized sink per registry call."""
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="stream_dedup_reg_ckpt_")
-    sink = tempfile.mkdtemp(prefix="stream_dedup_reg_sink_") + "/out"
+    if key is None:
+        ckpt = tempfile.mkdtemp(prefix="stream_dedup_reg_ckpt_")
+        sink = tempfile.mkdtemp(prefix="stream_dedup_reg_sink_") + "/out"
+    else:
+        base = os.path.join(tempfile.gettempdir(), f"stream_drain_{key}")
+        ckpt, sink = base + "_ckpt", base + "_sink/out"
     run_availablenow(op_df, ckpt, sink_path=sink, timeout_s=1800)
     return spark.read.parquet(sink)
 
@@ -529,7 +545,11 @@ def stream_exact_dedup_batch(spark, sf_dir: str) -> "DataFrame":
     replay (chunk 2 re-sends a quarter of chunk 1 byte-identically).
     Survivors = every original event exactly once."""
     src = replay_events_dir(spark, sf_dir, resend_surrogates=False)
-    out = _drain_to_batch(spark, stream_exact_dedup(stream_events(spark, src)))
+    out = _drain_to_batch(
+        spark,
+        stream_exact_dedup(stream_events(spark, src)),
+        key=f"exact_{os.path.basename(src)}",
+    )
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -548,11 +568,153 @@ def stream_content_dedup_batch(spark, sf_dir: str) -> "DataFrame":
     content columns (the surviving surrogate id is which-arrival-
     dependent; the content payload is not)."""
     src = replay_events_dir(spark, sf_dir, resend_surrogates=True)
-    out = _drain_to_batch(spark, stream_content_dedup(stream_events(spark, src)))
+    out = _drain_to_batch(
+        spark,
+        stream_content_dedup(stream_events(spark, src)),
+        key=f"content_{os.path.basename(src)}",
+    )
     return out.select(*_CONTENT_COLS)
 
 
 def stream_content_dedup_batch_sql() -> str:
     return f"""
     SELECT DISTINCT {", ".join(_CONTENT_COLS)} FROM events
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (round 10): the attribution shape — each
+# 'view' joined to the same user's 'purchase' events within a bounded
+# event-time window. This is THE stateful two-input streaming operator
+# (Spark keeps both sides' unmatched rows in state, evicting exactly
+# the rows the time bound proves unmatchable), and the relational
+# surface's interval_join_events run as a true readStream plan.
+# ---------------------------------------------------------------------------
+
+# 4 h attribution window: substantive result sizes on the month-long
+# fixture event span (10 min gave 4 rows at sf0.01; 4 h gives 125)
+JOIN_WINDOW_MIN = 240
+
+
+def replay_events_time_chunks(spark, sf_dir: str) -> str:
+    """TIME-ORDERED exactly-once replay: two single-file chunks split at
+    the (approximate) median event time, arriving oldest-first. Unlike
+    the at-least-once dedup replays, this source delivers every event
+    exactly once AND in chunk-level time order — the construction that
+    makes a watermarked stream-stream join's drained output equal the
+    batch join bit-for-bit: event time only moves forward across
+    micro-batches, so no row is ever late (nothing is dropped), and
+    state eviction removes only rows the join bound proves unmatchable.
+    Single-file chunks pin the batch order (the file source processes
+    oldest-mtime first)."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        tempfile.gettempdir(), f"stream_replay_timechunks_{tag}_{ident}"
+    )
+    if os.path.isdir(final):
+        return final
+    work = tempfile.mkdtemp(prefix="stream_replay_timechunks_build_")
+    ev = load_table(spark, sf_dir, "events")
+    # any deterministic split point works (the oracle reads the
+    # ORIGINAL table); the median halves the state high-water mark
+    split = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    import time as _time
+
+    ev.filter(F.col("ts") <= F.lit(split)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "a_early"))
+    _time.sleep(1.1)  # distinct mtimes: the file source orders by mtime
+    ev.filter(F.col("ts") > F.lit(split)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "b_late"))
+    try:
+        os.rename(work, final)
+    except OSError:
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            return work
+    return final
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_min: int = JOIN_WINDOW_MIN,
+    watermark: str = "480 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: per user, each left event
+    joined to right events with ``r.ts in [l.ts, l.ts + window_min]``.
+
+    State bound: the left side retains rows until the right watermark
+    passes ``l.ts + window_min`` (they can no longer match); the right
+    side until the left watermark passes ``r.ts``. Both sides'
+    unmatched-state is therefore ∝ (events per watermark window), not
+    history — the property that keeps a 100 TB/day join runnable.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {window_min} MINUTES"
+        ),
+        "inner",
+    )
+
+
+def stream_interval_join_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: view→purchase attribution joined as a TRUE
+    stream-stream plan (both inputs readStream over the time-ordered
+    exactly-once replay), drained via availableNow + durable
+    checkpoint. The time-ordered construction (see
+    ``replay_events_time_chunks``) gives the drained sink a closed-form
+    batch twin: the plain interval self-join over the original events
+    table."""
+    src = replay_events_time_chunks(spark, sf_dir)
+    views = stream_events(spark, src + "/*").filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, src + "/*").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_interval_join(views, purchases).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        _epoch(F.col("l.ts")).alias("view_ts_s"),
+        _epoch(F.col("r.ts")).alias("purchase_ts_s"),
+    )
+    out = _drain_to_batch(
+        spark, joined, key=f"ivjoin_{os.path.basename(src)}"
+    )
+    return out.select("user_id", "view_id", "purchase_id", "view_ts_s", "purchase_ts_s")
+
+
+def stream_interval_join_batch_sql(window_min: int = JOIN_WINDOW_MIN) -> str:
+    return f"""
+    SELECT l.user_id,
+           l.event_id AS view_id,
+           r.event_id AS purchase_id,
+           CAST(floor(epoch(CAST(l.ts AS TIMESTAMP))) AS BIGINT) AS view_ts_s,
+           CAST(floor(epoch(CAST(r.ts AS TIMESTAMP))) AS BIGINT) AS purchase_ts_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP)
+         <= CAST(l.ts AS TIMESTAMP) + INTERVAL {window_min} MINUTE
     """

@@ -262,3 +262,68 @@ def test_curate_stream_matches_batch_semantics(spark, tables):
             assert digest in sink_digests  # clean digest must survive
         elif all(i in dropped for i in ids):
             assert digest not in sink_digests  # doomed digest must not
+
+
+def test_registered_interval_join_equals_batch_twin(spark, tables, duck):
+    """Round 10: the registered stream-stream attribution join drained
+    over the time-ordered exactly-once replay must equal the batch
+    interval self-join row-for-row — INCLUDING cross-chunk matches (a
+    view in the early chunk attributed to a purchase in the late chunk),
+    which is what proves the join state survived the micro-batch
+    boundary rather than the batches being coincidentally self-contained."""
+    import os
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    got = sw.stream_interval_join_batch(spark, sf).toPandas()
+    want = duck.execute(sw.stream_interval_join_batch_sql()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_interval_join_state_survives_micro_batch_boundary(spark):
+    """Deterministic cross-chunk proof: a view delivered in micro-batch
+    1 must match a purchase delivered in micro-batch 2 (within the join
+    window) — i.e. the left row was HELD IN JOIN STATE across the batch
+    boundary, not matched within one batch. Synthetic 2-file source so
+    the straddling pair is guaranteed."""
+    import os
+    import tempfile
+    import time as _time
+
+    base = "2024-03-01 "
+    rows1 = [
+        (1, base + "10:00:00", 7, "view", 1.0, "{}"),
+        (2, base + "10:05:00", 7, "purchase", 2.0, "{}"),  # same-batch match
+        (3, base + "11:00:00", 8, "view", 1.0, "{}"),      # match arrives in b2
+    ]
+    rows2 = [
+        (4, base + "11:30:00", 8, "purchase", 3.0, "{}"),  # cross-batch match
+        (5, base + "23:00:00", 9, "purchase", 4.0, "{}"),  # no view: no row
+    ]
+    src = tempfile.mkdtemp(prefix="ivjoin_micro_")
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(os.path.join(src, name))
+
+    write(rows1, "a_early")
+    _time.sleep(1.1)
+    write(rows2, "b_late")
+
+    views = sw.stream_events(spark, src + "/*").filter(F.col("event_type") == "view")
+    purchases = sw.stream_events(spark, src + "/*").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = sw.stream_interval_join(views, purchases).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    out = sw._drain_to_batch(spark, joined)
+    pairs = {(r["view_id"], r["purchase_id"]) for r in out.collect()}
+    assert pairs == {(1, 2), (3, 4)}, pairs
