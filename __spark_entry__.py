@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-86 queries are registered (the round-9 81 plus round 10's
+87 queries are registered (the round-9 81 plus round 10's
 ``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
 — and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
 replaces the exact variant's full-corpus crossJoin — and
@@ -599,6 +599,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: ta.unigram_surprisal_scores(
             _t(s, d)["documents"]
         ),
+        # round 10: conditional-LM scoring — the bigram step toward the
+        # CCNet perplexity filter (transition improbability, which a
+        # unigram model cannot see)
+        "text_bigram_surprisal": lambda s, d: ta.bigram_surprisal_scores(
+            _t(s, d)["documents"]
+        ),
         "embedding_quantize_int8": lambda s, d: sim.quantize_embeddings(
             _t(s, d)["embeddings"]
         ),
@@ -720,6 +726,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "lib_repetition_scores": ta.repetition_scores_sql(),
         "lib_semantic_dedup_pairs": sim.semantic_dedup_pairs_sql(),
         "text_unigram_surprisal": ta.unigram_surprisal_scores_sql(),
+        "text_bigram_surprisal": ta.bigram_surprisal_scores_sql(),
         "embedding_quantize_int8": sim.quantize_embeddings_sql(),
         "similarity_cosine_topk_pandas": sim.cosine_topk_pandas_ranks_sql(),
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),

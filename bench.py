@@ -87,6 +87,8 @@ LLM_SECTION = [
     "dedup_incremental_batch",
     "text_duplicate_spans",
     "text_classifier_score",
+    # round 10: conditional-LM scoring (bigram surprisal)
+    "text_bigram_surprisal",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

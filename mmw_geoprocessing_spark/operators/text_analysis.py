@@ -894,3 +894,85 @@ def chunk_documents_sql(
                AS chunk_text
     FROM wins, LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS s) g
     """
+
+
+def bigram_surprisal_scores(documents: DataFrame) -> DataFrame:
+    """Conditional-LM quality scoring (round 10): per-document mean
+    bigram surprisal under the corpus's own bigram model — the step up
+    from ``unigram_surprisal_scores`` toward CCNet's KenLM perplexity
+    filter (Wenzek et al. 2020). A document whose word TRANSITIONS are
+    improbable (shuffled text, keyword stuffing, OCR scramble) scores
+    high even when its individual words are common — the failure mode a
+    unigram model cannot see.
+
+    Same cross-engine-exact device as the unigram operator: per bigram
+    (a, b), ``bits = bitlen(count(a, *)) - bitlen(count(a, b))`` — an
+    integer within ±1 bit of true ``-log2 P(b | a)``; sums of exact
+    integers value-hash across engines where transcendental logs
+    cannot. Documents with fewer than 2 tokens emit no row (they have
+    no transitions; both engines agree).
+
+    Output: ``(doc_id, n_bigrams, sum_bigram_bits, mean_bigram_bits)``.
+
+    100 TB shape (mirrors the unigram plan): one scan -> per-doc
+    bigram explode (arrays_zip of the shifted word array — zero
+    shuffle) -> ONE hash agg builds the bigram table (a, b, cnt_ab);
+    the context marginals (a, cnt_a) aggregate the SMALL bigram table,
+    not the corpus. Token pairs join back on (a, b) and on a (AQE
+    broadcasts both when they fit), then one doc_id agg of integer
+    sums. Transition-frequency skew lands in map-side partials, not in
+    a hot join key.
+    """
+    w = _wordlist(F.lower(F.col("text")))
+    pairs = documents.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.arrays_zip(
+                    F.slice(w, 1, F.size(w) - 1).alias("a"),
+                    F.slice(w, 2, F.size(w) - 1).alias("b"),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bigrams = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    contexts = bigrams.groupBy("a").agg(F.sum("cnt_ab").alias("cnt_a"))
+    bits = F.length(F.bin(F.col("cnt_a"))) - F.length(F.bin(F.col("cnt_ab")))
+    scored = pairs.join(bigrams, ["a", "b"]).join(contexts, "a")
+    n = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        F.sum(bits).alias("sum_bigram_bits"),
+        (F.sum(bits) / n).alias("mean_bigram_bits"),
+    )
+
+
+def bigram_surprisal_scores_sql(table: str = "documents") -> str:
+    """DuckDB twin: same tokenization, same shifted-pair construction
+    (1-based w[i], w[i+1] over i in [1, len)), same integer bits."""
+    return f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM {table}
+    ),
+    prs AS (
+        SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        FROM dw, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bigrams AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        FROM prs GROUP BY a, b
+    ),
+    contexts AS (
+        SELECT a, CAST(SUM(cnt_ab) AS BIGINT) AS cnt_a
+        FROM bigrams GROUP BY a
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(length(bin(cnt_a)) - length(bin(cnt_ab))) AS BIGINT)
+               AS sum_bigram_bits,
+           SUM(length(bin(cnt_a)) - length(bin(cnt_ab)))
+               / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_bits
+    FROM prs p JOIN bigrams USING (a, b) JOIN contexts USING (a)
+    GROUP BY p.doc_id
+    """

@@ -1160,3 +1160,35 @@ def test_cosine_topk_pandas_ranks_oracle_and_no_near_ties(spark, tables, duck):
     for _, grp in sc.groupby("q_id"):
         c = grp.sort_values("rank")["cosine"].values
         assert all(abs(c[i] - c[i + 1]) > 1e-12 for i in range(len(c) - 1))
+
+
+def test_bigram_surprisal_matches_oracle(spark, tables, duck):
+    import pandas as pd
+
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    got = ta.bigram_surprisal_scores(tables["documents"]).toPandas()
+    want = duck.execute(ta.bigram_surprisal_scores_sql()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values("doc_id").reset_index(drop=True)
+    b = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bigram_surprisal_sees_shuffled_text(spark):
+    """The operator's defining property: scrambled word ORDER raises
+    bigram surprisal while unigram surprisal cannot move (same words,
+    same document frequencies). 30 natural-order docs + 1 shuffled."""
+    from mmw_geoprocessing_spark.operators import text_analysis as ta
+
+    nat = "the quick brown fox jumps over the lazy dog"
+    shuf = "fox the over quick dog brown the jumps lazy"
+    assert sorted(nat.split()) == sorted(shuf.split())
+    rows = [(i, nat) for i in range(30)] + [(99, shuf)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    big = ta.bigram_surprisal_scores(docs).toPandas().set_index("doc_id")
+    assert big.loc[99, "mean_bigram_bits"] > big.loc[0, "mean_bigram_bits"] + 1.0
+
+    uni = ta.unigram_surprisal_scores(docs).toPandas().set_index("doc_id")
+    assert uni.loc[99, "mean_surprisal_bits"] == uni.loc[0, "mean_surprisal_bits"]

@@ -179,3 +179,74 @@ def test_pyramid_down_mode_matches_python_reference(spark, a):
             cnt = Counter(nn)
             want[k] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
     assert got == want
+
+
+# ------------------------------------------------------------------ geometry
+# Bit-exactness of the round-10 vectorized clip_lines against a direct
+# scalar transliteration of the pre-vectorization algorithm (the numpy
+# path claims IDENTICAL per-element float formulas; this pins it on
+# random inputs, including bbox-pruned and degenerate segments).
+
+
+def _clip_lines_scalar_reference(lines, polys):
+    from mmw_geoprocessing_spark.geometry import _point_in_polys, _poly_simple_flags
+
+    flags = _poly_simple_flags(polys)
+    edges = [
+        (ax, ay, bx, by)
+        for poly in polys
+        for ring in poly
+        for (ax, ay), (bx, by) in zip(ring, ring[1:])
+    ]
+    out = []
+    for line in lines:
+        for (x0, y0), (x1, y1) in zip(line, line[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            ts = {0.0, 1.0}
+            for ax, ay, bx, by in edges:
+                ex, ey = bx - ax, by - ay
+                den = dx * ey - dy * ex
+                if den == 0.0:
+                    continue
+                t = ((ax - x0) * ey - (ay - y0) * ex) / den
+                u = ((ax - x0) * dy - (ay - y0) * dx) / den
+                if 0.0 < t < 1.0 and 0.0 <= u <= 1.0:
+                    ts.add(t)
+            cuts = sorted(ts)
+            for ta, tb in zip(cuts, cuts[1:]):
+                tm = (ta + tb) / 2.0
+                if _point_in_polys(x0 + dx * tm, y0 + dy * tm, polys, flags):
+                    out.append(
+                        [(x0 + dx * ta, y0 + dy * ta), (x0 + dx * tb, y0 + dy * tb)]
+                    )
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            st.floats(-8, 8, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    sq=st.floats(0.5, 5.0, allow_nan=False, width=32),
+    off=st.floats(-3, 3, allow_nan=False, width=32),
+)
+def test_clip_lines_vectorized_matches_scalar_reference(pts, sq, off):
+    from mmw_geoprocessing_spark.geometry import clip_lines
+
+    sq, off = float(sq), float(off)
+    square = [[[(off, off), (off + sq, off), (off + sq, off + sq), (off, off + sq), (off, off)]]]
+    # also a self-crossing bowtie ring (nonzero-winding branch)
+    bowtie = [[[(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]]]
+    lines = [[(float(x), float(y)) for x, y in pts]]
+    for polys in (square, bowtie, square + bowtie):
+        got = clip_lines(lines, polys)
+        want = _clip_lines_scalar_reference(lines, polys)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            for (gx, gy), (wx, wy) in zip(g, w):
+                assert float(gx) == wx and float(gy) == wy  # BIT equality

@@ -66,6 +66,7 @@ AUDITED = [
     # round-10 additions
     "search_hybrid_rrf_ivf_topk",
     "search_bm25_indexed_topk",
+    "text_bigram_surprisal",
 ]
 
 THETA_OK = {
