@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-87 queries are registered (the round-9 81 plus round 10's
+88 queries are registered (the round-9 81 plus round 10's
 ``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
 — and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
 replaces the exact variant's full-corpus crossJoin — and
@@ -127,6 +127,10 @@ _STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stateful streaming operator, with the batch self-join as its
     # closed-form oracle
     "stream_interval_join": sw.stream_interval_join_batch,
+    # round 10: stream-static broadcast enrichment + watermarked daily
+    # rollup, append-mode; the flush-sentinel (watermark heartbeat)
+    # makes the drained sink equal the batch join+rollup
+    "stream_static_enrich": sw.stream_static_enrich_batch,
 }
 
 _STREAM_ORACLES: dict[str, str] = {
@@ -136,6 +140,7 @@ _STREAM_ORACLES: dict[str, str] = {
     "stream_cdc_merge": scdc.stream_cdc_merge_batch_sql(),
     "stream_cdc_merge_bucketed": scdc.stream_cdc_merge_bucketed_batch_sql(),
     "stream_interval_join": sw.stream_interval_join_batch_sql(),
+    "stream_static_enrich": sw.stream_static_enrich_batch_sql(),
 }
 
 

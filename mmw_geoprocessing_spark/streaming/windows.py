@@ -718,3 +718,144 @@ def stream_interval_join_batch_sql(window_min: int = JOIN_WINDOW_MIN) -> str:
      AND CAST(r.ts AS TIMESTAMP)
          <= CAST(l.ts AS TIMESTAMP) + INTERVAL {window_min} MINUTE
     """
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment + windowed aggregation (round 10): the
+# streaming-dashboard shape — a fact stream joined to a broadcast
+# static dimension, aggregated into event-time windows, emitted
+# APPEND-mode to a parquet sink. Completes the streaming join family:
+# stream-stream (interval join above) + stream-static (here).
+# ---------------------------------------------------------------------------
+
+
+def replay_events_flush_dir(spark, sf_dir: str) -> str:
+    """The time-chunked exactly-once replay plus a third single-file
+    chunk holding ONE flush sentinel: an event 2 days past the corpus
+    max whose join key (user_id = -1) matches no dimension row. The
+    sentinel is the WATERMARK HEARTBEAT / punctuation pattern: it flows
+    through the withWatermark operator (advancing event time past every
+    real window, so append mode emits them all before the drain ends)
+    and is then dropped by the inner dimension join — so it never
+    appears in the output. Without it, windows newer than
+    (max ts - watermark) would still sit in state when availableNow
+    stops, and the drained sink would not equal the batch twin."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        tempfile.gettempdir(), f"stream_replay_flush_{tag}_{ident}"
+    )
+    if os.path.isdir(final):
+        return final
+    work = tempfile.mkdtemp(prefix="stream_replay_flush_build_")
+    ev = load_table(spark, sf_dir, "events")
+    split = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    import time as _time
+
+    ev.filter(F.col("ts") <= F.lit(split)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "a_early"))
+    _time.sleep(1.1)
+    ev.filter(F.col("ts") > F.lit(split)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "b_late"))
+    _time.sleep(1.1)
+    sentinel = (
+        ev.agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "c_flush")
+    )
+    try:
+        os.rename(work, final)
+    except OSError:
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            return work
+    return final
+
+
+def stream_static_enrich_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    width: str = "1 day",
+    watermark: str = "480 minutes",
+) -> DataFrame:
+    """Watermarked stream enriched by a STATIC dimension (broadcast per
+    micro-batch — no state for the join; only the windowed aggregate
+    keeps state, bounded by windows per watermark span), aggregated to
+    per-(window, segment, type) counts and exact BIGINT-cents sums."""
+    enriched = stream.withWatermark("ts", watermark).join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col("ts"), width).alias("w"),
+            F.col("c_mktsegment"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), _sum_value().alias("sum_value"))
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            "c_mktsegment",
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_static_enrich_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: daily per-market-segment event rollup as a TRUE
+    append-mode streaming plan — stream-static broadcast join +
+    watermarked tumbling aggregate over the flush-sentinel replay,
+    drained via availableNow. The sentinel advances the watermark past
+    every real window (emitting them) and is dropped by the join, so
+    the drained sink equals the batch join+rollup bit-for-bit."""
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    src = replay_events_flush_dir(spark, sf_dir)
+    stream = stream_events(spark, src + "/*")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = _drain_to_batch(
+        spark,
+        stream_static_enrich_agg(stream, dim),
+        key=f"enrich_{os.path.basename(src)}",
+    )
+    return out.select("win_start", "c_mktsegment", "event_type", "cnt", "sum_value")
+
+
+def stream_static_enrich_batch_sql() -> str:
+    return f"""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 DAY,
+               CAST(ts AS TIMESTAMP)))) AS BIGINT) AS win_start,
+           c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {SUM_VALUE_SQL} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2, 3
+    """

@@ -327,3 +327,30 @@ def test_interval_join_state_survives_micro_batch_boundary(spark):
     out = sw._drain_to_batch(spark, joined)
     pairs = {(r["view_id"], r["purchase_id"]) for r in out.collect()}
     assert pairs == {(1, 2), (3, 4)}, pairs
+
+
+def test_stream_static_enrich_flush_sentinel_semantics(spark, tables, duck):
+    """The flush sentinel must (a) never appear in the output — its join
+    key matches no dimension row — and (b) actually be needed: the LAST
+    real event's window is within the watermark of the corpus max, so
+    without the heartbeat append mode would still hold it in state at
+    drain end. Oracle equality proves (b) held."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    got = sw.stream_static_enrich_batch(spark, sf).toPandas()
+    assert "__flush__" not in set(got["event_type"])
+    # the final real window IS in the result (flushed by the sentinel)
+    last_win = (
+        tables["events"]
+        .agg(F.max(F.unix_timestamp("ts")).cast("bigint"))
+        .collect()[0][0]
+        // 86400
+        * 86400
+    )
+    assert last_win in set(got["win_start"])
+    want = duck.execute(sw.stream_static_enrich_batch_sql()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
