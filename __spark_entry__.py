@@ -4,7 +4,12 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-88 queries are registered (the round-9 81 plus round 10's
+91 queries are registered (the round-9 81 plus round 10's
+``graph_pagerank`` — fixed-point bigint PageRank over the
+customer↔supplier trade graph, the iterative-algorithm family —
+``sampling_epoch_shuffle`` — deterministic epoch-seeded training
+order with dense global positions and no single-partition sort —
+``table_profile`` — the one-pass per-column profiler — and
 ``stream_cdc_merge_bucketed`` — per-batch state I/O ∝ touched buckets
 — and ``search_hybrid_rrf_ivf_topk`` — the IVF-probed dense leg that
 replaces the exact variant's full-corpus crossJoin — and
@@ -38,8 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from mmw_geoprocessing_spark import oracle
 from mmw_geoprocessing_spark.operators import cdc
 from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import graph as gr
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
+from mmw_geoprocessing_spark.operators import profile as prof
 from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import relational_ext as rex
 from mmw_geoprocessing_spark.operators import sampling as samp
@@ -355,6 +362,12 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": _tpch_q3,
     "tpch_q5": _tpch_q5,
     "udtf_word_positions": _udtf_words,
+    # round 10: iterative-algorithm family — fixed-point PageRank over
+    # the customer↔supplier trade graph (bigint micro-units, so the
+    # hash gate holds at any partitioning; operators/graph.py)
+    "graph_pagerank": lambda s, d: gr.pagerank_trade_graph(
+        *(lambda t: (t["orders"], t["lineitem"]))(_t(s, d))
+    ),
 }
 
 
@@ -378,6 +391,7 @@ _REL_EXT_ORACLES: dict[str, str] = {
     "cross_join_dims": rex.cross_join_dims_sql(),
     "pandas_udf_showcase": rex.pandas_udf_showcase_sql(),
     **_tpch_oracles(),
+    "graph_pagerank": gr.pagerank_trade_graph_sql(),
 }
 
 
@@ -457,25 +471,32 @@ _GATE_WINDOW: list[str] = [
     # -- 2 new round-10 operators
     "stream_cdc_merge_bucketed",
     "search_hybrid_rrf_ivf_topk",
-    # -- 17 semantics-critical §2 rows (zonal O1-O8 + NODATA + multi,
-    #    the streaming drains, minhash-LSH, IVF ANN, pricing_summary)
+    # -- 9 semantics-critical §2 zonal rows (O1/O2/O4/O5/O6/O7 + NODATA
+    #    + mapshed; raster_average / raster_grouped_sum rotate out —
+    #    they are single-agg variants of the grouped rows that stay,
+    #    r9-green, and SF1/SF10-selfchecked)
     "mapshed_suite",
     "raster_grouped_count",
     "raster_grouped_count_nodata",
     "raster_grouped_count_many",
-    "raster_average",
     "raster_grouped_average",
-    "raster_grouped_sum",
     "raster_lines_join",
     "raster_summary",
     "multi_operation",
-    "events_windows_showcase",
     "stream_exact_dedup",
-    "stream_content_dedup",
-    "stream_cdc_merge",
-    "dedup_minhash_lsh",
-    "similarity_ann_ivf_topk",
-    "pricing_summary",
+    # -- 8 mid-round-10 operators, never driver-checked (the rotation
+    #    rule: first-verification beats re-verification; the displaced
+    #    r9-green rows — events_windows_showcase, stream_content_dedup,
+    #    stream_cdc_merge, dedup_minhash_lsh, similarity_ann_ivf_topk,
+    #    pricing_summary — keep SF1/SF10 selfcheck coverage)
+    "stream_interval_join",
+    "stream_static_enrich",
+    "text_bigram_surprisal",
+    "similarity_cosine_topk_pandas",
+    "search_bm25_indexed_topk",
+    "graph_pagerank",
+    "sampling_epoch_shuffle",
+    "table_profile",
 ]
 
 
@@ -658,6 +679,15 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_pack_token_batches": lambda s, d: samp.pack_token_batches(
             _t(s, d)["documents"]
         ),
+        # round 10: deterministic epoch-seeded training order (dense
+        # global positions without a single-partition sort) and the
+        # one-pass per-column profiler (Expand-based exact distincts)
+        "sampling_epoch_shuffle": lambda s, d: samp.epoch_shuffle(
+            _t(s, d)["documents"], epoch=1
+        ),
+        "table_profile": lambda s, d: prof.table_profile(
+            _t(s, d)["documents"]
+        ),
         "text_pii_redact": lambda s, d: ta.pii_redact(
             _pii_injected(_t(s, d)["documents"])
         ),
@@ -744,6 +774,8 @@ def lib_oracle_sql() -> dict[str, str]:
         "sampling_deterministic_split": samp.deterministic_split_sql(),
         "sampling_stratified_sample": samp.stratified_sample_sql("source", 0.25),
         "sampling_pack_token_batches": samp.pack_token_batches_sql(),
+        "sampling_epoch_shuffle": samp.epoch_shuffle_sql(epoch=1),
+        "table_profile": prof.table_profile_sql(),
         "text_pii_redact": ta.pii_redact_sql(table=f"({_PII_INJECT_SQL})"),
         "text_normalize": ta.normalize_text_sql(table=f"({_MARKUP_INJECT_SQL})"),
         "search_bm25_topk": se.bm25_topk_sql(),

@@ -259,3 +259,75 @@ def corpus_mix_sql(
     FROM cum
     WHERE cum_tokens <= ({_budget_case(budgets, default_budget, 'source')})
     """
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    epoch: int = 0,
+    n_buckets: int = 64,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-seeded global shuffle order for training:
+    every row gets a dense position ``pos`` in a pseudo-random
+    permutation that is a pure function of (epoch, key) — re-runnable
+    on any cluster, any partitioning, and computable for epoch N+1
+    while epoch N is still being consumed.
+
+    The scalable construction (no single-partition global sort):
+    1. shuffle key = h28('ep<epoch>|' || key); bucket = skey % n_buckets;
+    2. bucket row-counts -> cumulative offsets (an ``n_buckets``-row
+       frame: the only ordered window runs over that CONSTANT-size
+       frame, then broadcasts — the pack_token_batches discipline);
+    3. within-bucket rank (window partitioned BY bucket, parallel
+       across buckets) + broadcast offset = global position.
+
+    Global order is (bucket, skey, key); a training loader reads
+    bucket files in order — ``bucket`` is the file-level granularity a
+    100 TB epoch is actually laid out in.
+
+    Output: ``(key_col, bucket INT, pos BIGINT)`` with pos in
+    [0, n) dense.
+    """
+    skey = h28(F.concat(F.lit(f"ep{epoch}|"), F.col(key_col).cast("string")))
+    base = documents.select(
+        key_col,
+        skey.alias("skey"),
+        (skey % n_buckets).cast("int").alias("bucket"),
+    )
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("skey", key_col)
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .select(
+            key_col,
+            "bucket",
+            (F.row_number().over(w_in) - 1 + F.col("off")).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def epoch_shuffle_sql(
+    epoch: int = 0, n_buckets: int = 64, key_col: str = "doc_id"
+) -> str:
+    """DuckDB twin: one global ROW_NUMBER over (bucket, skey, key) —
+    the order the two-phase Spark plan reproduces without a global
+    sort."""
+    h = H28_SQL.format(x=f"'ep{epoch}|' || CAST({key_col} AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT {key_col}, ({h}) AS skey,
+             CAST(({h}) % {n_buckets} AS INT) AS bucket
+      FROM documents
+    )
+    SELECT {key_col}, bucket,
+           CAST(ROW_NUMBER() OVER (ORDER BY bucket, skey, {key_col}) - 1 AS BIGINT) AS pos
+    FROM base
+    """

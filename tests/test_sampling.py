@@ -112,3 +112,37 @@ def test_corpus_mix_stable_under_repartition(spark, tables):
         ).collect()
     }
     assert a == b
+
+
+class TestEpochShuffle:
+    def test_matches_duckdb(self, spark, tables, duck):
+        got = {tuple(r) for r in sp.epoch_shuffle(tables["documents"], epoch=1).collect()}
+        want = {tuple(r) for r in duck.execute(sp.epoch_shuffle_sql(epoch=1)).fetchall()}
+        assert got == want
+
+    def test_positions_dense_and_epoch_dependent(self, spark, tables):
+        a = sp.epoch_shuffle(tables["documents"], epoch=0).collect()
+        poss = sorted(r["pos"] for r in a)
+        assert poss == list(range(len(a)))
+        b = {(r["doc_id"], r["pos"]) for r in sp.epoch_shuffle(tables["documents"], epoch=1).collect()}
+        assert {(r["doc_id"], r["pos"]) for r in a} != b  # epoch reshuffles
+
+    def test_partitioning_invariant(self, spark, tables):
+        base = {(r["doc_id"], r["pos"]) for r in sp.epoch_shuffle(tables["documents"], epoch=2).collect()}
+        re = {(r["doc_id"], r["pos"]) for r in sp.epoch_shuffle(tables["documents"].repartition(13), epoch=2).collect()}
+        assert base == re
+
+    def test_no_global_single_partition_sort(self, spark, tables):
+        """The only ordered-unpartitioned window must run over the
+        n_buckets-row counts frame, never over the corpus: the corpus-
+        side window is partitioned by bucket."""
+        plan = sp.epoch_shuffle(tables["documents"])._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+        corpus_windows = [
+            ln for ln in plan.splitlines()
+            if "Window" in ln and "partitionBy" not in ln and "skey" in ln
+        ]
+        # the within-bucket rank window partitions by bucket
+        assert "row_number()" in plan
+        for ln in corpus_windows:
+            assert "bucket" in ln, ln
