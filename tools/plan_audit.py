@@ -67,6 +67,12 @@ AUDITED = [
     "search_hybrid_rrf_ivf_topk",
     "search_bm25_indexed_topk",
     "text_bigram_surprisal",
+    # round-10 mid-round additions (graph_pagerank excluded for the
+    # same reason as the iterative closures: the returned plan reads
+    # the final checkpointed rank table, not the loop's per-iteration
+    # join+agg work — tests/test_graph.py pins its no-cartesian shape)
+    "sampling_epoch_shuffle",
+    "table_profile",
 ]
 
 THETA_OK = {
