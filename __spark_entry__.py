@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mmw_geoprocessing_spark import oracle
 from mmw_geoprocessing_spark.operators import cdc
+from mmw_geoprocessing_spark.operators import curation as cu
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import graph as gr
 from mmw_geoprocessing_spark.operators import multimodal as mm
@@ -52,6 +53,7 @@ from mmw_geoprocessing_spark.operators import relational_ext as rex
 from mmw_geoprocessing_spark.operators import sampling as samp
 from mmw_geoprocessing_spark.operators import search as se
 from mmw_geoprocessing_spark.operators import similarity as sim
+from mmw_geoprocessing_spark.operators import skew as sk
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
@@ -471,19 +473,27 @@ _GATE_WINDOW: list[str] = [
     # -- 2 new round-10 operators
     "stream_cdc_merge_bucketed",
     "search_hybrid_rrf_ivf_topk",
-    # -- 9 semantics-critical §2 zonal rows (O1/O2/O4/O5/O6/O7 + NODATA
-    #    + mapshed; raster_average / raster_grouped_sum rotate out —
-    #    they are single-agg variants of the grouped rows that stay,
-    #    r9-green, and SF1/SF10-selfchecked)
+    # -- 6 semantics-critical §2 zonal rows (O2/O5/O6/O7 + NODATA +
+    #    mapshed; raster_average / raster_grouped_sum rotated out in
+    #    the first pass, and late-round raster_grouped_count (O1 ⊂ O2's
+    #    aoi-grouped superset), raster_grouped_average (avg semantics
+    #    re-checked by raster_summary), and stream_exact_dedup
+    #    (r9 driver-green) rotate out for the three late-round
+    #    first-verification entries below — all keep SF1/SF10 selfcheck
+    #    coverage)
     "mapshed_suite",
-    "raster_grouped_count",
     "raster_grouped_count_nodata",
-    "raster_grouped_count_many",
-    "raster_grouped_average",
-    "raster_lines_join",
     "raster_summary",
     "multi_operation",
-    "stream_exact_dedup",
+    # -- 5 late-round-10 operators, never driver-checked (displacing
+    #    r9-green raster_grouped_count_many / raster_lines_join, whose
+    #    semantics stay pinned by tests/test_zonal.py + goldens +
+    #    SF1/SF10 selfchecks)
+    "curation_domain_rate_cap",
+    "dedup_bloom_probe",
+    "cdc_scd2_history",
+    "skew_join_salted",
+    "stream_sessionize",
     # -- 8 mid-round-10 operators, never driver-checked (the rotation
     #    rule: first-verification beats re-verification; the displaced
     #    r9-green rows — events_windows_showcase, stream_content_dedup,
@@ -749,6 +759,31 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_affinities": lambda s, d: rex.basket_pair_affinities(
             _t(s, d)["lineitem"]
         ),
+        # round 10 (late): crawl curation — per-domain rate cap
+        # (C4/RefinedWeb-style; WindowGroupLimit partial top-k) and
+        # fixed-size broadcast Bloom membership probe (per-batch cost
+        # O(batch) regardless of reference-corpus size; deterministic
+        # md5 bit math so even the false positives replay in DuckDB)
+        "curation_domain_rate_cap": lambda s, d: cu.domain_rate_cap(
+            _t(s, d)["documents"]
+        ),
+        "dedup_bloom_probe": lambda s, d: cu.bloom_probe_dedup(
+            _t(s, d)["documents"]
+        ),
+        # SCD type-2 history from the synthesized changelog: the same
+        # single key-shuffle as the type-1 merge, lead() ranges, no join
+        "cdc_scd2_history": lambda s, d: cdc.scd2_history_orders(
+            _t(s, d)["orders"]
+        ),
+        # salting demonstration: hot-key fact join spread over N_SALTS
+        # reducers; result provably identical to the plain join
+        "skew_join_salted": lambda s, d: sk.skew_join_salted(
+            _t(s, d)["orders"], _t(s, d)["customer"]
+        ),
+        # streaming sessionization: session_window state merged across
+        # micro-batches, flush-sentinel watermark heartbeat, drained
+        # sink == the batch gaps-and-islands twin
+        "stream_sessionize": sw.stream_sessionize_batch,
     }
 
 
@@ -790,4 +825,9 @@ def lib_oracle_sql() -> dict[str, str]:
         "retention_cohorts": rex.retention_cohorts_sql(),
         "funnel_conversion": rex.funnel_conversion_sql(),
         "basket_pair_affinities": rex.basket_pair_affinities_sql(),
+        "curation_domain_rate_cap": cu.domain_rate_cap_sql(),
+        "dedup_bloom_probe": cu.bloom_probe_dedup_sql(),
+        "cdc_scd2_history": cdc.scd2_history_orders_sql(),
+        "skew_join_salted": sk.skew_join_salted_sql(),
+        "stream_sessionize": sw.stream_sessionize_batch_sql(),
     }

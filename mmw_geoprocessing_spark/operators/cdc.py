@@ -156,3 +156,83 @@ def changelog_merge_orders_sql(table: str = "orders") -> str:
     )
     WHERE rn = 1 AND op <> 'D'
     """
+
+
+def scd2_history(base: DataFrame, changelog: DataFrame) -> DataFrame:
+    """SCD type-2: every non-delete version of a key becomes a history
+    row with an effective-sequence range. ``valid_to`` is the NEXT
+    change's seq (a delete closes the range too); NULL valid_to +
+    ``is_current`` marks the live version.
+
+    The plan is the same single key-shuffle as the type-1 merge — one
+    window (lead over seq) instead of row_number, no join. At 100 TB
+    the per-key state is the handful of versions of that key, and a
+    bucketed base table makes the exchange one-sided (SCALE.md CDC
+    section).
+    Output: ``(o_orderkey, version, valid_to, is_current, src_op,
+    o_totalprice)``.
+    """
+    cols = ["o_orderkey", "seq", "op", *PAYLOAD]
+    base_v = base.withColumn("seq", F.lit(0).cast("bigint")).withColumn(
+        "op", F.lit("I")
+    )
+    all_rows = base_v.select(cols).unionByName(changelog.select(cols))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").asc(), F.col("op").asc())
+    return (
+        all_rows.withColumn("valid_to", F.lead("seq").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("seq").alias("version"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            F.col("op").alias("src_op"),
+            "o_totalprice",
+        )
+    )
+
+
+def scd2_history_orders(orders: DataFrame) -> DataFrame:
+    """The registered entry: SCD2 history of orders ⊕ its synthesized
+    changelog."""
+    return scd2_history(orders, synth_changelog(orders))
+
+
+def scd2_history_orders_sql(table: str = "orders") -> str:
+    """DuckDB twin: identical changelog synthesis + lead() ranges."""
+    pay = ", ".join(PAYLOAD)
+    return f"""
+    WITH changelog AS (
+        SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+               o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus,
+               o_totalprice + 200.0, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 21 = 3
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 13 = 4
+        UNION ALL
+        SELECT -o_orderkey, 1, 'I', o_custkey, o_orderstatus,
+               o_totalprice * 2.0, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 17 = 5
+    ),
+    all_rows AS (
+        SELECT o_orderkey, CAST(0 AS BIGINT) AS seq, 'I' AS op, {pay}
+        FROM {table}
+        UNION ALL
+        SELECT o_orderkey, seq, op, {pay} FROM changelog
+    ),
+    ranged AS (
+        SELECT *, lead(seq) OVER (
+            PARTITION BY o_orderkey ORDER BY seq ASC, op ASC
+        ) AS valid_to
+        FROM all_rows
+    )
+    SELECT o_orderkey, seq AS version, valid_to,
+           valid_to IS NULL AS is_current, op AS src_op, o_totalprice
+    FROM ranged WHERE op <> 'D'
+    """

@@ -859,3 +859,56 @@ def stream_static_enrich_batch_sql() -> str:
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (round 10, late): session_window as a TRUE
+# stateful streaming plan — the streaming twin of the batch
+# sessionize/session_windows family. Session state merges across
+# micro-batches (a session spanning the replay's chunk boundary is
+# stitched by the state store); append mode emits a session only when
+# the watermark proves it closed (last event + gap passed).
+# ---------------------------------------------------------------------------
+
+
+def stream_sessionize(
+    stream: DataFrame, gap: str = "10 minutes", watermark: str = "480 minutes"
+) -> DataFrame:
+    """Watermarked streaming session windows per user. State is one
+    open session per (user, gap-run) — bounded by active users per
+    watermark span, not history."""
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            _epoch(F.col("w.start")).alias("session_start"),
+            "n_events",
+            _epoch(F.col("last_ts")).alias("last_ts"),
+        )
+    )
+
+
+def stream_sessionize_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: sessionization drained over the flush-sentinel
+    replay (time-ordered exactly-once chunks + a user=-1 heartbeat
+    2 days past the corpus max). The sentinel advances the watermark
+    past every real session's close, so append mode emits them all
+    before availableNow stops; its own single-event session is the one
+    sink row filtered back out (user_id = -1 — documented, not
+    silent). Drained sink == the batch gaps-and-islands twin."""
+    src = replay_events_flush_dir(spark, sf_dir)
+    out = _drain_to_batch(
+        spark,
+        stream_sessionize(stream_events(spark, src + "/*")),
+        key=f"sessionize_{os.path.basename(src)}",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "n_events", "last_ts"
+    )
+
+
+def stream_sessionize_batch_sql(gap_min: int = 10) -> str:
+    return session_windows_sql(gap_min)
