@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-91 queries are registered (the round-9 81 plus round 10's
+96 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -17,7 +17,14 @@ replaces the exact variant's full-corpus crossJoin — and
 rank-only face with a full oracle — and ``search_bm25_indexed_topk``,
 bm25 served from persisted ingest-time postings — and
 ``stream_interval_join``, the watermarked stream-stream attribution
-join over a time-ordered exactly-once replay), all with full
+join over a time-ordered exactly-once replay — and the five
+late-round curation/CDC/skew additions: ``curation_domain_rate_cap``
+(per-domain top-N via WindowGroupLimit), ``dedup_bloom_probe``
+(fixed-size broadcast Bloom membership, deterministic FPs),
+``cdc_scd2_history`` (type-2 ranges, one key shuffle, no join),
+``skew_join_salted`` (hot-key salting, bit-identical to the plain
+join), and ``stream_sessionize`` (streaming session_window drained
+to its gaps-and-islands batch twin)), all with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only

@@ -89,6 +89,11 @@ LLM_SECTION = [
     "text_classifier_score",
     # round 10: conditional-LM scoring (bigram surprisal)
     "text_bigram_surprisal",
+    # round 10 (late): crawl curation + CDC history + skew recipe
+    "curation_domain_rate_cap",
+    "dedup_bloom_probe",
+    "cdc_scd2_history",
+    "skew_join_salted",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

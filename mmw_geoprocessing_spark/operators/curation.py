@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from mmw_geoprocessing_spark.functions.text import H28_SQL, h28
 
-BLOOM_M_BITS = 1 << 17  # filter size in bits
+# Sizing rule: for FP ≈ (1-e^(-k·n/m))^k, keep m ≳ 14·n at k=4 for
+# sub-1% FP. 2^23 bits (≤140k words ≈ 1 MB broadcast) holds every test
+# scale with margin: sf10's 150k reference digests fill 6.9% (FP 2e-5);
+# a 2^17 filter saturated there (97% fill — measured, the round-10
+# lesson). A production 10^10-digest corpus needs ~2^37 bits (~16 GiB):
+# shard the word table on digest prefix (SCALE.md).
+BLOOM_M_BITS = 1 << 23  # filter size in bits
 BLOOM_WORD = 60  # bits per bigint word (keeps 1<<bit positive)
 BLOOM_K = 4  # probes per digest
 REF_MOD = 10

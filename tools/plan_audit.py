@@ -73,6 +73,13 @@ AUDITED = [
     # join+agg work — tests/test_graph.py pins its no-cartesian shape)
     "sampling_epoch_shuffle",
     "table_profile",
+    # round-10 late additions (stream_sessionize is a drained-sink read
+    # like the other streaming entries — gated by its oracle row, not a
+    # plan audit; the interesting plans are the batch-side ones below)
+    "curation_domain_rate_cap",
+    "dedup_bloom_probe",
+    "cdc_scd2_history",
+    "skew_join_salted",
 ]
 
 THETA_OK = {
