@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-96 queries are registered (the round-9 81 plus round 10's
+97 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -23,8 +23,10 @@ late-round curation/CDC/skew additions: ``curation_domain_rate_cap``
 (fixed-size broadcast Bloom membership, deterministic FPs),
 ``cdc_scd2_history`` (type-2 ranges, one key shuffle, no join),
 ``skew_join_salted`` (hot-key salting, bit-identical to the plain
-join), and ``stream_sessionize`` (streaming session_window drained
-to its gaps-and-islands batch twin)), all with full
+join), ``stream_sessionize`` (streaming session_window drained
+to its gaps-and-islands batch twin), and ``stream_stateful_counts``
+(the applyInPandasWithState custom-stateful face, drained update-mode
+with a monotone-count closed-form twin)), all with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only
@@ -791,6 +793,13 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batches, flush-sentinel watermark heartbeat, drained
         # sink == the batch gaps-and-islands twin
         "stream_sessionize": sw.stream_sessionize_batch,
+        # the custom-stateful-operator face: applyInPandasWithState
+        # running counts drained in update mode; final per-user value
+        # has the closed-form batch twin (counts are monotone).
+        # Outside the 50-slot gate window this round (it is full with
+        # first-verification entries); SF1/SF10 selfcheck rows + pytest
+        # carry it until the next rotation.
+        "stream_stateful_counts": sw.stream_stateful_counts_batch,
     }
 
 
@@ -837,4 +846,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "cdc_scd2_history": cdc.scd2_history_orders_sql(),
         "skew_join_salted": sk.skew_join_salted_sql(),
         "stream_sessionize": sw.stream_sessionize_batch_sql(),
+        "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
     }

@@ -912,3 +912,37 @@ def stream_sessionize_batch(spark, sf_dir: str) -> "DataFrame":
 
 def stream_sessionize_batch_sql(gap_min: int = 10) -> str:
     return session_windows_sql(gap_min)
+
+
+def stream_stateful_counts_batch(spark, sf_dir: str) -> "DataFrame":
+    """Registry entry: the applyInPandasWithState custom stateful
+    operator (running per-user event counts in explicit group state),
+    drained over the time-ordered exactly-once replay in UPDATE mode to
+    a memory sink (update emits one row per touched user per
+    micro-batch; the parquet sink is append-only). The final value per
+    user — counts are monotone, so max() — is the closed-form oracle:
+    total events per user. This is the registry's custom-stateful-
+    operator face: bespoke state (a sketch, an accumulator) that
+    session_window/agg can't express, held in explicit per-group state
+    with bounded size (one bigint per user)."""
+    src = replay_events_time_chunks(spark, sf_dir)
+    name = "stateful_counts_" + os.path.basename(src).replace(".", "_")
+    if name not in [t.name for t in spark.catalog.listTables()]:
+        q = (
+            stream_running_user_counts(stream_events(spark, src + "/*"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+    return spark.sql(
+        f"SELECT user_id, max(n_events) AS n_events FROM {name} GROUP BY user_id"
+    )
+
+
+def stream_stateful_counts_batch_sql() -> str:
+    return """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """

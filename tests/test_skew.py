@@ -63,3 +63,8 @@ def test_stream_sessionize_matches_batch_oracle(spark, tables, duck):
 def test_stream_sessionize_no_sentinel_leak(spark):
     out = sw.stream_sessionize_batch(spark, "/root/testdata/sf0.001")
     assert out.filter(F.col("user_id") < 0).count() == 0
+
+
+def test_stream_stateful_counts_matches_oracle(spark, tables, duck):
+    out = sw.stream_stateful_counts_batch(spark, "/root/testdata/sf0.001")
+    _match(out, duck, sw.stream_stateful_counts_batch_sql(), ["user_id"])
