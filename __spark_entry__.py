@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-97 queries are registered (the round-9 81 plus round 10's
+98 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -26,7 +26,10 @@ late-round curation/CDC/skew additions: ``curation_domain_rate_cap``
 join), ``stream_sessionize`` (streaming session_window drained
 to its gaps-and-islands batch twin), and ``stream_stateful_counts``
 (the applyInPandasWithState custom-stateful face, drained update-mode
-with a monotone-count closed-form twin)), all with full
+with a monotone-count closed-form twin), and
+``source_python_ledger`` (a Spark-4 custom Python DataSource read in
+parallel partitions, md5-content so the connector has a value-hash
+oracle)), all with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only
@@ -66,6 +69,7 @@ from mmw_geoprocessing_spark.operators import skew as sk
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
+from mmw_geoprocessing_spark.sources import pysource as psrc
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
 from mmw_geoprocessing_spark.streaming import cdc as scdc
 from mmw_geoprocessing_spark.streaming import windows as sw
@@ -800,6 +804,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-verification entries); SF1/SF10 selfcheck rows + pytest
         # carry it until the next rotation.
         "stream_stateful_counts": sw.stream_stateful_counts_batch,
+        # Spark-4 custom Python DataSource (pyspark.sql.datasource):
+        # deterministic synthetic ledger read in parallel partitions;
+        # md5-derived content gives it a full value-hash oracle. The
+        # source is sf-independent by design (it tests the CONNECTOR
+        # contract, not the fixture data).
+        "source_python_ledger": lambda s, d: psrc.ledger_account_rollup(s),
     }
 
 
@@ -847,4 +857,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "skew_join_salted": sk.skew_join_salted_sql(),
         "stream_sessionize": sw.stream_sessionize_batch_sql(),
         "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
+        "source_python_ledger": psrc.ledger_account_rollup_sql(),
     }

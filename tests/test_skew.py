@@ -68,3 +68,24 @@ def test_stream_sessionize_no_sentinel_leak(spark):
 def test_stream_stateful_counts_matches_oracle(spark, tables, duck):
     out = sw.stream_stateful_counts_batch(spark, "/root/testdata/sf0.001")
     _match(out, duck, sw.stream_stateful_counts_batch_sql(), ["user_id"])
+
+
+def test_python_datasource_ledger_matches_oracle(spark, duck):
+    from mmw_geoprocessing_spark.sources import pysource as ps
+
+    out = ps.ledger_account_rollup(spark)
+    _match(out, duck, ps.ledger_account_rollup_sql(), ["account", "kind"])
+
+
+def test_python_datasource_plans_parallel_partitions(spark):
+    from mmw_geoprocessing_spark.sources import pysource as ps
+
+    ps.register(spark)
+    df = (
+        spark.read.format(ps.SOURCE_NAME)
+        .option("n_rows", "1000")
+        .option("n_parts", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
