@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-98 queries are registered (the round-9 81 plus round 10's
+99 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -27,9 +27,10 @@ join), ``stream_sessionize`` (streaming session_window drained
 to its gaps-and-islands batch twin), and ``stream_stateful_counts``
 (the applyInPandasWithState custom-stateful face, drained update-mode
 with a monotone-count closed-form twin), and
-``source_python_ledger`` (a Spark-4 custom Python DataSource read in
-parallel partitions, md5-content so the connector has a value-hash
-oracle)), all with full
+``source_python_ledger`` / ``source_python_stream`` (a Spark-4
+custom Python DataSource, batch reader and DataSourceStreamReader
+drain, md5-content so the connector has a value-hash oracle)), all
+with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
 round-8/9 promotions had never been inside that window — their only
@@ -810,6 +811,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source is sf-independent by design (it tests the CONNECTOR
         # contract, not the fixture data).
         "source_python_ledger": lambda s, d: psrc.ledger_account_rollup(s),
+        # the STREAMING side of the connector (DataSourceStreamReader:
+        # offset bookkeeping, checkpointed availableNow drain,
+        # exactly-once parquet sink) — same ledger, same oracle
+        "source_python_stream": lambda s, d: psrc.ledger_stream_rollup(s),
     }
 
 
@@ -858,4 +863,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "stream_sessionize": sw.stream_sessionize_batch_sql(),
         "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
+        "source_python_stream": psrc.ledger_stream_rollup_sql(),
     }

@@ -125,3 +125,123 @@ def ledger_account_rollup_sql(n_rows: int = DEFAULT_ROWS) -> str:
            CAST(SUM(amount_cents) AS BIGINT) AS sum_cents
     FROM ledger GROUP BY account, kind
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the connector: DataSourceStreamReader. Offsets are
+# row indexes; each micro-batch advances by ``batch_rows`` until the
+# fixed ledger end — so an availableNow drain reads exactly the batch
+# ledger, and the drained rollup equals the batch oracle. A production
+# connector replaces latestOffset() with the external system's
+# high-water mark; the offset/partition/read/commit contract is the
+# deliverable.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+STREAM_SOURCE_NAME = "synth_ledger_stream"
+DEFAULT_BATCH_ROWS = 25_000
+
+
+class SynthLedgerStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.batch_rows = int(options.get("batch_rows", DEFAULT_BATCH_ROWS))
+        self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def latestOffset(self):
+        return {"idx": self.n_rows}
+
+    def partitions(self, start, end):
+        # The batch MUST cover [start, end) exactly: under availableNow
+        # Spark snapshots latestOffset once and expects the range
+        # consumed — a first cut clamped hi to start+batch_rows here
+        # and silently lost 75% of the ledger (measured). Pacing
+        # belongs in latestOffset (a production connector advances its
+        # high-water mark per poll); here the whole ledger is available
+        # at once, so the drain is one batch split over n_parts tasks.
+        lo, hi = start["idx"], min(end["idx"], self.n_rows)
+        chunk = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _RangePartition(lo + i * chunk, min(lo + (i + 1) * chunk, hi))
+            for i in range(self.n_parts)
+            if lo + i * chunk < hi
+        ]
+
+    def read(self, partition):
+        for idx in range(partition.start, partition.end):
+            h = _h28_int(str(idx))
+            yield (
+                idx,
+                idx % 97,
+                h % 1_000_000,
+                "credit" if h % 3 == 0 else "debit",
+            )
+
+    def commit(self, end):
+        pass  # nothing to ack in the synthetic system
+
+
+class SynthLedgerStreamSource(DataSource):
+    @classmethod
+    def name(cls):
+        return STREAM_SOURCE_NAME
+
+    def schema(self):
+        return "txn_id BIGINT, account BIGINT, amount_cents BIGINT, kind STRING"
+
+    def streamReader(self, schema):
+        return SynthLedgerStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    try:
+        spark.dataSource.register(SynthLedgerStreamSource)
+    except Exception:
+        pass
+
+
+def ledger_stream_rollup(spark, n_rows: int = DEFAULT_ROWS) -> "DataFrame":
+    """Registered query: drain the custom STREAMING source with
+    availableNow (one offset-bounded batch split over parallel read
+    tasks; checkpointed offsets + exactly-once parquet sink) into a
+    keyed sink, then roll up — same output and oracle as the batch
+    connector."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_stream(spark)
+    base = _os.path.join(
+        tempfile.gettempdir(), f"pysource_stream_{n_rows}"
+    )
+    ckpt, sink = base + "_ckpt", base + "_sink/out"
+    stream = (
+        spark.readStream.format(STREAM_SOURCE_NAME)
+        .option("n_rows", str(n_rows))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("account", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            F.sum("amount_cents").alias("sum_cents"),
+        )
+    )
+
+
+def ledger_stream_rollup_sql(n_rows: int = DEFAULT_ROWS) -> str:
+    return ledger_account_rollup_sql(n_rows)

@@ -89,3 +89,10 @@ def test_python_datasource_plans_parallel_partitions(spark):
     )
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 1000
+
+
+def test_python_datasource_stream_matches_oracle(spark, duck):
+    from mmw_geoprocessing_spark.sources import pysource as ps
+
+    out = ps.ledger_stream_rollup(spark)
+    _match(out, duck, ps.ledger_stream_rollup_sql(), ["account", "kind"])
