@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-99 queries are registered (the round-9 81 plus round 10's
+100 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -29,7 +29,9 @@ to its gaps-and-islands batch twin), and ``stream_stateful_counts``
 with a monotone-count closed-form twin), and
 ``source_python_ledger`` / ``source_python_stream`` (a Spark-4
 custom Python DataSource, batch reader and DataSourceStreamReader
-drain, md5-content so the connector has a value-hash oracle)), all
+drain, md5-content so the connector has a value-hash oracle), and
+``maintenance_compact`` (fragment → range-clustered compaction →
+read-back, oracle = the original table)), all
 with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
@@ -70,6 +72,7 @@ from mmw_geoprocessing_spark.operators import skew as sk
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
+from mmw_geoprocessing_spark.sources import maintenance as maint
 from mmw_geoprocessing_spark.sources import pysource as psrc
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
 from mmw_geoprocessing_spark.streaming import cdc as scdc
@@ -815,6 +818,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offset bookkeeping, checkpointed availableNow drain,
         # exactly-once parquet sink) — same ledger, same oracle
         "source_python_stream": lambda s, d: psrc.ledger_stream_rollup(s),
+        # table maintenance: fragment -> compact (range-clustered
+        # rewrite) -> read back; oracle = the original table (row
+        # preservation through the maintenance cycle)
+        "maintenance_compact": maint.compact_orders_roundtrip,
     }
 
 
@@ -864,4 +871,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
+        "maintenance_compact": maint.compact_orders_roundtrip_sql(),
     }

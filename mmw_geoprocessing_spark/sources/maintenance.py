@@ -81,3 +81,40 @@ def compact_parquet_dir(
         "dst_bytes": dst_bytes,
         "target_bytes": target_bytes,
     }
+
+
+def compact_orders_roundtrip(spark: SparkSession, sf_dir: str):
+    """Registry entry: fragment the orders table into 64 small files
+    (the streaming-sink pathology, synthesized deterministically),
+    compact with date-range clustering, and return the compacted table
+    — the oracle is the ORIGINAL orders table, so the maintenance
+    cycle is value-hash-gated end-to-end (row preservation is the
+    property a rewrite job must never violate; the file-count and
+    clustering properties are pinned in tests/test_maintenance.py).
+    Dirs are keyed by source identity and reused across calls."""
+    import os
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"compact_reg_{tag}_{ident}")
+    frag, dst = base + "_frag", base + "_dst"
+    if not os.path.isdir(dst):
+        from mmw_geoprocessing_spark.sources.tables import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+        compact_parquet_dir(
+            spark, frag, dst, target_bytes=32 * 1024 * 1024,
+            sort_cols=["o_orderdate"],
+        )
+    return spark.read.parquet(dst)
+
+
+def compact_orders_roundtrip_sql() -> str:
+    return "SELECT * FROM orders"
