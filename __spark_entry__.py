@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-100 queries are registered (the round-9 81 plus round 10's
+101 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -31,7 +31,10 @@ with a monotone-count closed-form twin), and
 custom Python DataSource, batch reader and DataSourceStreamReader
 drain, md5-content so the connector has a value-hash oracle), and
 ``maintenance_compact`` (fragment → range-clustered compaction →
-read-back, oracle = the original table)), all
+read-back, oracle = the original table), and
+``cdc_incremental_rollup`` (incremental view maintenance by delta
+algebra — negate-old + add-new, O(|changelog|) — oracled by the full
+recompute)), all
 with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
@@ -822,6 +825,13 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrite) -> read back; oracle = the original table (row
         # preservation through the maintenance cycle)
         "maintenance_compact": maint.compact_orders_roundtrip,
+        # incremental view maintenance: the per-date revenue rollup
+        # kept current by delta algebra (negate-old + add-new,
+        # O(|changelog|)); oracle = the full recompute over the merged
+        # snapshot that IVM must be indistinguishable from
+        "cdc_incremental_rollup": lambda s, d: cdc.incremental_rollup_orders(
+            _t(s, d)["orders"]
+        ),
     }
 
 
@@ -872,4 +882,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),
+        "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
     }

@@ -117,3 +117,21 @@ def test_scd2_ranges_are_consistent(spark, tables):
     )
     assert current.exceptAll(merged).count() == 0
     assert merged.exceptAll(current).count() == 0
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tables, duck):
+    out = cdc.incremental_rollup_orders(tables["orders"])
+    _match(out, duck, cdc.incremental_rollup_orders_sql(), ["o_orderdate"])
+
+
+def test_incremental_rollup_delta_cost_is_changelog_bounded(spark, tables):
+    """The IVM plan must NOT rescan the base per group: the delta side
+    joins changelog->base on the key (bounded by |changelog|), and the
+    view update is a union + re-agg — no second full aggregation of the
+    base beyond the one base_rollup pass."""
+    out = cdc.incremental_rollup_orders(tables["orders"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan computes base_rollup, one feeds the old-value join; a
+    # cartesian or per-group rescan would show up as nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
