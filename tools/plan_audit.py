@@ -80,6 +80,8 @@ AUDITED = [
     "dedup_bloom_probe",
     "cdc_scd2_history",
     "skew_join_salted",
+    "cdc_incremental_rollup",
+    "source_python_ledger",
 ]
 
 THETA_OK = {
