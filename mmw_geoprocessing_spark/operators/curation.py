@@ -117,25 +117,41 @@ def bloom_probe_dedup(documents: DataFrame) -> DataFrame:
     by construction (a built-in self-check); non-reference docs hit
     only on true cross-slice duplicates or Bloom false positives.
     Output: ``(doc_id, maybe_present)``.
+
+    Plan: k BROADCAST HASH joins against the word table (one per
+    probe), then a pure projection — ZERO shuffles on the probe side
+    and no row inflation. Two rejected shapes, both measured at the
+    100× replica: (1) explode k probe rows + re-aggregate on doc_id
+    (2 exchanges, 4× inflation — 1.89× vs DuckDB); (2) fold the words
+    into ONE map column and ``try_element_at`` per probe — Spark maps
+    are UNSORTED ARRAYS, so each lookup is a linear scan over m/60
+    entries (measured 9.6× — 5× WORSE than the explode). The hash
+    relation of a broadcast join is the only O(1) lookup Spark offers;
+    k small joins buy it per probe (BASELINE.md round-10 bloom row).
     """
     ref = documents.filter(F.col("doc_id") % REF_MOD < REF_KEEP)
     bloom = bloom_build(ref)
-
     digest = F.md5(F.col("text"))
-    probes = documents.select(
-        "doc_id", F.explode(F.array(*_probe_positions(digest))).alias("pos")
-    ).select(
+    pos = [
+        h28(F.concat(digest, F.lit(f":{i}"))) % BLOOM_M_BITS
+        for i in range(BLOOM_K)
+    ]
+    d = documents.select(
         "doc_id",
-        F.floor(F.col("pos") / BLOOM_WORD).cast("bigint").alias("word"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
-        ).alias("bit"),
+        *[F.floor(p / BLOOM_WORD).cast("bigint").alias(f"w{i}") for i, p in enumerate(pos)],
+        *[(p % BLOOM_WORD).cast("int").alias(f"r{i}") for i, p in enumerate(pos)],
     )
-    hits = probes.join(F.broadcast(bloom), "word", "left").select(
-        "doc_id",
-        F.expr("(coalesce(mask, CAST(0 AS BIGINT)) & bit) != 0").alias("hit"),
+    for i in range(BLOOM_K):
+        b = bloom.select(
+            F.col("word").alias(f"word{i}"), F.col("mask").alias(f"mask{i}")
+        )
+        d = d.join(F.broadcast(b), d[f"w{i}"] == b[f"word{i}"], "left")
+    hit = " AND ".join(
+        f"(coalesce(mask{i}, CAST(0 AS BIGINT)) "
+        f"& shiftleft(CAST(1 AS BIGINT), r{i})) != 0"
+        for i in range(BLOOM_K)
     )
-    return hits.groupBy("doc_id").agg(F.bool_and("hit").alias("maybe_present"))
+    return d.select("doc_id", F.expr(hit).alias("maybe_present"))
 
 
 def bloom_probe_dedup_sql() -> str:

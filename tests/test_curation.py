@@ -89,11 +89,19 @@ def test_bloom_probe_false_positive_rate_bounded(spark, tables):
 
 def test_bloom_word_table_is_broadcastable(spark, tables):
     """The filter is fixed-size: at most m/60 words regardless of
-    reference-corpus cardinality, and the probe joins it broadcast."""
+    reference-corpus cardinality, and the probe side is a pure
+    projection over the broadcast 1-row map — no shuffle exchange
+    between the scan and the result."""
     bloom = cu.bloom_build(tables["documents"])
     assert bloom.count() <= cu.BLOOM_M_BITS // cu.BLOOM_WORD
     plan = cu.bloom_probe_dedup(tables["documents"])._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # k broadcast HASH joins (O(1) lookups), no nested-loop, and no
+    # shuffle on the probe side (the only exchanges build the word
+    # table itself, inside the broadcast)
+    assert plan.count("BroadcastHashJoin") == cu.BLOOM_K
+    assert "BroadcastNestedLoopJoin" not in plan
+    probe_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in probe_side
 
 
 def test_scd2_history_matches_oracle(spark, tables, duck):
