@@ -129,24 +129,22 @@ def ledger_account_rollup_sql(n_rows: int = DEFAULT_ROWS) -> str:
 
 # ---------------------------------------------------------------------------
 # Streaming side of the connector: DataSourceStreamReader. Offsets are
-# row indexes; each micro-batch advances by ``batch_rows`` until the
-# fixed ledger end — so an availableNow drain reads exactly the batch
-# ledger, and the drained rollup equals the batch oracle. A production
-# connector replaces latestOffset() with the external system's
-# high-water mark; the offset/partition/read/commit contract is the
-# deliverable.
+# row indexes; the whole ledger is available at once, so an
+# availableNow drain reads it as one offset-bounded batch split over
+# n_parts parallel tasks, and the drained rollup equals the batch
+# oracle. A production connector replaces latestOffset() with the
+# external system's advancing high-water mark (that is where pacing
+# lives); the offset/partition/read/commit contract is the deliverable.
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 STREAM_SOURCE_NAME = "synth_ledger_stream"
-DEFAULT_BATCH_ROWS = 25_000
 
 
 class SynthLedgerStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
-        self.batch_rows = int(options.get("batch_rows", DEFAULT_BATCH_ROWS))
         self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
 
     def initialOffset(self):
