@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-101 queries are registered (the round-9 81 plus round 10's
+103 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -34,7 +34,11 @@ drain, md5-content so the connector has a value-hash oracle), and
 read-back, oracle = the original table), and
 ``cdc_incremental_rollup`` (incremental view maintenance by delta
 algebra — negate-old + add-new, O(|changelog|) — oracled by the full
-recompute)), all
+recompute), and the layout-service pair ``maintenance_zorder``
+(Morton-interleave Z-order rewrite answered through the zone-map
+index) / ``source_zonemap_prune`` (per-file min/max statistics index
+→ planning-time file skipping, Delta/Iceberg data-skipping rebuilt on
+plain parquet)), all
 with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
@@ -503,8 +507,13 @@ _GATE_WINDOW: list[str] = [
     #    coverage)
     "mapshed_suite",
     "raster_grouped_count_nodata",
-    "raster_summary",
-    "multi_operation",
+    # -- 2 layout-service entries, never driver-checked (displacing
+    #    r9-green raster_summary / multi_operation: summary semantics
+    #    stay pinned by goldens + tests/test_zonal.py, multi_operation
+    #    by the 61-HUC reference replay + response-grammar tests, and
+    #    both keep SF1/SF10 selfcheck coverage)
+    "maintenance_zorder",
+    "source_zonemap_prune",
     # -- 5 late-round-10 operators, never driver-checked (displacing
     #    r9-green raster_grouped_count_many / raster_lines_join, whose
     #    semantics stay pinned by tests/test_zonal.py + goldens +
@@ -825,6 +834,18 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrite) -> read back; oracle = the original table (row
         # preservation through the maintenance cycle)
         "maintenance_compact": maint.compact_orders_roundtrip,
+        # layout services, part 2 (round 10 late): Z-order rewrite
+        # (Morton interleave of custkey×orderdate rank buckets, pure
+        # codegen arithmetic, one repartitionByRange) answered through
+        # the zone-map index — files are opened only when their
+        # min/max envelope intersects the 2-D box; the residual filter
+        # makes zone-map planning invisible in the result, which is
+        # what the oracle (a plain full-scan filter) checks
+        "maintenance_zorder": maint.zorder_box_query,
+        # the zone-map index itself as a planning service over the
+        # range-clustered compacted layout: per-file min/max built in
+        # one scan, predicate∩envelope pruning, survivors-only read
+        "source_zonemap_prune": maint.zonemap_prune_orders,
         # incremental view maintenance: the per-date revenue rollup
         # kept current by delta algebra (negate-old + add-new,
         # O(|changelog|)); oracle = the full recompute over the merged
@@ -882,5 +903,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),
+        "maintenance_zorder": maint.zorder_box_query_sql(),
+        "source_zonemap_prune": maint.zonemap_prune_orders_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
     }

@@ -118,3 +118,242 @@ def compact_orders_roundtrip(spark: SparkSession, sf_dir: str):
 
 def compact_orders_roundtrip_sql() -> str:
     return "SELECT * FROM orders"
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite)
+# ---------------------------------------------------------------------------
+#
+# Range-clustering (``sort_cols`` above) lines files up along ONE
+# column; a second column's values then span the full range inside
+# every file and its predicates skip nothing. Z-ordering interleaves
+# the bits of both columns' rank buckets so that files are compact
+# rectangles in 2-D value space — a box predicate on EITHER or BOTH
+# columns prunes most files (tests/test_zonemap.py measures it).
+#
+# The z-value is pure JVM expression arithmetic: a 1-row min/max agg
+# fixes the bucket scale (the only driver-side step, one row), then
+# 16 unrolled shift/OR terms per column stay inside whole-stage
+# codegen. No UDF, no sort on the driver; the physical move is one
+# repartitionByRange(z) + sortWithinPartitions(z) — identical shuffle
+# shape to the 1-D clustering path.
+
+def _bucket16(col, mn: float, mx: float):
+    """Linear bucket of a numeric column into [0, 65535]."""
+    from pyspark.sql import functions as F
+
+    span = max(float(mx) - float(mn), 1e-12)
+    raw = ((col.cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(65535.0))
+    return F.least(F.lit(65535), F.greatest(F.lit(0), raw.cast("int")))
+
+
+def _zvalue16(xb, yb):
+    """Interleave two 16-bit bucket columns into a 32-bit Morton code.
+
+    bit i of x -> bit 2i, bit i of y -> bit 2i+1; 32 unrolled
+    shift/OR terms, all inside codegen.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    xl, yl = xb.cast("long"), yb.cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(F.shiftleft(xl.bitwiseAND(F.lit(1 << i)), i))
+        z = z.bitwiseOR(F.shiftleft(yl.bitwiseAND(F.lit(1 << i)), i + 1))
+    return z
+
+
+def zorder_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    col_x: str,
+    col_y: str,
+    n_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite the parquet table at ``src`` into ``dst`` clustered by
+    the Morton interleave of (col_x, col_y). Date columns are bucketed
+    on days-since-min; numerics on their linear range. Returns stats.
+    """
+    from pyspark.sql import functions as F
+
+    n_src, src_bytes = parquet_dir_stats(spark, src)
+    if n_src == 0:
+        raise ValueError(f"no parquet files under {src!r}")
+    n_out = n_files or max(1, math.ceil(src_bytes / target_bytes))
+    df = spark.read.parquet(src)
+
+    def _numeric(c: str):
+        # temporal columns bucket on days-since-epoch (day resolution
+        # is plenty for a 16-bit clustering bucket); covers date,
+        # timestamp, and timestamp_ntz alike
+        dt = dict(df.dtypes)[c]
+        if dt == "date" or dt.startswith("timestamp"):
+            return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+        return F.col(c)
+
+    nx, ny = _numeric(col_x), _numeric(col_y)
+    # one 1-row agg fixes the bucket scale (driver-side boundary: 1 row)
+    b = df.agg(
+        F.min(nx).alias("xmin"), F.max(nx).alias("xmax"),
+        F.min(ny).alias("ymin"), F.max(ny).alias("ymax"),
+    ).collect()[0]
+    z = _zvalue16(
+        _bucket16(nx, b["xmin"], b["xmax"]),
+        _bucket16(ny, b["ymin"], b["ymax"]),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_out, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    n_dst, dst_bytes = parquet_dir_stats(spark, dst)
+    return {
+        "src_files": n_src, "src_bytes": src_bytes,
+        "dst_files": n_dst, "dst_bytes": dst_bytes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Registered layout-service queries (gate window entries)
+# ---------------------------------------------------------------------------
+
+def _keyed_base(sf_dir: str, prefix: str) -> str:
+    """Deterministic per-source tmp base (same identity scheme as
+    compact_orders_roundtrip) so rewrites are built once and reused
+    across calls in a session and across processes on one box."""
+    import os
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{ident}")
+
+
+#: the registered 2-D box: low-key customers over one calendar year.
+#: Fixed absolute bounds so the result is non-empty at every SF
+#: (fixture custkeys start at 0; fixture order dates span
+#: 1995-01-01..2001-08-01 at every SF — TESTDATA.md's generator,
+#: not TPC-H's 1992-1998).
+ZORDER_BOX_CUSTKEY = (0, 99)
+ZORDER_BOX_DATE = ("1997-01-01", "1997-12-31")
+
+
+def zorder_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the Z-ordered rewrite of orders by
+    (o_custkey, o_orderdate); 16+ output files so the clustering is
+    observable even at the smallest fixtures."""
+    import os
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    base = _keyed_base(sf_dir, "zorder_reg")
+    dst = base + "_dst"
+    if not os.path.isdir(dst):
+        frag = base + "_frag"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
+        _, src_bytes = parquet_dir_stats(spark, frag)
+        n_out = max(16, math.ceil(src_bytes / (32 * 1024 * 1024)))
+        zorder_parquet_dir(
+            spark, frag, dst, "o_custkey", "o_orderdate", n_files=n_out
+        )
+    return dst
+
+
+def zorder_box_query(spark: SparkSession, sf_dir: str):
+    """Registry entry ``maintenance_zorder``: rewrite orders Z-ordered
+    by (o_custkey, o_orderdate), then answer a 2-D box predicate
+    through the zone-map index — only surviving files are opened, and
+    the residual filter makes the result bit-identical to the full
+    scan, which is exactly what the DuckDB oracle runs. The
+    files_read < files_total property (and Z-order beating 1-D
+    clustering on the same box) is pinned in tests/test_zonemap.py.
+    """
+    from datetime import date
+
+    from mmw_geoprocessing_spark.sources.zonemap import (
+        build_zonemap,
+        zonemap_pruned_read,
+    )
+
+    dst = zorder_orders_dir(spark, sf_dir)
+    zm = build_zonemap(dst, spark, ["o_custkey", "o_orderdate"])
+    lo_d = date.fromisoformat(ZORDER_BOX_DATE[0])
+    hi_d = date.fromisoformat(ZORDER_BOX_DATE[1])
+    df, _stats = zonemap_pruned_read(
+        spark,
+        zm,
+        {"o_custkey": ZORDER_BOX_CUSTKEY, "o_orderdate": (lo_d, hi_d)},
+        schema_src=dst,
+    )
+    return df.select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+def zorder_box_query_sql() -> str:
+    ck_lo, ck_hi = ZORDER_BOX_CUSTKEY
+    d_lo, d_hi = ZORDER_BOX_DATE
+    return f"""
+        SELECT o_orderkey, o_custkey, o_orderdate
+        FROM orders
+        WHERE o_custkey BETWEEN {ck_lo} AND {ck_hi}
+          AND o_orderdate BETWEEN DATE '{d_lo}' AND DATE '{d_hi}'
+    """
+
+
+def zonemap_prune_orders(spark: SparkSession, sf_dir: str):
+    """Registry entry ``source_zonemap_prune``: date-range aggregate
+    over the range-clustered compacted orders, planned through the
+    zone-map index (build the compacted layout if absent, index it,
+    intersect the predicate with per-file min/max, read survivors
+    only). Oracle = the same aggregate over the raw table: zone-map
+    planning must be invisible in the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mmw_geoprocessing_spark.sources.zonemap import (
+        build_zonemap,
+        zonemap_pruned_read,
+    )
+
+    # ensure the date-clustered compacted layout exists (same dirs as
+    # maintenance_compact, so a session running both builds once)
+    compact_orders_roundtrip(spark, sf_dir)
+    dst = _keyed_base(sf_dir, "compact_reg") + "_dst"
+    assert os.path.isdir(dst)
+    from datetime import date
+
+    zm = build_zonemap(dst, spark, ["o_orderdate"])
+    df, _stats = zonemap_pruned_read(
+        spark,
+        zm,
+        {"o_orderdate": (date(1995, 1, 1), date(1995, 3, 31))},
+        schema_src=dst,
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+def zonemap_prune_orders_sql() -> str:
+    return """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        GROUP BY o_orderpriority
+    """

@@ -1,0 +1,113 @@
+"""File-level zone maps: a min/max statistics index consulted at
+planning time, and the scan pruning it enables.
+
+Why this exists at 100 TB: directory partitioning prunes exactly the
+dimensions you physically partitioned by, and parquet row-group
+statistics are consulted only AFTER a file is opened — the driver
+still lists, schedules, and opens every file in the table. Lakehouse
+table formats (Delta, Iceberg, Hudi) all fix this the same way: a
+table-level per-file statistics index that the planner intersects
+with the query predicate BEFORE any data file is touched. Delta calls
+the technique data skipping; Iceberg keeps it in manifest files. This
+module rebuilds that capability on plain parquet directories, which
+is what the rest of this repo reads:
+
+- ``build_zonemap`` computes per-file ``min``/``max`` per indexed
+  column plus a row count in ONE distributed scan (``input_file_name``
+  + hash aggregate keyed by file — n_files groups, a tiny shuffle);
+- ``zonemap_pruned_read`` intersects a conjunction of range
+  predicates with the index. The intersection itself is a DataFrame
+  filter over the (small) index relation; only the SURVIVING file
+  names are collected to the driver — at a million-file table that
+  collect is bounded by the selectivity, not the table size. The
+  survivors are handed to ``spark.read.parquet(*files)`` and the
+  residual predicate re-applied, so the result is bit-identical to
+  the full scan (zone maps are a superset filter: a file may survive
+  on min/max overlap yet contain no matching row).
+
+The pruning is only as good as the physical layout — a table whose
+files all span the full value range skips nothing. That is the
+``sort_cols`` / Z-order half of :mod:`.maintenance`: cluster the
+rewrite, then the zone map turns the clustering into skipped I/O.
+tests/test_zonemap.py pins both halves: bit-equality of pruned vs
+full scans, and files_read < files_total on a clustered layout.
+
+Reference parity note: the reference's only planning-time pruning is
+its S3 layer catalog keyed by grid extent (Utils.scala:241-248 —
+fetch only the tiles intersecting the AOI bbox); sources/catalog.py
+mirrors that for rasters. Zone maps generalize the same idea to
+arbitrary columns of arbitrary tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_zonemap(df_or_path, spark: SparkSession | None = None,
+                  cols: list[str] | None = None) -> DataFrame:
+    """Per-file statistics index: one row per data file with
+    ``file, n_rows, min_<c>, max_<c>`` for each indexed column.
+
+    One distributed scan + one n_files-group hash aggregate. The
+    aggregate is partial+final (map-side combine), so the shuffle
+    carries at most n_files × n_partitions tiny rows.
+    """
+    if isinstance(df_or_path, str):
+        assert spark is not None
+        df = spark.read.parquet(df_or_path)
+    else:
+        df = df_or_path
+    cols = cols or []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files(zonemap: DataFrame, ranges: dict[str, tuple]) -> tuple[list[str], int]:
+    """Intersect a conjunction of closed ranges ``{col: (lo, hi)}``
+    with the index; returns (surviving file paths, total files).
+
+    A file survives when every predicate interval overlaps its
+    [min, max] envelope: ``max_c >= lo AND min_c <= hi``. NULL
+    envelopes (all-NULL file for that column) survive conservatively.
+    Only survivors are collected — the index filter runs distributed.
+    """
+    total = zonemap.count()
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        overlap = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        cond = cond & (overlap | F.col(f"min_{c}").isNull())
+    files = [r["file"] for r in zonemap.where(cond).select("file").collect()]
+    return files, total
+
+
+def zonemap_pruned_read(
+    spark: SparkSession,
+    zonemap: DataFrame,
+    ranges: dict[str, tuple],
+    schema_src: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Plan a scan through the zone map: read only surviving files,
+    re-apply the residual predicate (min/max overlap is necessary,
+    not sufficient). Returns (DataFrame, skip stats).
+
+    ``schema_src``: directory to borrow the schema from when every
+    file is pruned (an empty relation still needs a schema).
+    """
+    files, total = prune_files(zonemap, ranges)
+    if files:
+        df = spark.read.parquet(*files)
+    else:
+        assert schema_src is not None, "all files pruned and no schema_src"
+        df = spark.read.parquet(schema_src).where(F.lit(False))
+    for c, (lo, hi) in ranges.items():
+        df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df, {"files_total": total, "files_read": len(files)}

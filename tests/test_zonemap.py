@@ -1,0 +1,183 @@
+"""Zone-map index + Z-order clustering (sources/zonemap.py,
+sources/maintenance.py): Morton-code correctness, index completeness,
+pruned-scan bit-equality, measured file skipping, and the 2-D-box
+advantage of Z-order over 1-D range clustering."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.sources import maintenance as mt
+from mmw_geoprocessing_spark.sources import zonemap as zm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _match(spark_df, duck, sql):
+    a = spark_df.toPandas()
+    b = duck.execute(sql).df()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ----------------------------------------------------------- Morton code
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue16_matches_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(pts, "x int, y int").withColumn(
+        "z", mt._zvalue16(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_bucket16_bounds(spark):
+    df = spark.range(1).select(
+        mt._bucket16(F.lit(5.0), 5.0, 5.0).alias("degenerate"),
+        mt._bucket16(F.lit(0.0), 0.0, 10.0).alias("lo"),
+        mt._bucket16(F.lit(10.0), 0.0, 10.0).alias("hi"),
+        mt._bucket16(F.lit(99.0), 0.0, 10.0).alias("clamped"),
+    ).collect()[0]
+    assert df["degenerate"] == 0
+    assert df["lo"] == 0
+    assert df["hi"] == 65535
+    assert df["clamped"] == 65535
+
+
+# ------------------------------------------------------- zone-map basics
+
+
+@pytest.fixture(scope="module")
+def date_clustered(spark, tables, tmp_path_factory):
+    """orders range-clustered by o_orderdate into 16 files."""
+    base = tmp_path_factory.mktemp("zmap")
+    frag = str(base / "frag")
+    dst = str(base / "clustered")
+    tables["orders"].repartition(8).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, dst,
+        target_bytes=max(1, nbytes // 16 + 1),
+        sort_cols=["o_orderdate"],
+    )
+    return dst
+
+
+def test_zonemap_covers_every_file(spark, date_clustered):
+    n_files, _ = mt.parquet_dir_stats(spark, date_clustered)
+    idx = zm.build_zonemap(date_clustered, spark, ["o_orderdate"])
+    rows = idx.collect()
+    assert len(rows) == n_files
+    total_rows = sum(r["n_rows"] for r in rows)
+    assert total_rows == spark.read.parquet(date_clustered).count()
+    for r in rows:
+        assert r["min_o_orderdate"] <= r["max_o_orderdate"]
+
+
+def test_pruned_read_bit_equal_and_skips_files(spark, date_clustered):
+    """The core contract: pruned scan ≡ full scan + filter, while
+    opening strictly fewer files on a clustered layout."""
+    idx = zm.build_zonemap(date_clustered, spark, ["o_orderdate"])
+    box = {"o_orderdate": (date(1997, 1, 1), date(1997, 12, 31))}
+    pruned, stats = zm.zonemap_pruned_read(spark, idx, box, schema_src=date_clustered)
+    full = spark.read.parquet(date_clustered).where(
+        F.col("o_orderdate").between(*box["o_orderdate"])
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    # one year is ~1/7 of the 1995-2001 fixture span: a date-clustered layout must
+    # skip most of its 16 files
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["files_read"] <= stats["files_total"] // 2
+
+
+def test_all_files_pruned_returns_empty_with_schema(spark, date_clustered):
+    idx = zm.build_zonemap(date_clustered, spark, ["o_orderdate"])
+    box = {"o_orderdate": (date(2050, 1, 1), date(2051, 1, 1))}
+    pruned, stats = zm.zonemap_pruned_read(spark, idx, box, schema_src=date_clustered)
+    assert stats["files_read"] == 0
+    assert pruned.count() == 0
+    assert "o_orderkey" in pruned.columns
+
+
+# ------------------------------------------------------------- Z-order
+
+
+def test_zorder_beats_1d_clustering_on_other_dim(spark, tables, date_clustered,
+                                                 tmp_path):
+    """A predicate on the NON-clustered dimension skips nothing on a
+    1-D layout but prunes on the Z-ordered one — the reason Z-order
+    exists."""
+    frag = str(tmp_path / "zfrag")
+    zdst = str(tmp_path / "zdst")
+    tables["orders"].repartition(8).write.parquet(frag)
+    mt.zorder_parquet_dir(
+        spark, frag, zdst, "o_custkey", "o_orderdate", n_files=16
+    )
+    n_files, _ = mt.parquet_dir_stats(spark, zdst)
+    assert n_files >= 8  # range-partitioner may merge near-empty ranges
+
+    max_ck = tables["orders"].agg(F.max("o_custkey")).collect()[0][0]
+    box = {"o_custkey": (1, max(1, max_ck // 16))}  # 1/16 of the key dim
+
+    idx_1d = zm.build_zonemap(date_clustered, spark, ["o_custkey"])
+    idx_z = zm.build_zonemap(zdst, spark, ["o_custkey"])
+    _, s1 = zm.zonemap_pruned_read(spark, idx_1d, box, schema_src=date_clustered)
+    _, sz = zm.zonemap_pruned_read(spark, idx_z, box, schema_src=zdst)
+    # date-clustering scatters custkey across (essentially) all files;
+    # z-order fixes the top custkey bits inside each file, so the
+    # low-custkey box touches only the matching Morton blocks
+    assert s1["files_read"] >= s1["files_total"] - 1
+    assert sz["files_read"] <= sz["files_total"] // 2
+    assert sz["files_read"] < s1["files_read"]
+
+    # and the pruned read is still exact
+    pruned, _ = zm.zonemap_pruned_read(spark, idx_z, box, schema_src=zdst)
+    full = spark.read.parquet(zdst).where(F.col("o_custkey").between(*box["o_custkey"]))
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+
+
+def test_zorder_preserves_rows(spark, tables, tmp_path):
+    frag = str(tmp_path / "pfrag")
+    zdst = str(tmp_path / "pz")
+    tables["orders"].repartition(4).write.parquet(frag)
+    mt.zorder_parquet_dir(spark, frag, zdst, "o_custkey", "o_orderdate", n_files=8)
+    before = spark.read.parquet(frag)
+    after = spark.read.parquet(zdst)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+# ------------------------------------------------- registered queries
+
+
+def test_registered_zorder_box_matches_oracle(spark, tables, duck):
+    out = mt.zorder_box_query(spark, SF_DIR)
+    # guard against a silently-empty box (the fixture dates span
+    # 1995-2001, NOT TPC-H's 1992-1998 — this bit once)
+    assert out.count() > 0
+    _match(out, duck, mt.zorder_box_query_sql())
+
+
+def test_registered_zonemap_prune_matches_oracle(spark, tables, duck):
+    _match(
+        mt.zonemap_prune_orders(spark, SF_DIR), duck,
+        mt.zonemap_prune_orders_sql(),
+    )

@@ -82,6 +82,12 @@ AUDITED = [
     "skew_join_salted",
     "cdc_incremental_rollup",
     "source_python_ledger",
+    # round-10 final: layout services — the evidence line is the scan's
+    # InMemoryFileIndex holding only zone-map SURVIVORS (1 file for the
+    # Q1 date box; a handful of Morton blocks for the 2-D box), plus
+    # the pushed residual predicate
+    "maintenance_zorder",
+    "source_zonemap_prune",
 ]
 
 THETA_OK = {
