@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-103 queries are registered (the round-9 81 plus round 10's
+104 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -38,7 +38,9 @@ recompute), and the layout-service pair ``maintenance_zorder``
 (Morton-interleave Z-order rewrite answered through the zone-map
 index) / ``source_zonemap_prune`` (per-file min/max statistics index
 → planning-time file skipping, Delta/Iceberg data-skipping rebuilt on
-plain parquet)), all
+plain parquet) and ``maintenance_delete_rows`` (copy-on-write
+row-level delete: zone-map-located files rewritten with an
+anti-filter, manifest swap for the rest — cost ∝ keys-hit-files)), all
 with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
@@ -846,6 +848,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range-clustered compacted layout: per-file min/max built in
         # one scan, predicate∩envelope pruning, survivors-only read
         "source_zonemap_prune": maint.zonemap_prune_orders,
+        # layout services, part 3: copy-on-write row-level delete (the
+        # GDPR job) — zone-map-located files rewritten with an
+        # anti-filter, everything else untouched in the manifest; cost
+        # ∝ keys-hit-files, not table size. Oracle = NOT IN anti-filter
+        # over the raw table (the delete must be indistinguishable)
+        "maintenance_delete_rows": maint.delete_rows_orders,
         # incremental view maintenance: the per-date revenue rollup
         # kept current by delta algebra (negate-old + add-new,
         # O(|changelog|)); oracle = the full recompute over the merged
@@ -905,5 +913,6 @@ def lib_oracle_sql() -> dict[str, str]:
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),
         "maintenance_zorder": maint.zorder_box_query_sql(),
         "source_zonemap_prune": maint.zonemap_prune_orders_sql(),
+        "maintenance_delete_rows": maint.delete_rows_orders_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
     }

@@ -357,3 +357,134 @@ def zonemap_prune_orders_sql() -> str:
         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
         GROUP BY o_orderpriority
     """
+
+
+# ---------------------------------------------------------------------------
+# Targeted row-level delete (copy-on-write, zone-map-located)
+# ---------------------------------------------------------------------------
+#
+# The GDPR / right-to-be-forgotten job: remove a small set of keys
+# from a huge table. The naive plan rewrites 100 TB to drop a few
+# thousand rows. Every lakehouse does copy-on-write instead: locate
+# the files that can contain the keys (a statistics-index lookup),
+# rewrite ONLY those with an anti-filter, and swap the file list in
+# the table's manifest — untouched files are never read, never moved.
+# Cost scales with keys-hit-files, not table size.
+#
+# The manifest (1 row per file) is a metadata-plane object in every
+# table format (Delta log, Iceberg manifests); holding it on the
+# driver mirrors that. The touched-file location runs as a broadcast
+# join of the key set against the zone map, so it stays distributed
+# at 10^6 files × 10^5 keys.
+
+
+def list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Data-file listing via the Hadoop FS API (scheme-agnostic)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def targeted_delete(
+    spark: SparkSession,
+    src: str,
+    delta_dir: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Copy-on-write delete of ``keys`` from the table at ``src``:
+    rewrite only zone-map-located files into ``delta_dir`` and return
+    the post-delete manifest. Returns
+    ``{"manifest", "files_total", "files_rewritten"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from mmw_geoprocessing_spark.sources.zonemap import build_zonemap
+
+    zm = build_zonemap(src, spark, [key_col]).persist()
+    keys_df = spark.createDataFrame([(k,) for k in keys], f"__k: bigint")
+    mn, mx = F.col(f"min_{key_col}"), F.col(f"max_{key_col}")
+    touched = sorted(
+        r["file"]
+        for r in zm.join(
+            F.broadcast(keys_df), (mn <= F.col("__k")) & (F.col("__k") <= mx)
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    all_files = sorted(r["file"] for r in zm.select("file").collect())
+    zm.unpersist()
+    kept = [f for f in all_files if f not in set(touched)]
+    delta_files: list[str] = []
+    if touched:
+        (
+            spark.read.parquet(*touched)
+            .where(~F.col(key_col).isin(keys))
+            .write.mode("overwrite")
+            .parquet(delta_dir)
+        )
+        delta_files = list_parquet_files(spark, delta_dir)
+    return {
+        "manifest": kept + delta_files,
+        "files_total": len(all_files),
+        "files_rewritten": len(touched),
+    }
+
+
+#: registered delete set: keys that exist at every fixture SF
+#: (o_orderkey is dense from 0; the smallest fixture has 1500 orders)
+DELETE_KEYS = [0, 500, 1000, 1250]
+
+
+def delete_rows_orders(spark: SparkSession, sf_dir: str):
+    """Registry entry ``maintenance_delete_rows``: cluster orders by
+    o_orderkey (16+ files), copy-on-write-delete DELETE_KEYS via the
+    zone map, and return the post-delete table read through the
+    manifest. Oracle = an anti-filter over the raw table: the delete
+    job must be indistinguishable from WHERE key NOT IN (...). The
+    files_rewritten << files_total property is pinned in
+    tests/test_zonemap.py."""
+    import json
+    import os
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    base = _keyed_base(sf_dir, "delete_reg")
+    src, delta, man_path = base + "_src", base + "_delta", base + "_manifest.json"
+    if not os.path.isfile(man_path):
+        frag = base + "_frag"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
+        _, nbytes = parquet_dir_stats(spark, frag)
+        compact_parquet_dir(
+            spark, frag, src,
+            target_bytes=max(1, math.ceil(nbytes / 16)),
+            sort_cols=["o_orderkey"],
+        )
+        stats = targeted_delete(spark, src, delta, "o_orderkey", DELETE_KEYS)
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, man_path)
+    with open(man_path) as f:
+        manifest = json.load(f)["manifest"]
+    return spark.read.parquet(*manifest).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+def delete_rows_orders_sql() -> str:
+    keys = ", ".join(str(k) for k in DELETE_KEYS)
+    return f"""
+        SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders
+        WHERE o_orderkey NOT IN ({keys})
+    """

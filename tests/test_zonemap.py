@@ -181,3 +181,58 @@ def test_registered_zonemap_prune_matches_oracle(spark, tables, duck):
         mt.zonemap_prune_orders(spark, SF_DIR), duck,
         mt.zonemap_prune_orders_sql(),
     )
+
+
+# ------------------------------------------- copy-on-write delete
+
+
+def test_targeted_delete_rewrites_only_located_files(spark, tables, tmp_path):
+    frag = str(tmp_path / "dfrag")
+    src = str(tmp_path / "dsrc")
+    delta = str(tmp_path / "ddelta")
+    tables["orders"].repartition(8).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, src, target_bytes=max(1, nbytes // 16 + 1),
+        sort_cols=["o_orderkey"],
+    )
+    n_files, _ = mt.parquet_dir_stats(spark, src)
+    keys = [0, 700]
+    stats = mt.targeted_delete(spark, src, delta, "o_orderkey", keys)
+    # key-clustered layout: each key lives in exactly one file
+    assert stats["files_total"] == n_files
+    assert 1 <= stats["files_rewritten"] <= len(keys)
+    assert stats["files_rewritten"] < stats["files_total"]
+    # manifest preserves the untouched files verbatim
+    assert len(stats["manifest"]) >= stats["files_total"] - stats["files_rewritten"]
+
+    after = spark.read.parquet(*stats["manifest"])
+    expect = spark.read.parquet(src).where(~F.col("o_orderkey").isin(keys))
+    assert after.exceptAll(expect).count() == 0
+    assert expect.exceptAll(after).count() == 0
+    # and the keys are really gone
+    assert after.where(F.col("o_orderkey").isin(keys)).count() == 0
+
+
+def test_targeted_delete_missing_keys_touch_nothing(spark, tables, tmp_path):
+    frag = str(tmp_path / "mfrag")
+    src = str(tmp_path / "msrc")
+    tables["orders"].repartition(4).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, src, target_bytes=max(1, nbytes // 8 + 1),
+        sort_cols=["o_orderkey"],
+    )
+    stats = mt.targeted_delete(
+        spark, src, str(tmp_path / "mdelta"), "o_orderkey",
+        [10_000_000_000, 10_000_000_001],  # outside every envelope
+    )
+    assert stats["files_rewritten"] == 0
+    assert len(stats["manifest"]) == stats["files_total"]
+
+
+def test_registered_delete_rows_matches_oracle(spark, tables, duck):
+    out = mt.delete_rows_orders(spark, SF_DIR)
+    assert out.count() > 0
+    assert out.where(F.col("o_orderkey").isin(mt.DELETE_KEYS)).count() == 0
+    _match(out, duck, mt.delete_rows_orders_sql())
