@@ -503,3 +503,38 @@ def delete_rows_orders_sql() -> str:
         FROM orders
         WHERE o_orderkey NOT IN ({keys})
     """
+
+
+def _canon_uri(p: str) -> str:
+    """Canonical form for file-scheme URIs: ``input_file_name()``
+    emits ``file:///x`` while Hadoop ``Path.toString()`` prints
+    ``file:/x`` — comparing them raw silently matches NOTHING, which
+    for vacuum means deleting every live file (caught by
+    tests/test_zonemap.py before it shipped). Non-file schemes carry
+    an authority (``hdfs://nn/...``, ``s3a://bucket/...``) and both
+    APIs print those identically — passed through unchanged."""
+    if p.startswith("file:"):
+        return "file:///" + p[5:].lstrip("/")
+    return p
+
+
+def vacuum(spark: SparkSession, dirs: list[str], manifest: list[str]) -> dict:
+    """File GC after a manifest swap: delete data files under ``dirs``
+    that the manifest no longer references (a lakehouse VACUUM).
+    Metadata-plane operation — one FS listing per dir, one delete per
+    orphan (a deployment batches deletes and enforces a retention
+    window so time-travel readers of RECENT snapshots don't break;
+    retention policy is out of scope here)."""
+    jvm = spark._jvm
+    keep = {_canon_uri(p) for p in manifest}
+    removed, kept = 0, 0
+    for d in dirs:
+        for f in list_parquet_files(spark, d):
+            if _canon_uri(f) in keep:
+                kept += 1
+                continue
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, False)
+            removed += 1
+    return {"removed": removed, "kept": kept}

@@ -111,3 +111,14 @@ def zonemap_pruned_read(
     for c, (lo, hi) in ranges.items():
         df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
     return df, {"files_total": total, "files_read": len(files)}
+
+
+def extend_zonemap(existing: DataFrame, df_or_path, spark: SparkSession,
+                   cols: list[str]) -> DataFrame:
+    """Incremental index maintenance: index rows for NEW files union'd
+    onto the existing index (no rebuild of indexed files). ``existing``
+    rows for files that no longer exist are dropped by the caller via
+    the manifest; appended files only need their own one-file scans —
+    the shape of a daily ingest appending to a 100 TB table."""
+    new_rows = build_zonemap(df_or_path, spark, cols)
+    return existing.unionByName(new_rows)

@@ -236,3 +236,53 @@ def test_registered_delete_rows_matches_oracle(spark, tables, duck):
     assert out.count() > 0
     assert out.where(F.col("o_orderkey").isin(mt.DELETE_KEYS)).count() == 0
     _match(out, duck, mt.delete_rows_orders_sql())
+
+
+# -------------------------------------- vacuum + incremental index
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tables, tmp_path):
+    """Delete job then VACUUM: orphaned (rewritten-away) files go,
+    manifest files stay, and the manifest read is unchanged."""
+    frag = str(tmp_path / "vfrag")
+    src = str(tmp_path / "vsrc")
+    delta = str(tmp_path / "vdelta")
+    tables["orders"].repartition(8).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, src, target_bytes=max(1, nbytes // 16 + 1),
+        sort_cols=["o_orderkey"],
+    )
+    stats = mt.targeted_delete(spark, src, delta, "o_orderkey", [0, 700])
+    assert stats["files_rewritten"] > 0
+    before = spark.read.parquet(*stats["manifest"]).count()
+
+    n_src_before, _ = mt.parquet_dir_stats(spark, src)
+    gc = mt.vacuum(spark, [src, delta], stats["manifest"])
+    assert gc["removed"] == stats["files_rewritten"]
+    assert gc["kept"] == len(stats["manifest"])
+    n_src_after, _ = mt.parquet_dir_stats(spark, src)
+    assert n_src_after == n_src_before - stats["files_rewritten"]
+    # the table is intact through the manifest
+    assert spark.read.parquet(*stats["manifest"]).count() == before
+
+
+def test_extend_zonemap_appends_new_files_only(spark, tables, tmp_path):
+    base = str(tmp_path / "ibase")
+    extra = str(tmp_path / "iextra")
+    tables["orders"].where(F.col("o_orderkey") < 1000).repartition(4).write.parquet(base)
+    tables["orders"].where(F.col("o_orderkey") >= 1000).repartition(2).write.parquet(extra)
+    idx = zm.build_zonemap(base, spark, ["o_orderkey"])
+    full = zm.extend_zonemap(idx, extra, spark, ["o_orderkey"])
+    n_base, _ = mt.parquet_dir_stats(spark, base)
+    n_extra, _ = mt.parquet_dir_stats(spark, extra)
+    assert full.count() == n_base + n_extra
+    # the extended index plans correctly across both dirs
+    pruned, stats = zm.zonemap_pruned_read(
+        spark, full, {"o_orderkey": (1200, 1400)}, schema_src=base
+    )
+    expect = tables["orders"].where(F.col("o_orderkey").between(1200, 1400))
+    assert pruned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(pruned).count() == 0
+    # base-dir files (all keys < 1000) must be skipped entirely
+    assert stats["files_read"] <= n_extra
