@@ -286,3 +286,35 @@ def test_extend_zonemap_appends_new_files_only(spark, tables, tmp_path):
     assert expect.exceptAll(pruned).count() == 0
     # base-dir files (all keys < 1000) must be skipped entirely
     assert stats["files_read"] <= n_extra
+
+
+def test_snapshot_reads_and_vacuum_retention(spark, tables, tmp_path):
+    """Manifests ARE snapshots: v0 (pre-delete) stays readable after
+    the delete job (copy-on-write never mutates v0's files) — until
+    VACUUM against v1 reclaims the rewritten-away files. This is why
+    deployments put a retention window between snapshot and GC."""
+    frag = str(tmp_path / "sfrag")
+    src = str(tmp_path / "ssrc")
+    delta = str(tmp_path / "sdelta")
+    tables["orders"].repartition(8).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, src, target_bytes=max(1, nbytes // 16 + 1),
+        sort_cols=["o_orderkey"],
+    )
+    v0 = mt.list_parquet_files(spark, src)
+    n_total = spark.read.parquet(*v0).count()
+
+    stats = mt.targeted_delete(spark, src, delta, "o_orderkey", [0, 700])
+    v1 = stats["manifest"]
+    # both snapshots are live and consistent after the delete
+    assert spark.read.parquet(*v0).count() == n_total
+    n_v1 = spark.read.parquet(*v1).count()
+    assert n_v1 < n_total
+
+    mt.vacuum(spark, [src, delta], v1)
+    # v1 survives GC; v0's rewritten-away files are gone
+    assert spark.read.parquet(*v1).count() == n_v1
+    remaining = set(mt.list_parquet_files(spark, src) +
+                    mt.list_parquet_files(spark, delta))
+    assert any(f not in remaining for f in v0)
