@@ -318,3 +318,30 @@ def test_snapshot_reads_and_vacuum_retention(spark, tables, tmp_path):
     remaining = set(mt.list_parquet_files(spark, src) +
                     mt.list_parquet_files(spark, delta))
     assert any(f not in remaining for f in v0)
+
+
+def test_zonemap_on_string_column(spark, tables, tmp_path):
+    """min/max envelopes work on any orderable type — string columns
+    (domain/URL pruning in a curation pipeline) included."""
+    frag = str(tmp_path / "tfrag")
+    dst = str(tmp_path / "tsorted")
+    tables["documents"].repartition(4).write.parquet(frag)
+    _, nbytes = mt.parquet_dir_stats(spark, frag)
+    mt.compact_parquet_dir(
+        spark, frag, dst, target_bytes=max(1, nbytes // 8 + 1),
+        sort_cols=["source"],
+    )
+    idx = zm.build_zonemap(dst, spark, ["source"])
+    srcs = sorted(
+        r["source"]
+        for r in tables["documents"].select("source").distinct().collect()
+    )
+    lo = hi = srcs[0]  # a single-domain point lookup
+    pruned, stats = zm.zonemap_pruned_read(
+        spark, idx, {"source": (lo, hi)}, schema_src=dst
+    )
+    expect = spark.read.parquet(dst).where(F.col("source") == lo)
+    assert pruned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(pruned).count() == 0
+    if len(srcs) > 2:
+        assert stats["files_read"] < stats["files_total"]
