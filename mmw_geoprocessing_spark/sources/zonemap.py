@@ -78,15 +78,21 @@ def prune_files(zonemap: DataFrame, ranges: dict[str, tuple]) -> tuple[list[str]
     A file survives when every predicate interval overlaps its
     [min, max] envelope: ``max_c >= lo AND min_c <= hi``. NULL
     envelopes (all-NULL file for that column) survive conservatively.
-    Only survivors are collected — the index filter runs distributed.
+    Only survivors are collected — the index filter runs distributed,
+    and total + survivors come back in ONE aggregation job (a
+    count-then-collect pair doubles the per-query fixed cost on the
+    serving path; ``collect_list`` skips the NULLs the ``when``
+    leaves for pruned files, so the list is selectivity-bounded).
     """
-    total = zonemap.count()
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         overlap = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
         cond = cond & (overlap | F.col(f"min_{c}").isNull())
-    files = [r["file"] for r in zonemap.where(cond).select("file").collect()]
-    return files, total
+    row = zonemap.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.collect_list(F.when(cond, F.col("file"))).alias("files"),
+    ).collect()[0]
+    return sorted(row["files"]), row["total"]
 
 
 def zonemap_pruned_read(
