@@ -53,6 +53,14 @@ def build_zonemap(df_or_path, spark: SparkSession | None = None,
     One distributed scan + one n_files-group hash aggregate. The
     aggregate is partial+final (map-side combine), so the shuffle
     carries at most n_files × n_partitions tiny rows.
+
+    EMPTY data files are invisible to the index (no rows → no
+    ``input_file_name`` group; found by the hypothesis layout test).
+    That is sound everywhere the index is consulted — an empty file
+    can never contribute rows to a pruned read, and a delete manifest
+    that omits it loses nothing (vacuum then reclaims it as an
+    orphan) — but it means ``files_total`` counts non-empty files,
+    not physical files.
     """
     if isinstance(df_or_path, str):
         assert spark is not None
