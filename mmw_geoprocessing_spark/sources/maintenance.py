@@ -147,20 +147,31 @@ def _bucket16(col, mn: float, mx: float):
     return F.least(F.lit(65535), F.greatest(F.lit(0), raw.cast("int")))
 
 
-def _zvalue16(xb, yb):
-    """Interleave two 16-bit bucket columns into a 32-bit Morton code.
-
-    bit i of x -> bit 2i, bit i of y -> bit 2i+1; 32 unrolled
-    shift/OR terms, all inside codegen.
+def _zvalue_n(buckets):
+    """Interleave k 16-bit bucket columns into a 16k-bit Morton code
+    (bit i of column j lands at position i*k + j), 16k unrolled
+    shift/OR terms, all inside codegen. k ≤ 4 keeps the code in one
+    bigint; Delta's OPTIMIZE ZORDER takes the same small-k column
+    lists because each added dimension halves per-dimension locality.
     """
     from pyspark.sql import functions as F
 
+    k = len(buckets)
+    assert 1 <= k <= 4, "z-order supports 1-4 columns in a 64-bit code"
     z = F.lit(0).cast("long")
-    xl, yl = xb.cast("long"), yb.cast("long")
-    for i in range(16):
-        z = z.bitwiseOR(F.shiftleft(xl.bitwiseAND(F.lit(1 << i)), i))
-        z = z.bitwiseOR(F.shiftleft(yl.bitwiseAND(F.lit(1 << i)), i + 1))
+    for j, b in enumerate(buckets):
+        bl = b.cast("long")
+        for i in range(16):
+            z = z.bitwiseOR(
+                F.shiftleft(bl.bitwiseAND(F.lit(1 << i)), i * (k - 1) + j)
+            )
     return z
+
+
+def _zvalue16(xb, yb):
+    """Interleave two 16-bit bucket columns into a 32-bit Morton code
+    (bit i of x -> bit 2i, bit i of y -> bit 2i+1)."""
+    return _zvalue_n([xb, yb])
 
 
 def zorder_parquet_dir(
@@ -171,10 +182,13 @@ def zorder_parquet_dir(
     col_y: str,
     n_files: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
+    more_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet table at ``src`` into ``dst`` clustered by
-    the Morton interleave of (col_x, col_y). Date columns are bucketed
-    on days-since-min; numerics on their linear range. Returns stats.
+    the Morton interleave of (col_x, col_y, *more_cols) — up to 4
+    dimensions, like Delta's multi-column OPTIMIZE ZORDER. Date
+    columns are bucketed on days-since-epoch; numerics on their linear
+    range. Returns stats.
     """
     from pyspark.sql import functions as F
 
@@ -193,15 +207,18 @@ def zorder_parquet_dir(
             return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
         return F.col(c)
 
-    nx, ny = _numeric(col_x), _numeric(col_y)
-    # one 1-row agg fixes the bucket scale (driver-side boundary: 1 row)
-    b = df.agg(
-        F.min(nx).alias("xmin"), F.max(nx).alias("xmax"),
-        F.min(ny).alias("ymin"), F.max(ny).alias("ymax"),
-    ).collect()[0]
-    z = _zvalue16(
-        _bucket16(nx, b["xmin"], b["xmax"]),
-        _bucket16(ny, b["ymin"], b["ymax"]),
+    cols = [col_x, col_y, *(more_cols or [])]
+    nums = [_numeric(c) for c in cols]
+    # one 1-row agg fixes the bucket scales (driver-side boundary: 1 row)
+    aggs = []
+    for i, n in enumerate(nums):
+        aggs += [F.min(n).alias(f"mn{i}"), F.max(n).alias(f"mx{i}")]
+    b = df.agg(*aggs).collect()[0]
+    z = _zvalue_n(
+        [
+            _bucket16(n, b[f"mn{i}"], b[f"mx{i}"])
+            for i, n in enumerate(nums)
+        ]
     )
     (
         df.withColumn("_z", z)

@@ -345,3 +345,50 @@ def test_zonemap_on_string_column(spark, tables, tmp_path):
     assert expect.exceptAll(pruned).count() == 0
     if len(srcs) > 2:
         assert stats["files_read"] < stats["files_total"]
+
+
+def test_zvalue_n_three_columns_matches_reference(spark):
+    def ref3(x, y, w):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (3 * i)
+            z |= ((y >> i) & 1) << (3 * i + 1)
+            z |= ((w >> i) & 1) << (3 * i + 2)
+        return z
+
+    pts = [(0, 0, 0), (65535, 65535, 65535), (1, 2, 4), (40000, 123, 9999)]
+    df = spark.createDataFrame(pts, "x int, y int, w int").withColumn(
+        "z", mt._zvalue_n([F.col("x"), F.col("y"), F.col("w")])
+    )
+    for r in df.collect():
+        assert r["z"] == ref3(r["x"], r["y"], r["w"]), (r["x"], r["y"], r["w"])
+
+
+def test_zorder_three_columns_prunes_each_dim(spark, tables, tmp_path):
+    """3-D Morton: a tight predicate on ANY single dimension prunes."""
+    frag = str(tmp_path / "z3frag")
+    zdst = str(tmp_path / "z3dst")
+    tables["orders"].repartition(8).write.parquet(frag)
+    mt.zorder_parquet_dir(
+        spark, frag, zdst, "o_custkey", "o_orderdate",
+        n_files=32, more_cols=["o_totalprice"],
+    )
+    after = spark.read.parquet(zdst)
+    _same_rows = spark.read.parquet(frag)
+    assert after.exceptAll(_same_rows).count() == 0
+
+    maxes = tables["orders"].agg(
+        F.max("o_custkey").alias("ck"), F.max("o_totalprice").alias("tp")
+    ).collect()[0]
+    for col, hi in [("o_custkey", max(1, maxes["ck"] // 16)),
+                    ("o_totalprice", maxes["tp"] / 16.0)]:
+        idx = zm.build_zonemap(zdst, spark, [col])
+        pruned, stats = zm.zonemap_pruned_read(
+            spark, idx, {col: (0, hi)}, schema_src=zdst
+        )
+        # 3-D locality is weaker than 2-D (top bits split 3 ways) but a
+        # 1/16-of-range predicate must still skip files
+        assert stats["files_read"] < stats["files_total"], col
+        expect = spark.read.parquet(zdst).where(F.col(col).between(0, hi))
+        assert pruned.exceptAll(expect).count() == 0
+        assert expect.exceptAll(pruned).count() == 0

@@ -88,6 +88,7 @@ AUDITED = [
     # the pushed residual predicate
     "maintenance_zorder",
     "source_zonemap_prune",
+    "maintenance_delete_rows",
 ]
 
 THETA_OK = {
