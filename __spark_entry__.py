@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-104 queries are registered (the round-9 81 plus round 10's
+105 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -40,7 +40,10 @@ index) / ``source_zonemap_prune`` (per-file min/max statistics index
 → planning-time file skipping, Delta/Iceberg data-skipping rebuilt on
 plain parquet) and ``maintenance_delete_rows`` (copy-on-write
 row-level delete: zone-map-located files rewritten with an
-anti-filter, manifest swap for the rest — cost ∝ keys-hit-files)), all
+anti-filter, manifest swap for the rest — cost ∝ keys-hit-files) and
+``maintenance_delete_mor`` (the merge-on-read twin: O(1) delete-file
+commit, broadcast anti-join at read — same oracle, because readers
+must not be able to tell the strategies apart)), all
 with full
 oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``, and the
@@ -854,6 +857,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ∝ keys-hit-files, not table size. Oracle = NOT IN anti-filter
         # over the raw table (the delete must be indistinguishable)
         "maintenance_delete_rows": maint.delete_rows_orders,
+        # the merge-on-read twin (Iceberg equality-deletes / Delta
+        # deletion vectors): O(1) commit = a delete-key file; reads pay
+        # a broadcast anti-join until compaction folds it in. Same
+        # oracle as the copy-on-write twin — a reader must not be able
+        # to tell the strategies apart
+        "maintenance_delete_mor": maint.delete_rows_orders_mor,
         # incremental view maintenance: the per-date revenue rollup
         # kept current by delta algebra (negate-old + add-new,
         # O(|changelog|)); oracle = the full recompute over the merged
@@ -914,5 +923,6 @@ def lib_oracle_sql() -> dict[str, str]:
         "maintenance_zorder": maint.zorder_box_query_sql(),
         "source_zonemap_prune": maint.zonemap_prune_orders_sql(),
         "maintenance_delete_rows": maint.delete_rows_orders_sql(),
+        "maintenance_delete_mor": maint.delete_rows_orders_mor_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
     }

@@ -555,3 +555,50 @@ def vacuum(spark: SparkSession, dirs: list[str], manifest: list[str]) -> dict:
             fs.delete(jpath, False)
             removed += 1
     return {"removed": removed, "kept": kept}
+
+
+def delete_rows_orders_mor(spark: SparkSession, sf_dir: str):
+    """Registry entry ``maintenance_delete_mor``: the merge-on-read
+    delete strategy (Iceberg equality-deletes / Delta deletion
+    vectors): the delete commits in O(1) — a delete-key file beside
+    the manifest, NO data file rewritten — and every read pays a
+    broadcast anti-join against the key set until compaction folds it
+    in. The copy-on-write twin (``maintenance_delete_rows``) pays at
+    write time instead; same oracle for both, because a reader must
+    not be able to tell the strategies apart. Read cost: the key set
+    broadcasts (bounded — a deployment compacts when it grows);
+    the scan side never shuffles.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    base = _keyed_base(sf_dir, "delete_reg")
+    src = base + "_src"
+    if not os.path.isdir(src):
+        frag = base + "_frag"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
+        _, nbytes = parquet_dir_stats(spark, frag)
+        compact_parquet_dir(
+            spark, frag, src,
+            target_bytes=max(1, math.ceil(nbytes / 16)),
+            sort_cols=["o_orderkey"],
+        )
+    # the O(1) "commit": persist the delete-key file once per layout
+    del_dir = base + "_mor_deletes"
+    if not os.path.isdir(del_dir):
+        spark.createDataFrame(
+            [(k,) for k in DELETE_KEYS], "o_orderkey: bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(del_dir)
+    keys = spark.read.parquet(del_dir)
+    return (
+        spark.read.parquet(src)
+        .join(F.broadcast(keys), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+def delete_rows_orders_mor_sql() -> str:
+    return delete_rows_orders_sql()

@@ -392,3 +392,16 @@ def test_zorder_three_columns_prunes_each_dim(spark, tables, tmp_path):
         expect = spark.read.parquet(zdst).where(F.col(col).between(0, hi))
         assert pruned.exceptAll(expect).count() == 0
         assert expect.exceptAll(pruned).count() == 0
+
+
+def test_merge_on_read_delete_matches_cow_and_oracle(spark, tables, duck):
+    """Both delete strategies must be indistinguishable to readers."""
+    mor = mt.delete_rows_orders_mor(spark, SF_DIR)
+    cow = mt.delete_rows_orders(spark, SF_DIR)
+    assert mor.exceptAll(cow).count() == 0
+    assert cow.exceptAll(mor).count() == 0
+    assert mor.where(F.col("o_orderkey").isin(mt.DELETE_KEYS)).count() == 0
+    _match(mor, duck, mt.delete_rows_orders_mor_sql())
+    # the MoR read plans a broadcast anti-join, never a shuffle of the scan
+    plan = mor._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
