@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-105 queries are registered (the round-9 81 plus round 10's
+106 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -870,6 +870,14 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_rollup": lambda s, d: cdc.incremental_rollup_orders(
             _t(s, d)["orders"]
         ),
+        # SQL:2003 MERGE INTO (Delta MERGE): the join-shaped three-
+        # clause merge for one-row-per-key batches — one full-outer
+        # sort-merge join, both sides shuffle the key once. The
+        # union-shaped changelog_merge stays the cheaper path for
+        # sequenced feeds; this is the standard-semantics face
+        "cdc_merge_into": lambda s, d: cdc.merge_into_orders(
+            _t(s, d)["orders"]
+        ),
     }
 
 
@@ -925,4 +933,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "maintenance_delete_rows": maint.delete_rows_orders_sql(),
         "maintenance_delete_mor": maint.delete_rows_orders_mor_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
+        "cdc_merge_into": cdc.merge_into_orders_sql(),
     }

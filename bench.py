@@ -103,6 +103,7 @@ LLM_SECTION = [
     "maintenance_zorder",
     "source_zonemap_prune",
     "maintenance_delete_rows",
+    "maintenance_delete_mor",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

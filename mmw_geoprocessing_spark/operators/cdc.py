@@ -317,3 +317,123 @@ def incremental_rollup_orders_sql(table: str = "orders") -> str:
     FROM ({merged})
     GROUP BY o_orderdate
     """
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (SQL:2003 / Delta MERGE): join-based three-clause merge
+# ---------------------------------------------------------------------------
+
+def merge_into(target: DataFrame, source: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """The SQL-standard MERGE in one full-outer join:
+
+    - WHEN MATCHED AND s.op = 'D'      THEN DELETE
+    - WHEN MATCHED (op 'U' or 'I')     THEN UPDATE SET * = source
+    - WHEN NOT MATCHED AND s.op = 'I'  THEN INSERT *
+    - unmatched target rows pass through; unmatched 'U'/'D' are no-ops
+
+    This is the JOIN-shaped counterpart to ``changelog_merge`` (which
+    is strictly cheaper — one union + one key shuffle — when the
+    source carries its own sequence numbers). MERGE INTO is what you
+    run when the source is a clean one-row-per-key batch and you need
+    the standard three-clause semantics: the physical plan is one
+    full-outer sort-merge join (both sides shuffle on the key once),
+    which is exactly how Delta/Iceberg execute MERGE. Reference for
+    semantics: Spark's own DeltaMergeInto / SQL:2003 14.9.
+    """
+    t = target.withColumn("_t", F.lit(1))
+    s = source.withColumn("_s", F.lit(1))
+    # disambiguate payload columns before the join
+    s = s.select(
+        key, "_s", "op", *[F.col(c).alias(f"_s_{c}") for c in PAYLOAD]
+    )
+    j = t.join(s, key, "full_outer")
+    matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    use_source = (matched & (F.col("op") != "D")) | (
+        F.col("_t").isNull() & (F.col("op") == "I")
+    )
+    keep = F.col("_s").isNull() | use_source
+    return j.filter(keep).select(
+        key,
+        *[
+            F.when(use_source, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+            for c in PAYLOAD
+        ],
+    )
+
+
+def _merge_source(orders: DataFrame) -> DataFrame:
+    """Deterministic one-row-per-key MERGE batch from the orders table
+    (disjoint rules from ``synth_changelog`` so the two registered
+    merge shapes are independent): updates re-price ``k % 11 = 5``
+    (+50.0, priority 'MERGED'), deletes drop ``k % 17 = 2`` (minus the
+    update keys — one row per key), inserts add fresh negated keys
+    ``-(k + 1_000_000_001)`` for ``k % 23 = 1`` (disjoint at any SF,
+    and from the changelog family's ``-k`` inserts)."""
+    k = F.col("o_orderkey")
+    upd = (
+        orders.filter(k % 11 == 5)
+        .withColumn("op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        .withColumn("o_orderpriority", F.lit("MERGED"))
+    )
+    dele = orders.filter((k % 17 == 2) & ~(k % 11 == 5)).withColumn(
+        "op", F.lit("D")
+    )
+    ins = (
+        orders.filter(k % 23 == 1)
+        .withColumn("o_orderkey", -(k + F.lit(1_000_000_001)))
+        .withColumn("op", F.lit("I"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(3.0))
+    )
+    cols = ["o_orderkey", "op", *PAYLOAD]
+    return upd.select(cols).unionByName(dele.select(cols)).unionByName(
+        ins.select(cols)
+    )
+
+
+def merge_into_orders(orders: DataFrame) -> DataFrame:
+    """Registered entry ``cdc_merge_into``."""
+    return merge_into(orders, _merge_source(orders))
+
+
+def merge_into_orders_sql(table: str = "orders") -> str:
+    pay_s = ", ".join(f"s.{c} AS _s_{c}" for c in PAYLOAD)
+    pick = ",\n           ".join(
+        f"CASE WHEN use_source THEN _s_{c} ELSE {c} END AS {c}"
+        for c in PAYLOAD
+    )
+    return f"""
+    WITH src AS (
+        SELECT o_orderkey, 'U' AS op, o_custkey, o_orderstatus,
+               o_totalprice + 50.0 AS o_totalprice, o_orderdate,
+               'MERGED' AS o_orderpriority
+        FROM {table} WHERE o_orderkey % 11 = 5
+        UNION ALL
+        SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 17 = 2 AND NOT o_orderkey % 11 = 5
+        UNION ALL
+        SELECT -(o_orderkey + 1000000001), 'I', o_custkey, o_orderstatus,
+               o_totalprice * 3.0, o_orderdate, o_orderpriority
+        FROM {table} WHERE o_orderkey % 23 = 1
+    ),
+    j AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               t.o_orderkey IS NOT NULL AS t_exists,
+               s.o_orderkey IS NOT NULL AS s_exists,
+               s.op, {pay_s},
+               t.o_custkey, t.o_orderstatus, t.o_totalprice,
+               t.o_orderdate, t.o_orderpriority
+        FROM {table} t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    ),
+    flagged AS (
+        SELECT *,
+               (t_exists AND s_exists AND op <> 'D')
+               OR (NOT t_exists AND op = 'I') AS use_source
+        FROM j
+    )
+    SELECT o_orderkey,
+           {pick}
+    FROM flagged
+    WHERE NOT s_exists OR use_source
+    """

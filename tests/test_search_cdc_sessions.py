@@ -239,3 +239,49 @@ def test_sessionize_single_shuffle(spark, tables):
     final per-(user, session) aggregation — exactly one exchange."""
     plan = rex.sessionize_events(tables["events"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# --------------------------------------------------------------- MERGE INTO
+
+
+def test_merge_into_matches_oracle(spark, tables, duck):
+    _match(cdc.merge_into_orders(tables["orders"]), duck, cdc.merge_into_orders_sql())
+
+
+def test_merge_into_clause_semantics(spark, tables):
+    orders = tables["orders"]
+    out = cdc.merge_into_orders(orders).toPandas().set_index("o_orderkey")
+    src = orders.toPandas().set_index("o_orderkey")
+    upd = [k for k in src.index if k % 11 == 5]
+    dele = [k for k in src.index if k % 17 == 2 and not k % 11 == 5]
+    untouched = [k for k in src.index if k not in set(upd) | set(dele)]
+    assert set(out.loc[upd, "o_orderpriority"]) == {"MERGED"}
+    assert (abs(out.loc[upd, "o_totalprice"] - (src.loc[upd, "o_totalprice"] + 50.0)) < 1e-9).all()
+    assert not set(dele) & set(out.index)
+    ins = [k for k in src.index if k % 23 == 1]
+    assert {-(k + 1_000_000_001) for k in ins} <= set(out.index)
+    assert (out.loc[untouched, "o_totalprice"] == src.loc[untouched, "o_totalprice"]).all()
+
+
+def test_merge_into_edge_clauses(spark):
+    """Hand-built frames: unmatched 'U'/'D' are no-ops; matched 'I'
+    updates (upsert convention, documented in the operator)."""
+    t = spark.createDataFrame(
+        [(1, 10, "O", 1.0, None, "P1"), (2, 20, "O", 2.0, None, "P2")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    s = spark.createDataFrame(
+        [
+            (9, "U", 99, "X", 9.0, None, "NOPE"),   # unmatched update: no-op
+            (8, "D", 88, "X", 8.0, None, "NOPE"),   # unmatched delete: no-op
+            (2, "I", 22, "X", 22.0, None, "UPSERT"),  # matched insert: update
+        ],
+        "o_orderkey bigint, op string, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    got = {r["o_orderkey"]: r.asDict() for r in cdc.merge_into(t, s).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["o_orderpriority"] == "P1"
+    assert got[2]["o_orderpriority"] == "UPSERT"
+    assert got[2]["o_custkey"] == 22
