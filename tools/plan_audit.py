@@ -89,6 +89,10 @@ AUDITED = [
     "maintenance_zorder",
     "source_zonemap_prune",
     "maintenance_delete_rows",
+    # MoR delete: broadcast anti-join, no scan-side shuffle;
+    # MERGE INTO: ONE full-outer sort-merge join (key shuffle each side)
+    "maintenance_delete_mor",
+    "cdc_merge_into",
 ]
 
 THETA_OK = {
