@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-106 queries are registered (the round-9 81 plus round 10's
+107 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -71,6 +71,7 @@ from mmw_geoprocessing_spark import oracle
 from mmw_geoprocessing_spark.operators import cdc
 from mmw_geoprocessing_spark.operators import curation as cu
 from mmw_geoprocessing_spark.operators import dedup as dd
+from mmw_geoprocessing_spark.operators import expectations as ex
 from mmw_geoprocessing_spark.operators import graph as gr
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
@@ -878,6 +879,13 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": lambda s, d: cdc.merge_into_orders(
             _t(s, d)["orders"]
         ),
+        # declarative data-quality expectations (DLT/Great-Expectations
+        # surface): named constraints evaluated in ONE scan — annotate
+        # is a zero-shuffle projection, the summary one partial+final
+        # conditional agg; warn/drop/fail policies pytest-pinned
+        "quality_expectations": lambda s, d: ex.quality_expectations_orders(
+            _t(s, d)["orders"]
+        ),
     }
 
 
@@ -934,4 +942,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "maintenance_delete_mor": maint.delete_rows_orders_mor_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
         "cdc_merge_into": cdc.merge_into_orders_sql(),
+        "quality_expectations": ex.quality_expectations_orders_sql(),
     }

@@ -1,0 +1,76 @@
+"""Data-quality expectations (operators/expectations.py): oracle
+match, policy semantics (warn/drop/fail), NULL three-valued-logic
+handling, and the one-scan plan shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import expectations as ex
+
+
+def _match(spark_df, duck, sql):
+    a = spark_df.toPandas()
+    b = duck.execute(sql).df()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_summary_matches_oracle(spark, tables, duck):
+    _match(
+        ex.quality_expectations_orders(tables["orders"]), duck,
+        ex.quality_expectations_orders_sql(),
+    )
+
+
+def test_summary_has_mixed_outcomes(spark, tables):
+    out = {
+        r["expectation"]: r["n_violations"]
+        for r in ex.quality_expectations_orders(tables["orders"]).collect()
+    }
+    assert out["price_positive"] == 0
+    assert out["price_under_400k"] > 0  # real violations in every fixture
+
+
+def test_drop_policy_partitions_exactly(spark, tables):
+    exp = ex.orders_expectations()
+    clean, quarantine = ex.split(tables["orders"], exp)
+    n = tables["orders"].count()
+    nc, nq = clean.count(), quarantine.count()
+    assert nc + nq == n and nq > 0
+    # quarantined rows name their failed expectation
+    viols = quarantine.select(F.explode("_violations").alias("v")).distinct()
+    assert {r["v"] for r in viols.collect()} == {"price_under_400k"}
+    # clean frame carries no marker column
+    assert "_violations" not in clean.columns
+
+
+def test_fail_policy_raises_with_detail(spark, tables):
+    with pytest.raises(ValueError, match="price_under_400k="):
+        ex.enforce(tables["orders"], ex.orders_expectations())
+    ok = {"price_positive": F.col("o_totalprice") > 0}
+    assert ex.enforce(tables["orders"], ok) is tables["orders"]
+
+
+def test_null_check_results_are_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id bigint, v double"
+    )
+    exp = {"v_positive": F.col("v") > 0}
+    out = {r["expectation"]: r["n_violations"]
+           for r in ex.summary(df, exp).collect()}
+    assert out["v_positive"] == 2  # NULL must not sneak past the gate
+    clean, quar = ex.split(df, exp)
+    assert clean.count() == 1
+    assert sorted(r["id"] for r in quar.collect()) == [2, 3]
+
+
+def test_annotate_is_zero_shuffle(spark, tables):
+    ann = ex.annotate(tables["orders"], ex.orders_expectations())
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
