@@ -104,6 +104,9 @@ LLM_SECTION = [
     "source_zonemap_prune",
     "maintenance_delete_rows",
     "maintenance_delete_mor",
+    # round 10 (final): SQL-standard MERGE and the expectations gate
+    "cdc_merge_into",
+    "quality_expectations",
 ]
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

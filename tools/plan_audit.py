@@ -93,6 +93,9 @@ AUDITED = [
     # MERGE INTO: ONE full-outer sort-merge join (key shuffle each side)
     "maintenance_delete_mor",
     "cdc_merge_into",
+    # one-scan conditional agg; the annotate face is separately
+    # plan-asserted zero-shuffle in tests/test_expectations.py
+    "quality_expectations",
 ]
 
 THETA_OK = {
