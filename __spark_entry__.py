@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-107 queries are registered (the round-9 81 plus round 10's
+108 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -886,6 +886,14 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_expectations": lambda s, d: ex.quality_expectations_orders(
             _t(s, d)["orders"]
         ),
+        # cogrouped-map (groupBy().cogroup().applyInPandas): the last
+        # pandas-on-Spark face — per-key pd.merge_asof as a TWIN of the
+        # declarative carry-forward as-of (same oracle; equality with
+        # the window plan pytest-pinned). The registered scale path
+        # stays the linear no-Python window plan
+        "asof_join_cogroup": lambda s, d: rel.asof_join_cogroup(
+            _t(s, d)["events"], _t(s, d)["orders"]
+        ),
     }
 
 
@@ -943,4 +951,5 @@ def lib_oracle_sql() -> dict[str, str]:
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
         "cdc_merge_into": cdc.merge_into_orders_sql(),
         "quality_expectations": ex.quality_expectations_orders_sql(),
+        "asof_join_cogroup": rel.asof_join_events_orders_sql(),
     }

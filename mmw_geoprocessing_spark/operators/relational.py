@@ -784,3 +784,58 @@ def pivot_event_counts_sql() -> str:
         for t in EVENT_TYPES
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+def asof_join_cogroup(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """The SAME as-of semantics as ``asof_join_events_orders``, through
+    the one pandas-on-Spark face the surface was missing: cogrouped-map
+    (``groupBy().cogroup().applyInPandas``) — both inputs shuffle on
+    the key once, and each (events_group, orders_group) pair lands in
+    ONE Python worker call as two pandas frames, where ``pd.merge_asof``
+    is the per-key kernel. This is the escape hatch for per-key
+    algorithms that outgrow window expressions (two-sided alignment,
+    per-entity model scoring, resampling); here it is deliberately a
+    TWIN of the declarative carry-forward plan (the registered scale
+    path — linear, no Python) so equality is testable and the oracle
+    is shared. Tie-break parity: orders are sorted (t, o_orderkey) so
+    merge_asof's last-match-wins picks the largest orderkey at equal
+    timestamps, and allow_exact_matches keeps the <= semantics.
+    """
+    e = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    o = orders.select(
+        F.col("o_custkey").cast("long").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+    )
+
+    def merge(evs, ords):
+        import pandas as pd
+
+        if evs.empty or ords.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "o_orderkey": pd.Series(dtype="int64")}
+            )
+        evs = evs.sort_values("t", kind="mergesort")
+        ords = ords.sort_values(["t", "o_orderkey"], kind="mergesort")
+        m = pd.merge_asof(
+            evs, ords[["t", "o_orderkey"]], on="t",
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "o_orderkey": m["o_orderkey"].astype("int64")}
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, user_id long, o_orderkey long")
+    )

@@ -74,3 +74,38 @@ def test_annotate_is_zero_shuffle(spark, tables):
     ann = ex.annotate(tables["orders"], ex.orders_expectations())
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------- cogrouped-map as-of
+# (here rather than a new module: both are round-10-final surface
+# additions sharing the session fixtures)
+
+from mmw_geoprocessing_spark.operators import relational as rel
+
+
+def test_asof_cogroup_equals_window_twin(spark, tables):
+    a = rel.asof_join_cogroup(tables["events"], tables["orders"])
+    b = rel.asof_join_events_orders(tables["events"], tables["orders"])
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_asof_cogroup_tie_breaks_to_largest_orderkey(spark):
+    ev = spark.createDataFrame(
+        [(7, "2024-01-02 00:00:00", 100)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    od = spark.createDataFrame(
+        [
+            (7, "2024-01-02 00:00:00", 5),   # exact-instant tie ...
+            (7, "2024-01-02 00:00:00", 9),   # ... largest key must win
+            (7, "2024-01-01 00:00:00", 3),
+            (7, "2024-01-03 00:00:00", 11),  # future order: ignored
+        ],
+        "o_custkey long, o_orderdate string, o_orderkey long",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    got = rel.asof_join_cogroup(ev, od).collect()
+    assert len(got) == 1 and got[0]["o_orderkey"] == 9
+    # user with events but no orders: empty, not an error
+    od_other = od.withColumn("o_custkey", F.lit(8).cast("long"))
+    assert rel.asof_join_cogroup(ev, od_other).count() == 0
