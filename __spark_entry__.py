@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-108 queries are registered (the round-9 81 plus round 10's
+110 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -371,6 +371,21 @@ def _tpch_q5(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _tpch_q6(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    return tpch.q6_forecast_revenue(_t(s, d)["lineitem"])
+
+
+def _tpch_q10(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    t = _t(s, d)
+    return tpch.q10_returned_items(
+        t["customer"], t["orders"], t["lineitem"], t["nation"]
+    )
+
+
 def _udtf_words(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.functions.udtf_ops import word_positions
 
@@ -393,6 +408,11 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pandas_udf_showcase": lambda s, d: rex.pandas_udf_showcase(_t(s, d)["orders"]),
     "tpch_q3": _tpch_q3,
     "tpch_q5": _tpch_q5,
+    # round 10 (final): Q6 — the canonical pushdown/codegen showcase
+    # (3 predicates into the parquet reader, no join); Q10 — returned-
+    # item lost revenue, 3-way fact join + broadcast dim + money top-20
+    "tpch_q6": _tpch_q6,
+    "tpch_q10": _tpch_q10,
     "udtf_word_positions": _udtf_words,
     # round 10: iterative-algorithm family — fixed-point PageRank over
     # the customer↔supplier trade graph (bigint micro-units, so the
@@ -410,6 +430,8 @@ def _tpch_oracles() -> dict[str, str]:
     return {
         "tpch_q3": tpch.q3_sql(),
         "tpch_q5": tpch.q5_sql(),
+        "tpch_q6": tpch.q6_sql(),
+        "tpch_q10": tpch.q10_sql(),
         "udtf_word_positions": word_positions_sql(),
     }
 

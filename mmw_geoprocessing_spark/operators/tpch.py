@@ -82,3 +82,74 @@ def q5_sql(region_name: str = "ASIA") -> str:
     WHERE c_nationkey = s_nationkey AND r_name = '{region_name}'
     GROUP BY n_name
     """
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: revenue increase from a discount-band what-if — a
+    single-table scan whose three predicates all push into the parquet
+    reader (the canonical pushdown/codegen showcase: no join, no
+    window, one partial+final agg of exact cents). Date band adapted
+    to the fixture's 1995-2001 span."""
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
+    )
+
+
+def q6_sql() -> str:
+    rev = sum_money_sql("(l_extendedprice * l_discount)", 10000)
+    return f"""
+    SELECT {rev} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10: customers who returned items in a quarter, ranked by
+    lost revenue, top 20 — the classic 3-fact-dim join + grouped money
+    agg + top-k (TakeOrderedAndProject). Quarter adapted to the
+    fixture span; c_custkey tie-break makes the limit deterministic."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q10_sql() -> str:
+    return f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, {REV_SQL} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """

@@ -29,6 +29,8 @@ AUDITED = [
     "top_customers_by_revenue",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
     "window_running_total",
     "windows_showcase",
     "aggregate_variants",
