@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-110 queries are registered (the round-9 81 plus round 10's
+112 queries are registered (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
@@ -386,6 +386,22 @@ def _tpch_q10(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _tpch_q14(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    t = _t(s, d)
+    return tpch.q14_promo_effect(t["lineitem"], t["part"])
+
+
+def _tpch_q18(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    t = _t(s, d)
+    return tpch.q18_large_volume_customers(
+        t["customer"], t["orders"], t["lineitem"]
+    )
+
+
 def _udtf_words(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.functions.udtf_ops import word_positions
 
@@ -413,6 +429,10 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # item lost revenue, 3-way fact join + broadcast dim + money top-20
     "tpch_q6": _tpch_q6,
     "tpch_q10": _tpch_q10,
+    # Q14 — promo share: broadcast dim + exact-cents ratio; Q18 —
+    # large-volume customers: the aggregate-then-semi-join shape
+    "tpch_q14": _tpch_q14,
+    "tpch_q18": _tpch_q18,
     "udtf_word_positions": _udtf_words,
     # round 10: iterative-algorithm family — fixed-point PageRank over
     # the customer↔supplier trade graph (bigint micro-units, so the
@@ -432,6 +452,8 @@ def _tpch_oracles() -> dict[str, str]:
         "tpch_q5": tpch.q5_sql(),
         "tpch_q6": tpch.q6_sql(),
         "tpch_q10": tpch.q10_sql(),
+        "tpch_q14": tpch.q14_sql(),
+        "tpch_q18": tpch.q18_sql(),
         "udtf_word_positions": word_positions_sql(),
     }
 

@@ -153,3 +153,78 @@ def q10_sql() -> str:
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey LIMIT 20
     """
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — fact × broadcast
+    part dim, two exact-cents sums, one ratio. The fixture's p_type
+    domain is the plain word set (ECONOMY/.../PROMO), so the classic
+    ``LIKE 'PROMO%'`` degenerates to equality. Both sums are exact
+    BIGINT cents before the one double division, so the ratio is
+    bit-deterministic cross-engine."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * _sum_money(promo, 10000, lineitem)
+            / _sum_money(rev, 10000, lineitem)
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q14_sql() -> str:
+    num = sum_money_sql(
+        "(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+        " ELSE 0.0 END)", 10000
+    )
+    den = sum_money_sql("(l_extendedprice * (1 - l_discount))", 10000)
+    return f"""
+    SELECT 100.0 * ({num}) / ({den}) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """
+
+
+def q18_large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    threshold: int = 250,
+) -> DataFrame:
+    """TPC-H Q18: customers with very large orders — the
+    aggregate-then-semi-join shape (HAVING sum(qty) > T feeding the
+    order/customer join), top 100 by o_totalprice. Threshold adapted
+    to the fixture (p99 order quantity ≈ 270; the standard 300 never
+    fires at small SF). Quantities are integral doubles, so the sum is
+    exact and the BIGINT cast hash-gates."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.col("qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q18_sql(threshold: int = 250) -> str:
+    return f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty AS BIGINT) AS total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {threshold})
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """

@@ -31,6 +31,8 @@ AUDITED = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "window_running_total",
     "windows_showcase",
     "aggregate_variants",
