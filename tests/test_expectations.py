@@ -109,3 +109,37 @@ def test_asof_cogroup_tie_breaks_to_largest_orderkey(spark):
     # user with events but no orders: empty, not an error
     od_other = od.withColumn("o_custkey", F.lit(8).cast("long"))
     assert rel.asof_join_cogroup(ev, od_other).count() == 0
+
+
+def test_expectations_gate_a_stream(spark, tables, tmp_path):
+    """The DLT shape proper: expectations enforced INSIDE a streaming
+    drain — foreachBatch splits each micro-batch into clean and
+    quarantine sinks; the union must equal the source exactly and the
+    gate must be airtight on both sides."""
+    src = str(tmp_path / "src")
+    tables["orders"].repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(tables["orders"].schema).parquet(src)
+    exp = ex.orders_expectations()
+    clean_dir, quar_dir = str(tmp_path / "clean"), str(tmp_path / "quar")
+
+    def sink(batch, _epoch):
+        c, q = ex.split(batch, exp)
+        c.write.mode("append").parquet(clean_dir)
+        q.drop("_violations").write.mode("append").parquet(quar_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_dir)
+    quar = spark.read.parquet(quar_dir)
+    assert clean.count() + quar.count() == tables["orders"].count()
+    assert clean.where(F.col("o_totalprice") >= 400_000).count() == 0
+    assert quar.where(F.col("o_totalprice") < 400_000).count() == 0
+    both = clean.unionByName(quar)
+    assert both.exceptAll(tables["orders"]).count() == 0
+    assert tables["orders"].exceptAll(both).count() == 0
