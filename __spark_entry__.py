@@ -55,7 +55,11 @@ NODATA + MultiOperation, the four streaming drains, minhash-LSH,
 IVF ANN, pricing_summary). The 33 displaced entries (showcase /
 scalar / set-op queries green since round 3, plus the exact-baseline
 LLM rows) keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL
-entries).
+entries). The final-session additions past the window
+(maintenance_delete_rows/_mor, cdc_merge_into, quality_expectations,
+asof_join_cogroup, tpch_q6/q10/q14/q18) carry four-scale selfcheck
+rows (sf0.001/sf0.01/SF1/SF10, all hash-green) and are the natural
+round-11 rotation candidates.
 
 Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing).
