@@ -18,12 +18,19 @@ def q3_shipping_priority(
 ) -> DataFrame:
     """TPC-H Q3: unshipped-order revenue by order, top 10."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # the segment-filtered customer set is dim-sized: broadcast it so
+    # orders is cut 1/|segments| with NO customer shuffle, leaving the
+    # orderkey join as the plan's only exchange pair
+    cust = F.broadcast(
+        customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
     return (
-        customer.filter(F.col("c_mktsegment") == segment)
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        orders.filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -57,14 +64,34 @@ def q5_local_supplier_volume(
     """TPC-H Q5: revenue through local suppliers (customer and supplier
     share a nation), per nation within one region."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Region-first join order (round-10 plan fix: the original applied
+    # the ASIA filter AFTER the 60 M-row fact joins — Catalyst cannot
+    # reorder across the c_nationkey = s_nationkey theta filter, and
+    # the sf10 crossover measured 22× vs DuckDB's reordered plan).
+    # Declare the reduction instead: nations of the region first
+    # (≤ |nations| rows), semi-reduce supplier and customer by
+    # broadcast, cut BOTH fact tables 1/|regions| before the single
+    # orderkey shuffle join. Dim broadcasts are fixture-sized; at true
+    # 100 TB customer graduates to a shuffle join but keeps the same
+    # 5× input reduction.
+    nr = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nr.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    li = lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    oc = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == region_name)
         .groupBy("n_name")
         .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
     )
@@ -125,14 +152,20 @@ def q10_returned_items(
     agg + top-k (TakeOrderedAndProject). Quarter adapted to the
     fixture span; c_custkey tie-break makes the limit deterministic."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # quarter-filtered orders joins BROADCAST customer (dim-sized at
+    # the fixtures; at true 100 TB this one graduates to shuffle) and
+    # broadcast nation, so the returned-lineitem join on orderkey is
+    # the only exchange pair in the plan
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
+        orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1996-04-01"))
         )
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_sum_money(rev, 10000, lineitem).alias("revenue"))
