@@ -130,3 +130,72 @@ def test_bucketed_fixture_reattaches_from_disk(spark, tables, monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_BUCKETED_FIXTURES", raising=False)
         fx.clear_fixture_cache()
+
+
+# ------------------------------------------------ TPC-H bucketed joins
+# (round 10 final: the BASELINE.md TPC-H table's recorded follow-up,
+# exercised — bucketing orders/lineitem on orderkey removes the join
+# exchanges that are the q3/q10/q18 scan+shuffle floor at sf10)
+
+
+def test_bucketed_orderkey_join_is_exchange_free(spark, tables):
+    import pyspark.sql.functions as F
+
+    from mmw_geoprocessing_spark.operators.relational import _sum_money
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # DROP only clears the catalog entry; a stale managed-table dir
+    # from an earlier session still blocks saveAsTable
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        tables["orders"].write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # the q3/q10 fact-fact core: orderkey join + grouped money agg.
+    # Disable broadcast so the plan must rely on bucket co-location
+    # (at sf10 neither side is broadcastable — that is the scenario
+    # this layout exists for).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            bo.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+            .join(bl, "o_orderkey")
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(_sum_money(rev, 10000).alias("revenue"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed co-location: the fact-fact join AND the
+        # groupBy(o_orderkey, ...) ride the bucket partitioning —
+        # zero shuffle exchanges, buckets read as join partitions
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        joined = joined.localCheckpoint()  # materialize under the conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # identical results to the plain-parquet plan
+    plain = (
+        tables["orders"].filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+        .join(
+            tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(_sum_money(rev, 10000).alias("revenue"))
+    )
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
