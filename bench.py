@@ -109,6 +109,18 @@ LLM_SECTION = [
     "quality_expectations",
 ]
 
+# Rows whose Spark side serves a pre-materialized layout/manifest
+# (built in warm-up) while the DuckDB twin recomputes the equivalent
+# filter from the raw table every run — NOT a like-for-like engine
+# comparison (r10 ADVICE). Reported per-query for trend-tracking but
+# EXCLUDED from the aggregate llm_total / llm_ratio_vs_duck summary.
+SERVING_PATH_ONLY = {
+    "maintenance_delete_rows",
+    "maintenance_delete_mor",
+    "maintenance_zorder",
+    "source_zonemap_prune",
+}
+
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 # The LLM section grew to 19 rows in round 10; at RUNS=5 the full
 # suite overran a 10-minute window. The headline keeps its 5-run
@@ -238,25 +250,51 @@ def main() -> None:
     duck_total = round(sum(duck_results.values()), 4) if duck_results else None
 
     # Regression hygiene vs the most recent recorded round -> sidecar.
+    # Prefer the full-fidelity BENCH_LOCAL_r*.json this script commits
+    # (driver BENCH_r*.json captures have had "parsed": null since r9).
     prev_delta: dict[str, dict[str, float]] = {}
     try:
         import glob
 
         here = os.path.dirname(os.path.abspath(__file__))
-        prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        if prior:
-            with open(prior[-1]) as f:
-                prev = (json.load(f).get("parsed") or {})
-            for name in HEADLINE:
-                if name in (prev.get("queries") or {}):
-                    prev_delta[name] = {
-                        "mean": round(results[name] - prev["queries"][name], 4),
-                        "min": round(
-                            floors[name] - prev.get("queries_min", {}).get(name, floors[name]), 4
-                        ),
-                    }
+        prev = {}
+        local = sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")))
+        if local:
+            with open(local[-1]) as f:
+                prev = json.load(f).get("primary") or {}
+        if not prev:
+            prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+            if prior:
+                with open(prior[-1]) as f:
+                    prev = json.load(f).get("parsed") or {}
+        for name in HEADLINE:
+            if name in (prev.get("queries") or {}):
+                prev_delta[name] = {
+                    "mean": round(results[name] - prev["queries"][name], 4),
+                    "min": round(
+                        floors[name] - prev.get("queries_min", {}).get(name, floors[name]), 4
+                    ),
+                }
+        for name in LLM_SECTION:
+            if name in (prev.get("llm_queries") or {}) and name in llm_results:
+                prev_delta[name] = {
+                    "mean": round(llm_results[name] - prev["llm_queries"][name], 4),
+                    "min": round(
+                        llm_floors[name]
+                        - prev.get("llm_queries_min", {}).get(name, llm_floors[name]),
+                        4,
+                    ),
+                }
     except Exception:
         prev_delta = {}
+
+    # LLM-section aggregates: the serving-path-only rows (see
+    # SERVING_PATH_ONLY) are excluded from the totals/ratio — their
+    # DuckDB twin recomputes work the Spark side did once in warm-up.
+    llm_cmp = {k: v for k, v in llm_results.items() if k not in SERVING_PATH_ONLY}
+    llm_duck_cmp = {
+        k: v for k, v in llm_duck_results.items() if k not in SERVING_PATH_ONLY
+    }
 
     sidecar = {
         "queries_build": builds,
@@ -274,45 +312,60 @@ def main() -> None:
     # Compact primary line — the driver-recorded artifact. Keep it lean:
     # round-3's line was truncated by the capture limit because it
     # carried every informational dict inline.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_mean_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "runs": RUNS,
-                "llm_runs": LLM_RUNS,
-                # noise floor: per-query MIN is the reproducible cost
-                # (mean stays the headline per the 5-run protocol)
-                "value_min": round(sum(floors.values()), 4),
-                "queries_min": floors,
-                # per-query same-window DuckDB baseline (interleaved)
-                "duck_total": duck_total,
-                "duck_queries": duck_results,
-                "ratio_vs_duck": round(total / duck_total, 3) if duck_total else None,
-                # round-9 second section: LLM-pipeline operators, same
-                # protocol, reported separately so the headline series
-                # stays r7/r8-comparable
-                "llm_total": round(sum(llm_results.values()), 4),
-                "llm_queries": llm_results,
-                "llm_queries_min": llm_floors,
-                "llm_duck_total": (
-                    round(sum(llm_duck_results.values()), 4)
-                    if llm_duck_results
-                    else None
-                ),
-                "llm_duck_queries": llm_duck_results,
-                "llm_ratio_vs_duck": (
-                    round(sum(llm_results.values()) / sum(llm_duck_results.values()), 3)
-                    if llm_duck_results
-                    else None
-                ),
-            },
-            separators=(",", ":"),
-        )
-    )
+    primary = {
+        "metric": "headline_queries_mean_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "runs": RUNS,
+        "llm_runs": LLM_RUNS,
+        # noise floor: per-query MIN is the reproducible cost
+        # (mean stays the headline per the 5-run protocol)
+        "value_min": round(sum(floors.values()), 4),
+        "queries_min": floors,
+        # per-query same-window DuckDB baseline (interleaved)
+        "duck_total": duck_total,
+        "duck_queries": duck_results,
+        "ratio_vs_duck": round(total / duck_total, 3) if duck_total else None,
+        # round-9 second section: LLM-pipeline operators, same
+        # protocol, reported separately so the headline series
+        # stays r7/r8-comparable. Aggregates exclude the
+        # serving-path-only rows (per-query numbers still listed).
+        "llm_total": round(sum(llm_cmp.values()), 4),
+        "llm_queries": llm_results,
+        "llm_queries_min": llm_floors,
+        "llm_duck_total": (
+            round(sum(llm_duck_cmp.values()), 4) if llm_duck_cmp else None
+        ),
+        "llm_duck_queries": llm_duck_results,
+        "llm_ratio_vs_duck": (
+            round(sum(llm_cmp.values()) / sum(llm_duck_cmp.values()), 3)
+            if llm_duck_cmp
+            else None
+        ),
+        "serving_path_only": sorted(SERVING_PATH_ONLY & set(llm_results)),
+    }
+    print(json.dumps(primary, separators=(",", ":")))
+
+    # Machine-comparable committed artifact (r10 verdict #4): the
+    # driver's BENCH_rNN.json capture truncates stdout, so bench.py
+    # itself persists the full result (primary + sidecar detail) as
+    # BENCH_LOCAL_rNN.json, where NN = latest CORRECTNESS round + 1
+    # (the round currently being built), overridable via BENCH_ROUND.
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("BENCH_ROUND")
+        if not rnd:
+            prior = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+            last = int(re.search(r"_r(\d+)", prior[-1]).group(1)) if prior else 0
+            rnd = f"{last + 1:02d}"
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as f:
+            json.dump({"primary": primary, "sidecar": sidecar}, f, indent=1)
+    except Exception:
+        pass
     spark.stop()
 
 

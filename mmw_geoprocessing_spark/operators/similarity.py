@@ -17,7 +17,9 @@ variants remain as exact small-corpus baselines.
 
 A vectorized Arrow/pandas variant (numpy matmul) exists for raw
 throughput (`cosine_topk_pandas`) — same results up to float summation
-order, so it is benchmarked but oracle-checked only on row counts.
+order; registered as ``similarity_cosine_topk_pandas`` with a full
+rank-only DuckDB oracle (scores projected away, (query_id, rank,
+doc_id) hash-matched), so it is both benchmarked and oracle-verified.
 """
 
 from __future__ import annotations

@@ -29,6 +29,8 @@ Design:
 from __future__ import annotations
 
 import math
+import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -104,15 +106,17 @@ def compact_orders_roundtrip(spark: SparkSession, sf_dir: str):
     tag = sf_dir.strip("/").replace("/", "_")
     base = os.path.join(tempfile.gettempdir(), f"compact_reg_{tag}_{ident}")
     frag, dst = base + "_frag", base + "_dst"
-    if not os.path.isdir(dst):
-        from mmw_geoprocessing_spark.sources.tables import load_table
+    if not _complete(dst):
+        with _layout_lock(base):
+            if not _complete(dst):  # re-check under the lock
+                from mmw_geoprocessing_spark.sources.tables import load_table
 
-        orders = load_table(spark, sf_dir, "orders")
-        orders.repartition(64).write.mode("overwrite").parquet(frag)
-        compact_parquet_dir(
-            spark, frag, dst, target_bytes=32 * 1024 * 1024,
-            sort_cols=["o_orderdate"],
-        )
+                orders = load_table(spark, sf_dir, "orders")
+                orders.repartition(64).write.mode("overwrite").parquet(frag)
+                compact_parquet_dir(
+                    spark, frag, dst, target_bytes=32 * 1024 * 1024,
+                    sort_cols=["o_orderdate"],
+                )
     return spark.read.parquet(dst)
 
 
@@ -148,20 +152,29 @@ def _bucket16(col, mn: float, mx: float):
 
 
 def _zvalue_n(buckets):
-    """Interleave k 16-bit bucket columns into a 16k-bit Morton code
-    (bit i of column j lands at position i*k + j), 16k unrolled
-    shift/OR terms, all inside codegen. k ≤ 4 keeps the code in one
-    bigint; Delta's OPTIMIZE ZORDER takes the same small-k column
-    lists because each added dimension halves per-dimension locality.
+    """Interleave k bucket columns into a Morton code (bit i of column
+    j lands at position i*k + j), unrolled shift/OR terms, all inside
+    codegen. k ≤ 3 uses the full 16 bits per column (top bit position
+    15*3+2 = 47); k = 4 drops to 15 bits per column (top position
+    14*4+3 = 59) so the code never reaches bit 63 — the sign bit of a
+    signed long — which would make top-half rows negative and cluster
+    them at the wrong end of repartitionByRange. Delta's OPTIMIZE
+    ZORDER takes the same small-k column lists because each added
+    dimension halves per-dimension locality.
     """
     from pyspark.sql import functions as F
 
     k = len(buckets)
     assert 1 <= k <= 4, "z-order supports 1-4 columns in a 64-bit code"
+    bits = 16 if k <= 3 else 15
     z = F.lit(0).cast("long")
     for j, b in enumerate(buckets):
         bl = b.cast("long")
-        for i in range(16):
+        if bits < 16:
+            # [0, 65535] -> [0, 32767]: order-preserving, so locality
+            # is intact; we only give up the lowest bucket bit.
+            bl = F.shiftright(bl, 16 - bits)
+        for i in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(bl.bitwiseAND(F.lit(1 << i)), i * (k - 1) + j)
             )
@@ -256,6 +269,33 @@ def _keyed_base(sf_dir: str, prefix: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{ident}")
 
 
+def _complete(d: str) -> bool:
+    """A keyed layout dir counts as built only once Spark's _SUCCESS
+    marker lands — ``isdir`` alone is true the moment the writer
+    creates the directory, before any data file is finished."""
+    return os.path.isdir(d) and os.path.isfile(os.path.join(d, "_SUCCESS"))
+
+
+@contextmanager
+def _layout_lock(base: str):
+    """Exclusive inter-process lock for a keyed layout build. Two
+    concurrent first runs (or delete_rows racing delete_rows_mor,
+    which share the same ``_keyed_base``) must not both write the
+    src/delta parquet dirs — the loser would read a half-overwritten
+    layout and cache a wrong manifest for the fixture's lifetime.
+    ``flock`` (not a create-exclusive sentinel) so the lock dies with
+    the holder's process — no stale-lock recovery path needed."""
+    import fcntl
+
+    fd = os.open(base + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 #: the registered 2-D box: low-key customers over one calendar year.
 #: Fixed absolute bounds so the result is non-empty at every SF
 #: (fixture custkeys start at 0; fixture order dates span
@@ -277,10 +317,12 @@ def _ensure_zonemap(spark: SparkSession, dst: str, cols: list[str]) -> str:
     from mmw_geoprocessing_spark.sources.zonemap import build_zonemap
 
     zm_dir = dst.rstrip("/") + "_zm"
-    if not os.path.isdir(zm_dir):
-        build_zonemap(dst, spark, cols).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(zm_dir)
+    if not _complete(zm_dir):
+        with _layout_lock(zm_dir):
+            if not _complete(zm_dir):  # re-check under the lock
+                build_zonemap(dst, spark, cols).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(zm_dir)
     return zm_dir
 
 
@@ -295,14 +337,18 @@ def zorder_orders_dir(spark: SparkSession, sf_dir: str) -> str:
 
     base = _keyed_base(sf_dir, "zorder_reg")
     dst = base + "_dst"
-    if not os.path.isdir(dst):
-        frag = base + "_frag"
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
-        _, src_bytes = parquet_dir_stats(spark, frag)
-        n_out = max(16, math.ceil(src_bytes / (32 * 1024 * 1024)))
-        zorder_parquet_dir(
-            spark, frag, dst, "o_custkey", "o_orderdate", n_files=n_out
-        )
+    if not _complete(dst):
+        with _layout_lock(base):
+            if not _complete(dst):  # re-check under the lock
+                frag = base + "_frag"
+                load_table(spark, sf_dir, "orders").write.mode(
+                    "overwrite"
+                ).parquet(frag)
+                _, src_bytes = parquet_dir_stats(spark, frag)
+                n_out = max(16, math.ceil(src_bytes / (32 * 1024 * 1024)))
+                zorder_parquet_dir(
+                    spark, frag, dst, "o_custkey", "o_orderdate", n_files=n_out
+                )
     _ensure_zonemap(spark, dst, ["o_custkey", "o_orderdate"])
     return dst
 
@@ -493,19 +539,26 @@ def delete_rows_orders(spark: SparkSession, sf_dir: str):
     base = _keyed_base(sf_dir, "delete_reg")
     src, delta, man_path = base + "_src", base + "_delta", base + "_manifest.json"
     if not os.path.isfile(man_path):
-        frag = base + "_frag"
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
-        _, nbytes = parquet_dir_stats(spark, frag)
-        compact_parquet_dir(
-            spark, frag, src,
-            target_bytes=max(1, math.ceil(nbytes / 16)),
-            sort_cols=["o_orderkey"],
-        )
-        stats = targeted_delete(spark, src, delta, "o_orderkey", DELETE_KEYS)
-        tmp = man_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, man_path)
+        with _layout_lock(base):
+            if not os.path.isfile(man_path):  # re-check under the lock
+                if not _complete(src):  # mor may have built it already
+                    frag = base + "_frag"
+                    load_table(spark, sf_dir, "orders").write.mode(
+                        "overwrite"
+                    ).parquet(frag)
+                    _, nbytes = parquet_dir_stats(spark, frag)
+                    compact_parquet_dir(
+                        spark, frag, src,
+                        target_bytes=max(1, math.ceil(nbytes / 16)),
+                        sort_cols=["o_orderkey"],
+                    )
+                stats = targeted_delete(
+                    spark, src, delta, "o_orderkey", DELETE_KEYS
+                )
+                tmp = man_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(stats, f)
+                os.replace(tmp, man_path)
     with open(man_path) as f:
         manifest = json.load(f)["manifest"]
     return spark.read.parquet(*manifest).select(
@@ -577,21 +630,25 @@ def delete_rows_orders_mor(spark: SparkSession, sf_dir: str):
 
     base = _keyed_base(sf_dir, "delete_reg")
     src = base + "_src"
-    if not os.path.isdir(src):
-        frag = base + "_frag"
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(frag)
-        _, nbytes = parquet_dir_stats(spark, frag)
-        compact_parquet_dir(
-            spark, frag, src,
-            target_bytes=max(1, math.ceil(nbytes / 16)),
-            sort_cols=["o_orderkey"],
-        )
-    # the O(1) "commit": persist the delete-key file once per layout
     del_dir = base + "_mor_deletes"
-    if not os.path.isdir(del_dir):
-        spark.createDataFrame(
-            [(k,) for k in DELETE_KEYS], "o_orderkey: bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(del_dir)
+    if not (_complete(src) and _complete(del_dir)):
+        with _layout_lock(base):
+            if not _complete(src):  # re-check under the lock
+                frag = base + "_frag"
+                load_table(spark, sf_dir, "orders").write.mode(
+                    "overwrite"
+                ).parquet(frag)
+                _, nbytes = parquet_dir_stats(spark, frag)
+                compact_parquet_dir(
+                    spark, frag, src,
+                    target_bytes=max(1, math.ceil(nbytes / 16)),
+                    sort_cols=["o_orderkey"],
+                )
+            # the O(1) "commit": persist the delete-key file once per layout
+            if not _complete(del_dir):
+                spark.createDataFrame(
+                    [(k,) for k in DELETE_KEYS], "o_orderkey: bigint"
+                ).coalesce(1).write.mode("overwrite").parquet(del_dir)
     keys = spark.read.parquet(del_dir)
     return (
         spark.read.parquet(src)

@@ -364,6 +364,39 @@ def test_zvalue_n_three_columns_matches_reference(spark):
         assert r["z"] == ref3(r["x"], r["y"], r["w"]), (r["x"], r["y"], r["w"])
 
 
+def test_zvalue_n_four_columns_nonnegative_and_ordered(spark):
+    """r10 ADVICE: with 16-bit buckets, bit 15 of the 4th column landed
+    at position 63 — the sign bit — making top-half rows NEGATIVE, so
+    repartitionByRange clustered them at the wrong end. k=4 now uses
+    15-bit buckets (top position 14*4+3 = 59): every code must be
+    non-negative, and the all-max corner must still sort above the
+    all-min corner."""
+
+    def ref4_15bit(cols):
+        z = 0
+        for j, v in enumerate(cols):
+            v >>= 1  # 16-bit bucket -> 15-bit
+            for i in range(15):
+                z |= ((v >> i) & 1) << (4 * i + j)
+        return z
+
+    pts = [
+        (0, 0, 0, 0),
+        (65535, 65535, 65535, 65535),  # the sign-bit trap before the fix
+        (0, 0, 0, 65535),              # bit 15 of col j=3 alone
+        (32768, 32768, 32768, 32768),
+        (1, 2, 4, 8),
+    ]
+    df = spark.createDataFrame(pts, "a int, b int, c int, d int").withColumn(
+        "z", mt._zvalue_n([F.col("a"), F.col("b"), F.col("c"), F.col("d")])
+    )
+    rows = {(r["a"], r["b"], r["c"], r["d"]): r["z"] for r in df.collect()}
+    for key, z in rows.items():
+        assert z >= 0, f"negative Morton code for {key}: {z}"
+        assert z == ref4_15bit(list(key)), key
+    assert rows[(65535,) * 4] > rows[(32768,) * 4] > rows[(0, 0, 0, 0)]
+
+
 def test_zorder_three_columns_prunes_each_dim(spark, tables, tmp_path):
     """3-D Morton: a tight predicate on ANY single dimension prunes."""
     frag = str(tmp_path / "z3frag")
