@@ -45,21 +45,18 @@ anti-filter, manifest swap for the rest — cost ∝ keys-hit-files) and
 commit, broadcast anti-join at read — same oracle, because readers
 must not be able to tell the strategies apart)), all
 with full
-oracle twins. ROUND-10 GATE ROTATION (r9 verdict #1): the driver's
-correctness gate reads the FIRST 50 entries of ``queries()``, and the
-round-8/9 promotions had never been inside that window — their only
-verdicts were selfcheck artifacts. ``_GATE_WINDOW`` below pins the
-window to the 31 never-driver-checked entries + the 2 new round-10
-operators + the 17 most semantics-critical rows (all zonal O1-O8 +
-NODATA + MultiOperation, the four streaming drains, minhash-LSH,
-IVF ANN, pricing_summary). The 33 displaced entries (showcase /
-scalar / set-op queries green since round 3, plus the exact-baseline
-LLM rows) keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL
-entries). The final-session additions past the window
-(maintenance_delete_rows/_mor, cdc_merge_into, quality_expectations,
-asof_join_cogroup, tpch_q6/q10/q14/q18) carry four-scale selfcheck
-rows (sf0.001/sf0.01/SF1/SF10, all hash-green) and are the natural
-round-11 rotation candidates.
+oracle twins. ROUND-11 GATE ROTATION (r10 verdict #3): the driver's
+correctness gate reads the FIRST 50 entries of ``queries()``.
+``_GATE_WINDOW`` below leads with the 14 late-round-10 entries that
+had never received a driver verdict (tpch_q6/q10/q14/q18, the CDC
+MERGE/rollup pair, quality_expectations, asof_join_cogroup, the
+maintenance compact/delete trio, the Python-DataSource pair, and
+stream_stateful_counts), then the semantics-critical core: all zonal
+O1-O8 + NODATA + MultiOperation, the TPC-H fact-fact rows, the
+eight streaming drains, and each dedup/similarity family's exact
+baseline + scale path. Round-11 additions displace the eight
+re-verification seats at the tail as they land. Displaced entries
+keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL entries).
 
 Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing).
@@ -509,86 +506,75 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate reads the FIRST 50 entries of
-# queries(). Round-10 rotation (r9 verdict #1): lead with the 31
-# entries that had never received a driver verdict (all round-8/9
-# promotions + the three REL_EXT stragglers), the 2 new round-10
-# operators, then the 17 most semantics-critical rows. Everything else
-# follows (still registered, still selfcheck-covered at SF1/SF10).
+# queries(). Round-11 rotation (r10 verdict #3): lead with the 14
+# entries that have never received a driver verdict (the late-round-10
+# additions), then the semantics-critical §2 zonal core, the TPC-H
+# parity rows, the streaming core, and the dedup/similarity core.
+# Slots past those go to round-11 additions as they land; everything
+# displaced keeps SF1/SF10 selfcheck coverage.
 _GATE_WINDOW: list[str] = [
-    # -- 28 round-8/9 promoted library operators (never driver-checked)
-    "lib_contamination_check",
-    "lib_cosine_neardup_wide",
-    "lib_repetition_scores",
-    "lib_semantic_dedup_pairs",
-    "text_unigram_surprisal",
-    "embedding_quantize_int8",
-    "similarity_ann_ivf_q8_topk",
-    "sampling_corpus_mix",
-    "text_quality_percentile_filter",
-    "text_chunk_documents",
-    "semantic_dedup_components",
-    "pipeline_curate_corpus",
-    "dedup_neardup_components",
-    "sampling_deterministic_split",
-    "sampling_stratified_sample",
-    "sampling_pack_token_batches",
-    "text_pii_redact",
-    "text_normalize",
-    "search_bm25_topk",
-    "cdc_changelog_merge",
-    "sessionize_events",
-    "search_hybrid_rrf_topk",
-    "dedup_incremental_batch",
-    "text_duplicate_spans",
-    "text_classifier_score",
-    "retention_cohorts",
-    "funnel_conversion",
-    "basket_pair_affinities",
-    # -- 3 REL_EXT entries that sat past the old window
-    "tpch_q3",
-    "tpch_q5",
-    "udtf_word_positions",
-    # -- 2 new round-10 operators
-    "stream_cdc_merge_bucketed",
-    "search_hybrid_rrf_ivf_topk",
-    # -- 6 semantics-critical §2 zonal rows (O2/O5/O6/O7 + NODATA +
-    #    mapshed; raster_average / raster_grouped_sum rotated out in
-    #    the first pass, and late-round raster_grouped_count (O1 ⊂ O2's
-    #    aoi-grouped superset), raster_grouped_average (avg semantics
-    #    re-checked by raster_summary), and stream_exact_dedup
-    #    (r9 driver-green) rotate out for the three late-round
-    #    first-verification entries below — all keep SF1/SF10 selfcheck
-    #    coverage)
+    # -- 14 late-round-10 entries, never driver-checked (r10 verdict
+    #    "What's missing" #1, first-verification beats re-verification)
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "cdc_merge_into",
+    "cdc_incremental_rollup",
+    "quality_expectations",
+    "asof_join_cogroup",
+    "maintenance_compact",
+    "maintenance_delete_rows",
+    "maintenance_delete_mor",
+    "source_python_ledger",
+    "source_python_stream",
+    "stream_stateful_counts",
+    # -- 10 semantics-critical §2 zonal rows (O1-O8 + NODATA join +
+    #    the mapshed flagship): the reference's whole public surface,
+    #    re-verified every round they fit
+    "raster_grouped_count",
+    "raster_grouped_count_many",
+    "raster_average",
+    "raster_grouped_average",
+    "raster_grouped_sum",
+    "raster_lines_join",
+    "raster_summary",
+    "multi_operation",
     "mapshed_suite",
     "raster_grouped_count_nodata",
-    # -- 2 layout-service entries, never driver-checked (displacing
-    #    r9-green raster_summary / multi_operation: summary semantics
-    #    stay pinned by goldens + tests/test_zonal.py, multi_operation
-    #    by the 61-HUC reference replay + response-grammar tests, and
-    #    both keep SF1/SF10 selfcheck coverage)
-    "maintenance_zorder",
-    "source_zonemap_prune",
-    # -- 5 late-round-10 operators, never driver-checked (displacing
-    #    r9-green raster_grouped_count_many / raster_lines_join, whose
-    #    semantics stay pinned by tests/test_zonal.py + goldens +
-    #    SF1/SF10 selfchecks)
-    "curation_domain_rate_cap",
-    "dedup_bloom_probe",
-    "cdc_scd2_history",
-    "skew_join_salted",
-    "stream_sessionize",
-    # -- 8 mid-round-10 operators, never driver-checked (the rotation
-    #    rule: first-verification beats re-verification; the displaced
-    #    r9-green rows — events_windows_showcase, stream_content_dedup,
-    #    stream_cdc_merge, dedup_minhash_lsh, similarity_ann_ivf_topk,
-    #    pricing_summary — keep SF1/SF10 selfcheck coverage)
+    # -- 3 TPC-H fact-fact rows (q6/q10/q14/q18 are in the 14 above;
+    #    q1-shape = pricing_summary below)
+    "tpch_q3",
+    "tpch_q5",
+    "pricing_summary",
+    # -- 8 streaming-core rows (dedup x2, CDC x2, join x2,
+    #    sessionization, the three-shape window union)
+    "stream_exact_dedup",
+    "stream_content_dedup",
+    "stream_cdc_merge",
+    "stream_cdc_merge_bucketed",
     "stream_interval_join",
     "stream_static_enrich",
-    "text_bigram_surprisal",
-    "similarity_cosine_topk_pandas",
+    "stream_sessionize",
+    "events_windows_showcase",
+    # -- 7 dedup/similarity-core rows (each family's exact baseline +
+    #    its scale path)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_neardup",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh_topk",
+    "similarity_ann_ivf_topk",
+    # -- remaining 8 slots: round-11 additions land here (until they
+    #    do, high-traffic re-verification rows hold the seats)
     "search_bm25_indexed_topk",
-    "graph_pagerank",
-    "sampling_epoch_shuffle",
+    "sampling_corpus_mix",
+    "text_quality_percentile_filter",
+    "cdc_changelog_merge",
+    "cdc_scd2_history",
+    "maintenance_zorder",
+    "source_zonemap_prune",
     "table_profile",
 ]
 
