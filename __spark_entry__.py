@@ -356,17 +356,27 @@ _RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+def _tf(s: SparkSession, d: str):
+    """TPC-H fact-table loader: bucketed-on-orderkey layout when the
+    session runs in bucketed-fixture mode (bench/sf10 gates — the
+    production serving layout, r10 verdict #1), raw parquet otherwise
+    (the driver gate). Same rows either way; the oracles hash-gate it."""
+    from mmw_geoprocessing_spark.sources.tpch_layout import fact_tables
+
+    return fact_tables(s, d)
+
+
 def _tpch_q3(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
-    t = _t(s, d)
+    t = _tf(s, d)
     return tpch.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
 
 
 def _tpch_q5(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
-    t = _t(s, d)
+    t = _tf(s, d)
     return tpch.q5_local_supplier_volume(
         t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"], t["region"]
     )
@@ -381,7 +391,7 @@ def _tpch_q6(s: SparkSession, d: str) -> DataFrame:
 def _tpch_q10(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
-    t = _t(s, d)
+    t = _tf(s, d)
     return tpch.q10_returned_items(
         t["customer"], t["orders"], t["lineitem"], t["nation"]
     )
@@ -397,7 +407,7 @@ def _tpch_q14(s: SparkSession, d: str) -> DataFrame:
 def _tpch_q18(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
-    t = _t(s, d)
+    t = _tf(s, d)
     return tpch.q18_large_volume_customers(
         t["customer"], t["orders"], t["lineitem"]
     )

@@ -308,7 +308,29 @@ _SAVED_BUCKET_CONFS: dict[int, tuple[SparkSession, dict[str, str | None]]] = {}
 _BUCKET_MODE_CONFS: dict[str, str] = {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    # SPARK-35703: allow a join whose keys are a SUPERSET of the bucket
+    # keys to ride the bucket partitioning (tpch_q5 joins on
+    # (orderkey, nationkey) — the theta filter folds into the join keys
+    # — and must not re-shuffle the orderkey-bucketed facts)
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
 }
+
+
+def enter_bucket_mode(spark: SparkSession) -> None:
+    """Enter bucketed-layout session mode: save the pre-mode values of
+    the bucket-mode confs (once per session) and set them. Shared by
+    the pixel fixtures and the bucketed TPC-H fact layout
+    (sources/tpch_layout.py); clear_fixture_cache() restores."""
+    if id(spark) not in _SAVED_BUCKET_CONFS:
+        saved: dict[str, str | None] = {}
+        for conf_key in _BUCKET_MODE_CONFS:
+            try:
+                saved[conf_key] = spark.conf.get(conf_key)
+            except Exception:
+                saved[conf_key] = None
+        _SAVED_BUCKET_CONFS[id(spark)] = (spark, saved)
+    for conf_key, val in _BUCKET_MODE_CONFS.items():
+        spark.conf.set(conf_key, val)
 
 
 def set_active_dir(sf_dir: str, spark: SparkSession | None = None) -> None:
@@ -412,20 +434,11 @@ def fixture_df(spark: SparkSession, name: str) -> DataFrame:
             # env flag, bench.py / conftest set it deliberately): scans of
             # the bucketed tables only stay Exchange-free while
             # autoBucketedScan is off, so the conf is part of the mode's
-            # contract — set here, visibly, when the mode is entered, not
-            # as a hidden side effect of one table read. The pre-mode
-            # value is saved (once per session) and restored by
+            # contract — set visibly when the mode is entered, not as a
+            # hidden side effect of one table read. The pre-mode value is
+            # saved (once per session) and restored by
             # clear_fixture_cache() when the mode is exited.
-            if id(spark) not in _SAVED_BUCKET_CONFS:
-                saved: dict[str, str | None] = {}
-                for conf_key in _BUCKET_MODE_CONFS:
-                    try:
-                        saved[conf_key] = spark.conf.get(conf_key)
-                    except Exception:
-                        saved[conf_key] = None
-                _SAVED_BUCKET_CONFS[id(spark)] = (spark, saved)
-            for conf_key, val in _BUCKET_MODE_CONFS.items():
-                spark.conf.set(conf_key, val)
+            enter_bucket_mode(spark)
             df = _bucketed_fixture(spark, name, sf_dir)
         else:
             df = spark.sql(with_fixtures(f"SELECT * FROM {name}", name)).localCheckpoint()
@@ -442,6 +455,9 @@ def clear_fixture_cache() -> None:
     _FIXTURE_CACHE.clear()
     _PYRAMID_CACHE.clear()
     _EXTENT_CACHE.clear()
+    from mmw_geoprocessing_spark.sources import tpch_layout
+
+    tpch_layout.clear_tpch_layout_cache()
     while _SAVED_BUCKET_CONFS:
         _, (spark, saved) = _SAVED_BUCKET_CONFS.popitem()
         for conf_key, prior in saved.items():

@@ -1,0 +1,132 @@
+"""Bucketed fact-table layout for the TPC-H family.
+
+The r10 sf10 crossover showed tpch_q3/q5/q10/q18 all sitting on the
+same ~2.4 s lineitem-wide shuffle: every one of those plans has exactly
+one unavoidable exchange pair — the orderkey join (or, for q18, the
+orderkey HAVING-aggregation feeding it). The broadcast rewrites already
+removed every secondary exchange, so the remaining cost IS the fact
+shuffle, and the deployment answer is layout, not plan:
+orders and lineitem stored bucketed + sorted on their orderkey join
+with NO exchange (and q18's groupBy(l_orderkey) aggregates with no
+exchange), exactly like the pixel tables in bucketed-fixture mode
+(sources/fixtures.py). tests/test_bucketing.py proved the planner
+contract in round 10; this module makes it the registered SERVING
+layout: when ``SPARK_GRAFT_BUCKETED_FIXTURES=1`` (bench.py and the
+sf10 gates set it — the same flag that switches the pixel tables), the
+TPC-H builders read these tables instead of the raw parquet.
+
+At 100 TB this is the standard warehouse discipline (Hive/Spark
+bucketed tables, Iceberg bucket partition transforms): pay one
+clustering write at ingest, then every orderkey join/group in the
+workload is co-located forever. The one-time write happens during
+bench warm-up, keyed on source identity so regenerated testdata
+invalidates stale copies; a fresh process re-attaches the on-disk
+copy via CLUSTERED BY DDL instead of rewriting.
+
+Correctness is layout-invariant by construction: the same rows, hash
+re-verified against the same DuckDB oracles (the driver gate runs the
+un-bucketed path; tests/test_tpch_bucketed.py pins plan + equality).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BUCKET_DIR = "/tmp/spark_graft_bucketed_tpch"
+#: 32 buckets: one task per core on the local[32] test rig, and at
+#: cluster scale a power-of-two that splits evenly into executor counts.
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_TPCH_BUCKETS", "32"))
+
+#: table -> bucket/sort key (each side's own orderkey column; Spark
+#: plans a co-located SMJ across differently-named bucket columns as
+#: long as the join keys line up positionally)
+FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+# session id -> set of attached table names (cheap memo so repeated
+# builders skip the catalog round-trip)
+_ATTACHED: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_tpch_layout_cache() -> None:
+    _ATTACHED.clear()
+
+
+def _fingerprint(sf_dir: str, name: str) -> str:
+    """Content tag: source parquet identity + bucket spec, so a stale
+    on-disk copy written under different data or a different bucket
+    count is never re-attached (the fixtures-module rule)."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = sf_dir
+    fp += f"|b{N_BUCKETS}|{FACT_KEYS[name]}"
+    return hashlib.md5(fp.encode()).hexdigest()[:8]
+
+
+def bucketed_fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The bucketed copy of ``orders``/``lineitem`` for ``sf_dir`` —
+    written once, re-attached from disk across processes."""
+    if name not in FACT_KEYS:
+        raise ValueError(f"not a bucketed TPC-H fact table: {name!r}")
+    # bucketed scans only stay Exchange-free under the bucket-mode
+    # session confs; enter the mode through the fixtures module so the
+    # saved-conf restore in clear_fixture_cache() covers us too
+    from mmw_geoprocessing_spark.sources import fixtures as fx
+
+    fx.enter_bucket_mode(spark)
+
+    key = FACT_KEYS[name]
+    tbl = f"sgt_{_fingerprint(sf_dir, name)}_{name}"
+    memo_key = (id(spark), tbl)
+    if memo_key in _ATTACHED:
+        return _ATTACHED[memo_key]
+    path = f"{_BUCKET_DIR}/{tbl}"
+    if not spark.catalog.tableExists(tbl) and os.path.isfile(
+        os.path.join(path, "_SUCCESS")
+    ):
+        # previous process wrote it; re-attach via DDL (no rewrite)
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    if not spark.catalog.tableExists(tbl):
+        from mmw_geoprocessing_spark.sources.tables import load_table
+
+        df = load_table(spark, sf_dir, name)
+        (
+            # repartition on the bucket key FIRST: one task per bucket
+            # -> exactly ONE file per bucket, the condition for the
+            # scan to report its sortBy order so SMJs elide their Sort
+            df.repartition(N_BUCKETS, key)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    out = spark.table(tbl)
+    _ATTACHED[memo_key] = out
+    return out
+
+
+def fact_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The TPC-H fact tables in the session's active layout mode:
+    bucketed-on-orderkey when ``SPARK_GRAFT_BUCKETED_FIXTURES=1``
+    (the production/bench layout), raw parquet otherwise (the
+    driver-gate layout — same rows either way)."""
+    from mmw_geoprocessing_spark.sources.tables import load_tables
+
+    plain = load_tables(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_BUCKETED_FIXTURES", "0") == "1":
+        out = dict(plain)
+        for name in FACT_KEYS:
+            out[name] = bucketed_fact(spark, sf_dir, name)
+        return out
+    return plain
