@@ -344,23 +344,25 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     runs ONCE when the index is built; warm calls serve candidates from
     the cached rows."""
 
-    def build(shingle_tbl: DataFrame) -> DataFrame:
-        mh = _signatures_from_shingles(shingle_tbl)
-        # single parsed expression for the 16 (band, key) structs (see
-        # the plan-construction note in _signatures_from_shingles)
-        band_structs = F.expr(
-            "array("
-            + ", ".join(
-                f"named_struct('band', {i}, 'bkey', {_band_key_sql(i)})"
-                for i in range(N_BANDS)
-            )
-            + ")"
-        )
-        return mh.select("doc_id", F.explode(band_structs).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-        )
+    return _NGRAM_ARR_CACHE.get_or_persist(sh, "minhash_bands", _band_rows)
 
-    return _NGRAM_ARR_CACHE.get_or_persist(sh, "minhash_bands", build)
+
+def _band_rows(shingle_tbl: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) rows from a shingle table: signatures ->
+    single parsed expression for the 16 (band, key) structs (see the
+    plan-construction note in _signatures_from_shingles) -> explode."""
+    mh = _signatures_from_shingles(shingle_tbl)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {i}, 'bkey', {_band_key_sql(i)})"
+            for i in range(N_BANDS)
+        )
+        + ")"
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
 
 
 def _shingle_arrays(sh: DataFrame) -> DataFrame:
@@ -578,6 +580,106 @@ def incremental_batch_dedup_sql(threshold: float = 0.5) -> str:
     FROM (SELECT doc_id FROM documents WHERE doc_id % {m} = {r}) d
     LEFT JOIN matches m2 ON d.doc_id = m2.inc_id
     """
+
+
+def incremental_batch_dedup_disk(
+    spark, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """``incremental_batch_dedup`` probing DURABLE on-disk reference
+    indexes (r10 verdict #2): the reference corpus's LSH band index
+    ``(doc_id, band, bkey)`` is written ONCE as parquet BUCKETED BY
+    bkey, and its shingle arrays ``(doc_id, ss, n)`` bucketed by
+    doc_id; a fresh session re-attaches both and pays only the
+    BATCH-side work (shingle + signature of the incoming docs) — the
+    daily-crawl serving shape with the corpus-side cost moved to
+    ingest *permanently*, not per process.
+
+    Plan shape at scale: the incoming band rows SHUFFLE INTO the
+    reference index's bkey bucketing (the probe join's only exchange
+    is batch-sized — the corpus side reads its buckets in place,
+    ``requireAllClusterKeysForCoPartition=false`` letting the
+    (band, bkey) join ride the bkey buckets); verification joins the
+    small candidate set against the doc_id-bucketed array index.
+    Results identical to ``incremental_batch_dedup`` -> same oracle."""
+    from mmw_geoprocessing_spark.sources.index_store import (
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
+
+    def _ref_docs() -> DataFrame:
+        return load_table(spark, sf_dir, "documents").filter(~is_batch)
+
+    ref_bands = get_or_build_index(
+        spark,
+        "lsh_ref_bands",
+        fp,
+        lambda: _band_rows(_doc_shingles(_ref_docs())),
+        bucket_col="bkey",
+    )
+    ref_arrays = get_or_build_index(
+        spark,
+        "lsh_ref_arrays",
+        fp,
+        lambda: _doc_shingles(_ref_docs())
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        bucket_col="doc_id",
+    )
+
+    documents = load_table(spark, sf_dir, "documents")
+    inc_sh = _shingles_persisted(documents.filter(is_batch))
+    inc_bands = _band_rows(inc_sh)
+    cand = (
+        inc_bands.select(F.col("doc_id").alias("inc_id"), "band", "bkey")
+        .join(
+            ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("inc_id", "ref_id")
+        .dropDuplicates(["inc_id", "ref_id"])
+    )
+    a = (
+        inc_sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ss1"),
+            F.count(F.lit(1)).alias("n1"),
+        )
+        .withColumnRenamed("doc_id", "inc_id")
+    )
+    b = ref_arrays.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("ss").alias("ss2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
+    matches = (
+        cand.join(a, "inc_id")
+        .join(b, "ref_id")
+        .filter((inter / (F.col("n1") + F.col("n2") - inter)) >= threshold)
+        .groupBy("inc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
+    )
+    incoming = documents.filter(is_batch).select("doc_id")
+    return incoming.join(
+        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
+            "n_ref_matches"
+        ),
+    )
+
+
+def incremental_batch_dedup_disk_sql(threshold: float = 0.5) -> str:
+    """Identical results -> the same oracle as the session-cached plan."""
+    return incremental_batch_dedup_sql(threshold=threshold)
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:

@@ -847,6 +847,82 @@ def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> s
     """
 
 
+def ann_ivf_disk_topk(
+    spark, sf_dir: str, n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> DataFrame:
+    """``ann_ivf_topk`` served from the DURABLE on-disk inverted file
+    (r10 verdict #2). At ingest the index ``(vec_id, v, nv, cell)`` is
+    written ONCE as parquet PARTITIONED BY cell — the IVF list layout:
+    one directory per coarse cell — beside a tiny centroids sibling;
+    a fresh session re-reads it with no rebuild (the 5.7 s sf1~ index
+    build moves to ingest permanently, not per process).
+
+    Probing is Spark-native Dynamic Partition Pruning: the broadcast
+    query side carries the ``nprobe`` probed cells, and the scan of
+    the partitioned index plans a ``dynamicpruning`` partition filter
+    — only the probed cells' directories are READ (the IVF contract:
+    probe cost ∝ nprobe/n_cells of the corpus, now enforced by the
+    storage layout instead of a join that still scanned everything).
+    Results identical to ``ann_ivf_topk`` -> same DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from mmw_geoprocessing_spark.sources.index_store import (
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+
+    def _build_ivf() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _centroids(emb)
+        base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
+            "nv", _norm(F.col("v"))
+        )
+
+    idx = get_or_build_index(
+        spark, "ivf_lists", fp, _build_ivf, partition_col="cell"
+    ).select("vec_id", "v", "nv", "cell")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nq", _norm(F.col("v")))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            "nq",
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(idx, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf_disk_topk_sql(
+    n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> str:
+    """Identical results -> the same oracle as the session-cached plan."""
+    return ann_ivf_topk_sql(n_queries=n_queries, k=k, nprobe=nprobe)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic deduplication: coarse-cluster the embedding
 # space, then near-dup only WITHIN a cell (Abbas et al. 2023,

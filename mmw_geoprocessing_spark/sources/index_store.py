@@ -86,6 +86,7 @@ def get_or_build_index(
     build: "callable[[], DataFrame]",
     bucket_col: str | None = None,
     n_buckets: int = 16,
+    partition_col: str | None = None,
     spec_version: str = "v1",
 ) -> DataFrame:
     """Serve the index table ``name`` for the corpus ``fingerprint``
@@ -95,12 +96,19 @@ def get_or_build_index(
       (one file per bucket, sorted by the bucket column) so equality /
       IN probes on that column bucket-prune; re-attached across
       processes via CLUSTERED BY DDL.
-    - ``bucket_col`` None: plain parquet directory (small sibling
-      tables: df, totals, centroids).
+    - ``partition_col`` set: written as a directory-PARTITIONED table
+      (one dir per value — the IVF-list layout) so probes prune via
+      static or dynamic partition pruning.
+    - neither: plain parquet directory (small sibling tables: df,
+      totals, centroids).
     """
+    if bucket_col and partition_col:
+        raise ValueError("bucket_col and partition_col are exclusive")
     tag = f"{name}_{spec_version}_{fingerprint}"
     if bucket_col:
         tag += f"_b{n_buckets}"
+    if partition_col:
+        tag += f"_p{partition_col}"
     tbl = f"sgi_{tag}"
     path = f"{_STORE_DIR}/{tbl}"
     memo = (id(spark), tbl)
@@ -124,6 +132,10 @@ def get_or_build_index(
                     # through the attach path below so fresh sessions
                     # and the building session share one code path
                     spark.sql(f"DROP TABLE IF EXISTS {tbl}_w")
+                elif partition_col:
+                    df.write.partitionBy(partition_col).mode(
+                        "overwrite"
+                    ).parquet(path)
                 else:
                     df.write.mode("overwrite").parquet(path)
 
