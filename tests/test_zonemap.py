@@ -364,6 +364,49 @@ def test_zvalue_n_three_columns_matches_reference(spark):
         assert r["z"] == ref3(r["x"], r["y"], r["w"]), (r["x"], r["y"], r["w"])
 
 
+def test_metadata_plane_scales_to_5k_files_driver_bounded(spark):
+    """r10 verdict #7: the layout services were only ever driven at
+    64-200 files. Synthesize a 5 000-file zone map (metadata rows only
+    — no data rewrite needed: the index IS the metadata plane) and pin
+    that the serving paths' driver-side row counts are bounded by
+    SELECTIVITY, not inventory size:
+    - prune_files collects only survivors (its collect_list skips
+      pruned files), one aggregation job;
+    - locate_touched_files (the delete path's file location) returns
+      keys-hit files from a broadcast range join;
+    - the kept list is a distributed anti-join (targeted_delete's
+      manifest-write collect is the ONLY full-size transfer left)."""
+    n_files, rows_per = 5000, 1000
+    synth = (
+        spark.range(n_files)
+        .selectExpr(
+            "concat('file:///tab/f', id, '.parquet') AS file",
+            f"CAST({rows_per} AS BIGINT) AS n_rows",
+            f"id * {rows_per} AS min_o_orderkey",
+            f"(id + 1) * {rows_per} - 1 AS max_o_orderkey",
+        )
+    )
+    # a 17-file range out of 5000
+    lo, hi = 1_200_000, 1_216_999
+    files, total = zm.prune_files(synth, {"o_orderkey": (lo, hi)})
+    assert total == n_files
+    assert len(files) == 17, len(files)
+
+    keys = [5, 777_777, 3_999_999]  # 3 distinct files
+    keys_df = spark.createDataFrame([(k,) for k in keys], "__k: bigint")
+    touched = mt.locate_touched_files(synth, "o_orderkey", keys_df)
+    got = sorted(r["file"] for r in touched.collect())
+    assert got == [
+        "file:///tab/f0.parquet",
+        "file:///tab/f3999.parquet",
+        "file:///tab/f777.parquet",
+    ]
+    kept_n = (
+        synth.select("file").join(touched, "file", "left_anti").count()
+    )
+    assert kept_n == n_files - 3
+
+
 def test_zvalue_n_four_columns_nonnegative_and_ordered(spark):
     """r10 ADVICE: with 16-bit buckets, bit 15 of the 4th column landed
     at position 63 — the sign bit — making top-half rows NEGATIVE, so
