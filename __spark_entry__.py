@@ -586,8 +586,8 @@ _GATE_WINDOW: list[str] = [
     "sampling_corpus_mix",
     "similarity_ann_ivf_disk_topk",
     "dedup_incremental_disk",
-    "cdc_scd2_history",
-    "maintenance_zorder",
+    "sampling_nucleus_topp",
+    "sampling_decontaminated_mix",
     "source_zonemap_prune",
     "table_profile",
 ]
@@ -737,6 +737,14 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d)["embeddings"]
         ),
         "sampling_corpus_mix": lambda s, d: samp.corpus_mix(
+            _t(s, d)["documents"], budgets=_MIX_BUDGETS
+        ),
+        # round 11 (r10 verdict #8): grouped top-p nucleus selection and
+        # the fused decontaminate-then-mix curation pass
+        "sampling_nucleus_topp": lambda s, d: samp.nucleus_topp_sample(
+            _t(s, d)["documents"]
+        ),
+        "sampling_decontaminated_mix": lambda s, d: samp.decontaminated_mix(
             _t(s, d)["documents"], budgets=_MIX_BUDGETS
         ),
         "text_quality_percentile_filter": lambda s, d: ta.quality_percentile_filter(
@@ -966,6 +974,10 @@ def lib_oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk_pandas": sim.cosine_topk_pandas_ranks_sql(),
         "similarity_ann_ivf_q8_topk": sim.ann_ivf_q8_topk_sql(),
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
+        "sampling_nucleus_topp": samp.nucleus_topp_sample_sql(),
+        "sampling_decontaminated_mix": samp.decontaminated_mix_sql(
+            budgets=_MIX_BUDGETS
+        ),
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),
         "text_chunk_documents": ta.chunk_documents_sql(),
         "semantic_dedup_components": sim.semantic_dedup_components_sql(),

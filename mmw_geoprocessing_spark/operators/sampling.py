@@ -331,3 +331,208 @@ def epoch_shuffle_sql(
            CAST(ROW_NUMBER() OVER (ORDER BY bucket, skey, {key_col}) - 1 AS BIGINT) AS pos
     FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# Round 11: grouped top-p ("nucleus") selection and the
+# decontamination-aware corpus mix (r10 verdict #8 stretch).
+# ---------------------------------------------------------------------------
+
+def nucleus_topp_sample(
+    documents: DataFrame,
+    p_pct: int = 60,
+    band_width: int = 16,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Grouped top-p ("nucleus") selection: within each group, rank
+    documents by weight (exact whitespace token count — the stand-in
+    for a quality/probability score, same stub policy as
+    ``classifier_score``) and keep the SMALLEST top-ranked prefix
+    whose cumulative weight reaches ``p_pct`` percent of the group
+    total — the nucleus-sampling support-set rule (Holtzman et al.
+    2020) applied to corpus curation: keep each source's densest
+    documents until p of its mass is covered, cut the tail.
+
+    A row is kept iff the cumulative weight STRICTLY BEFORE it is
+    < p/100 x group_total — so the row that crosses the threshold is
+    included (the standard nucleus rule) and the comparison
+    ``100 * prev_cum < p_pct * total`` is all-BIGINT, hash-exact
+    cross-engine.
+
+    100 TB shape: "order by weight desc within group then prefix-sum"
+    is the corpus_mix single-window trap (one group IS most of a real
+    corpus). Same cure, adapted to a VALUE order instead of a hash
+    order: documents band into ``weight DIV band_width`` descending
+    weight bands, the running sum windows per (group, band) — bounded
+    partitions, parallel across bands — and band totals (a tiny
+    groups x bands frame) prefix-sum per group and broadcast back as
+    offsets. Take-order (band desc, weight desc, key) is total and
+    deterministic, replayed exactly by the one-window oracle.
+
+    Output: kept rows ``(doc_id, source, weight, cum_weight)``.
+    """
+    base = documents.select(
+        F.col(key_col),
+        F.col(group_col).alias("source"),
+        F.size(F.split(F.col(text_col), " +")).cast("bigint").alias("weight"),
+    ).withColumn("band", (F.col("weight") / band_width).cast("bigint"))
+    w_local = (
+        Window.partitionBy("source", "band")
+        .orderBy(F.col("weight").desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_cum", F.sum("weight").over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_tot = (
+        base.groupBy("source", "band")
+        .agg(F.sum("weight").alias("btot"))
+        .withColumn("offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+    )
+    totals = base.groupBy("source").agg(F.sum("weight").alias("gtot"))
+    return (
+        local.join(F.broadcast(band_tot.select("source", "band", "offset")),
+                   ["source", "band"])
+        .join(F.broadcast(totals), "source")
+        .withColumn("cum_weight", (F.col("offset") + F.col("local_cum")).cast("bigint"))
+        .filter(
+            F.lit(100) * (F.col("cum_weight") - F.col("weight"))
+            < F.lit(int(p_pct)) * F.col("gtot")
+        )
+        .select(key_col, "source", "weight", "cum_weight")
+    )
+
+
+def nucleus_topp_sample_sql(
+    p_pct: int = 60,
+    band_width: int = 16,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: ONE window per group over the identical total
+    order (band desc, weight desc, key)."""
+    return f"""
+    WITH base AS (
+      SELECT {key_col},
+             {group_col} AS source,
+             CAST(len(regexp_split_to_array({text_col}, ' +')) AS BIGINT) AS weight
+      FROM {table}
+    ),
+    cum AS (
+      SELECT {key_col}, source, weight,
+             CAST(SUM(weight) OVER (PARTITION BY source
+                    ORDER BY weight // {band_width} DESC, weight DESC, {key_col}
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+             SUM(weight) OVER (PARTITION BY source) AS gtot
+      FROM base
+    )
+    SELECT {key_col}, source, weight, cum_weight
+    FROM cum
+    WHERE 100 * (cum_weight - weight) < {int(p_pct)} * gtot
+    """
+
+
+def decontaminated_mix(
+    documents: DataFrame,
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+    ngram_n: int = 13,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The decontamination-aware corpus mix — the two curation stages a
+    real pretraining pipeline runs as ONE pass over the corpus drop:
+
+    1. DECONTAMINATE: drop every training document sharing any
+       verbatim word ``ngram_n``-gram with the held-out benchmark set
+       (the deterministic ``doc_id % bench_mod = bench_rem`` slice —
+       the GPT-3 App. C rule, reusing ``contamination_check``'s
+       broadcast n-gram probe), and drop the benchmark rows themselves
+       (eval data must never enter the training mix).
+    2. MIX: apply the per-source token budgets (``corpus_mix``'s
+       decomposed two-phase prefix sum) over the SURVIVORS only, so a
+       source's budget is filled with clean documents instead of being
+       consumed by rows a later decontamination pass would delete —
+       the ordering bug this fused operator exists to prevent.
+
+    Same scale shape as its parts: one broadcast of the benchmark
+    n-gram set, one corpus scan, the bounded per-(source, bucket)
+    windows — nothing new shuffles. Output: ``corpus_mix`` columns
+    over the decontaminated survivor set.
+    """
+    from mmw_geoprocessing_spark.operators.text_analysis import contamination_check
+
+    is_bench = (F.col("doc_id") % bench_mod) == bench_rem
+    bench = documents.filter(is_bench)
+    contam = contamination_check(documents, bench, n=ngram_n)
+    clean_ids = contam.filter(F.col("hit_ngrams") == 0).select("doc_id")
+    survivors = documents.filter(~is_bench).join(clean_ids, "doc_id", "semi")
+    return corpus_mix(
+        survivors,
+        budgets=budgets,
+        default_budget=default_budget,
+        n_buckets=n_buckets,
+    )
+
+
+def decontaminated_mix_sql(
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+    ngram_n: int = 13,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB twin: contamination CTE -> survivor set -> the one-window
+    corpus_mix over it."""
+    budgets = budgets or {}
+    span = ngram_n - 1
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {span}, 0) + 1), "
+        f"i -> array_to_string(w[i:i+{span}], ' '))"
+    )
+    hb = H28_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    ho = H28_SQL.format(x="CAST(source AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS MATERIALIZED (
+        SELECT DISTINCT unnest({grams}) AS ng
+        FROM dw WHERE doc_id % {bench_mod} = {bench_rem}
+    ),
+    hits AS (
+        SELECT DISTINCT dg.doc_id
+        FROM (SELECT doc_id, unnest({grams}) AS ng FROM dw) dg
+        JOIN bg ON dg.ng = bg.ng
+    ),
+    survivors AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % {bench_mod} <> {bench_rem}
+          AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    base AS (
+      SELECT doc_id,
+             source,
+             CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens,
+             CAST(({hb}) % {n_buckets} AS INT) AS bucket,
+             ({ho}) AS ord
+      FROM survivors
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY bucket, ord, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= ({_budget_case(budgets, default_budget, 'source')})
+    """

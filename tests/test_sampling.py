@@ -146,3 +146,82 @@ class TestEpochShuffle:
         assert "row_number()" in plan
         for ln in corpus_windows:
             assert "bucket" in ln, ln
+
+
+class TestNucleusTopP:
+    def test_nucleus_rule_per_group(self, spark, tables):
+        """Kept set per group = the minimal weight-desc prefix covering
+        p% of the group's mass: the last kept row crosses the
+        threshold, and dropping it falls below."""
+        p = 60
+        kept = sp.nucleus_topp_sample(tables["documents"], p_pct=p).collect()
+        all_rows = (
+            tables["documents"]
+            .selectExpr(
+                "doc_id", "source",
+                "CAST(size(split(text, ' +')) AS BIGINT) AS weight",
+            )
+            .collect()
+        )
+        from collections import defaultdict
+
+        totals = defaultdict(int)
+        for r in all_rows:
+            totals[r["source"]] += r["weight"]
+        by_group = defaultdict(list)
+        for r in kept:
+            by_group[r["source"]].append(r)
+        assert set(by_group) == set(totals)
+        for g, rows in by_group.items():
+            rows.sort(key=lambda r: r["cum_weight"])
+            covered = rows[-1]["cum_weight"]
+            assert 100 * covered >= p * totals[g]  # reaches p% ...
+            assert 100 * (covered - rows[-1]["weight"]) < p * totals[g]  # minimally
+            # kept rows are a PREFIX of the total take-order
+            # (band desc, weight desc, key): every kept row sorts
+            # strictly before every cut row
+            kept_ids = {r["doc_id"] for r in rows}
+            weights = {r["doc_id"]: r["weight"] for r in all_rows if r["source"] == g}
+            order = lambda i: (-(weights[i] // 16), -weights[i], i)
+            cut = [i for i in weights if i not in kept_ids]
+            if cut:
+                assert max(order(i) for i in kept_ids) < min(order(i) for i in cut)
+
+    def test_stable_under_repartition(self, spark, tables):
+        a = {tuple(r) for r in sp.nucleus_topp_sample(tables["documents"]).collect()}
+        b = {
+            tuple(r)
+            for r in sp.nucleus_topp_sample(
+                tables["documents"].repartition(13)
+            ).collect()
+        }
+        assert a == b
+
+
+class TestDecontaminatedMix:
+    def test_no_benchmark_or_contaminated_rows(self, spark, tables):
+        from mmw_geoprocessing_spark.operators.text_analysis import (
+            contamination_check,
+        )
+
+        docs = tables["documents"]
+        out = sp.decontaminated_mix(docs).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids, "mix should keep something"
+        assert all(i % 101 != 7 for i in ids), "benchmark rows leaked into the mix"
+        bench = docs.filter("doc_id % 101 = 7")
+        dirty = {
+            r["doc_id"]
+            for r in contamination_check(docs, bench, n=13)
+            .filter("hit_ngrams > 0")
+            .collect()
+        }
+        assert not (ids & dirty), "contaminated rows leaked into the mix"
+
+    def test_budgets_enforced(self, spark, tables):
+        out = sp.decontaminated_mix(
+            tables["documents"], budgets={"src0": 200}, default_budget=700
+        ).collect()
+        for r in out:
+            cap = 200 if r["source"] == "src0" else 700
+            assert r["cum_tokens"] <= cap
