@@ -254,8 +254,10 @@ def bm25_indexed_topk(
     pays at INGEST, not per query). Identical results to the fresh
     plan, so the same DuckDB oracle gates it; the warm probe is
     filter(query terms) over the persisted postings + two broadcast
-    joins + the top-k window. At 100 TB the postings table is bucketed
-    by term so the probe reads only the query terms' buckets."""
+    joins + the top-k window. The durable deployment shape — postings
+    bucketed by term ON DISK, probe bucket-pruned, restart-surviving —
+    is ``bm25_disk_topk`` below (round 11; this session-cached variant
+    remains the in-memory serving twin)."""
     qterms = _query_terms_df(spark)
     all_terms = sorted({t for _, terms in QUERIES for t in terms})
     tf = _postings_index(documents).filter(F.col("term").isin(all_terms))
