@@ -107,6 +107,14 @@ LLM_SECTION = [
     # round 10 (final): SQL-standard MERGE and the expectations gate
     "cdc_merge_into",
     "quality_expectations",
+    # round 11: durable-index serving paths (same warm-index basis as
+    # the bm25_indexed/ann_ivf rows — the index build lands in warm-up,
+    # DuckDB runs the full query both ways) + the two curation ops
+    "search_bm25_disk_topk",
+    "similarity_ann_ivf_disk_topk",
+    "dedup_incremental_disk",
+    "sampling_nucleus_topp",
+    "sampling_decontaminated_mix",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

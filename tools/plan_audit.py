@@ -100,6 +100,15 @@ AUDITED = [
     # one-scan conditional agg; the annotate face is separately
     # plan-asserted zero-shuffle in tests/test_expectations.py
     "quality_expectations",
+    # round-11 additions: durable-index serving paths (the evidence
+    # lines are SelectedBucketsCount on the postings scan and
+    # dynamicpruningexpression on the IVF-list scan) and the two new
+    # curation operators
+    "search_bm25_disk_topk",
+    "similarity_ann_ivf_disk_topk",
+    "dedup_incremental_disk",
+    "sampling_nucleus_topp",
+    "sampling_decontaminated_mix",
 ]
 
 THETA_OK = {
