@@ -4,7 +4,15 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-112 queries are registered (the round-9 81 plus round 10's
+117 queries are registered: round 11 adds the three durable-index
+serving paths — ``search_bm25_disk_topk`` (term-bucketed on-disk
+postings, probe bucket-prunes), ``similarity_ann_ivf_disk_topk``
+(cell-partitioned inverted file, dynamic-partition-pruned probe),
+``dedup_incremental_disk`` (batch-vs-reference probe against on-disk
+band/array indexes) — plus ``sampling_nucleus_topp`` (grouped top-p
+support-set selection) and ``sampling_decontaminated_mix`` (the fused
+decontaminate-then-budget curation pass), on top of the round-10 112
+(the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —
 ``sampling_epoch_shuffle`` — deterministic epoch-seeded training
