@@ -133,6 +133,8 @@ THETA_OK = {
     "search_hybrid_rrf_ivf_topk",
     # served from persisted indexes; inherits bm25's 1-row totals crossJoin
     "search_bm25_indexed_topk",
+    # served from the durable on-disk postings; same 1-row totals crossJoin
+    "search_bm25_disk_topk",
 }
 
 
