@@ -591,7 +591,7 @@ _GATE_WINDOW: list[str] = [
     # -- remaining 8 slots: round-11 additions land here (until they
     #    do, high-traffic re-verification rows hold the seats)
     "search_bm25_disk_topk",
-    "sampling_corpus_mix",
+    "search_bm25_index_append",
     "similarity_ann_ivf_disk_topk",
     "dedup_incremental_disk",
     "sampling_nucleus_topp",
@@ -817,6 +817,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by term on disk, re-attached across processes, probe
         # bucket-prunes to the query terms (r10 verdict #2)
         "search_bm25_disk_topk": lambda s, d: se.bm25_disk_topk(s, d),
+        # round 11: the incremental-ingest face — exactly-once postings
+        # append per drop + delta-merged df/totals siblings
+        "search_bm25_index_append": lambda s, d: se.bm25_index_append_topk(s, d),
         "cdc_changelog_merge": lambda s, d: cdc.changelog_merge_orders(
             _t(s, d)["orders"]
         ),
@@ -1001,6 +1004,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "search_bm25_topk": se.bm25_topk_sql(),
         "search_bm25_indexed_topk": se.bm25_indexed_topk_sql(),
         "search_bm25_disk_topk": se.bm25_disk_topk_sql(),
+        "search_bm25_index_append": se.bm25_index_append_topk_sql(),
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),

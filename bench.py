@@ -111,6 +111,7 @@ LLM_SECTION = [
     # the bm25_indexed/ann_ivf rows — the index build lands in warm-up,
     # DuckDB runs the full query both ways) + the two curation ops
     "search_bm25_disk_topk",
+    "search_bm25_index_append",
     "similarity_ann_ivf_disk_topk",
     "dedup_incremental_disk",
     "sampling_nucleus_topp",

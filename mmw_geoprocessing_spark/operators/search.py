@@ -339,6 +339,128 @@ def bm25_disk_topk_sql(k: int = TOP_K) -> str:
     return bm25_topk_sql(k=k)
 
 
+#: deterministic "new crawl drop" slice for the incremental-ingest row
+APPEND_MOD, APPEND_REM = 10, 3
+
+
+def bm25_index_append_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """The INCREMENTAL-INGEST face of the durable bm25 index — the
+    shape a daily crawl actually runs: the standing corpus
+    (``doc_id % 10 != 3``) was indexed at its own ingest; today's drop
+    (``doc_id % 10 = 3``) APPENDS its postings into the same
+    term-bucketed table (one extra file per touched bucket, same
+    bucket spec, exactly-once per drop tag via the index store's
+    marker/flock commit), and the df/totals siblings are maintained by
+    DELTA ALGEBRA — base ⊕ drop (a vocabulary-sized outer-join sum and
+    a 1-row add), never a corpus re-aggregation. Ingest cost ∝ the
+    DROP; the zonemap family's ``extend_zonemap`` is the same
+    discipline on the layout side.
+
+    Serving is byte-for-byte ``bm25_disk_topk`` over the combined
+    index: probes still bucket-prune across base + appended files
+    (pinned in tests/test_index_store.py), and results equal the
+    full-corpus fresh plan, so ``bm25_topk``'s DuckDB oracle gates it.
+    """
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    is_drop = (F.col("doc_id") % APPEND_MOD) == APPEND_REM
+
+    def _postings_of(drop_side: bool) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            is_drop if drop_side else ~is_drop
+        )
+        toks = docs.select(
+            F.col("doc_id"), F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        return (
+            toks.select(
+                "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        )
+
+    def _df_of(p: DataFrame) -> DataFrame:
+        return p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def _totals_of(drop_side: bool) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            is_drop if drop_side else ~is_drop
+        )
+        toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("w"))
+        return toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("w")).alias("t_tokens"),
+        )
+
+    # base-corpus ingest (its own, earlier, drop)
+    get_or_build_index(
+        spark, "bm25_postings_inc", fp, lambda: _postings_of(False),
+        bucket_col="term",
+    )
+    base_df = get_or_build_index(
+        spark, "bm25_df_incbase", fp, lambda: _df_of(_postings_of(False))
+    )
+    base_tot = get_or_build_index(
+        spark, "bm25_totals_incbase", fp, lambda: _totals_of(False)
+    )
+
+    # today's drop: exactly-once postings append + delta-merged siblings
+    append_once(
+        spark, "bm25_postings_inc", fp, "drop1", lambda: _postings_of(True),
+        bucket_col="term",
+    )
+
+    def _merged_df() -> DataFrame:
+        drop_df = _df_of(_postings_of(True))
+        return (
+            base_df.withColumnRenamed("df", "df_a")
+            .join(drop_df.withColumnRenamed("df", "df_b"), "term", "full")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("df_a"), F.lit(0))
+                    + F.coalesce(F.col("df_b"), F.lit(0))
+                ).alias("df"),
+            )
+        )
+
+    def _merged_totals() -> DataFrame:
+        t = _totals_of(True)
+        return base_tot.unionByName(t).agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("t_tokens").alias("t_tokens"),
+        )
+
+    df_all = get_or_build_index(spark, "bm25_df_incfull", fp, _merged_df)
+    totals = get_or_build_index(spark, "bm25_totals_incfull", fp, _merged_totals)
+
+    # serving: identical to bm25_disk_topk over the combined state
+    postings = get_or_build_index(
+        spark, "bm25_postings_inc", fp,
+        lambda: (_ for _ in ()).throw(AssertionError("built above")),
+        bucket_col="term",
+    )
+    qterms = _query_terms_df(spark)
+    all_terms = sorted({t for _, terms in QUERIES for t in terms})
+    tf = postings.filter(F.col("term").isin(all_terms))
+    df_ = df_all.filter(F.col("term").isin(all_terms))
+    return _bm25_score_topk(qterms, tf, df_, totals, k)
+
+
+def bm25_index_append_topk_sql(k: int = TOP_K) -> str:
+    """base ∪ appended drop == the full corpus -> the same oracle."""
+    return bm25_topk_sql(k=k)
+
+
 # Hybrid retrieval: each registered query carries BOTH its keyword
 # terms (the BM25 leg) and a dense-query anchor — the embedding of a
 # fixed corpus row (doc_id == vec_id by fixture construction), the

@@ -79,6 +79,81 @@ def corpus_fingerprint(sf_dir: str, *tables: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
+def _table_name(
+    name: str,
+    fingerprint: str,
+    bucket_col: str | None = None,
+    n_buckets: int = 16,
+    partition_col: str | None = None,
+    spec_version: str = "v1",
+) -> str:
+    tag = f"{name}_{spec_version}_{fingerprint}"
+    if bucket_col:
+        tag += f"_b{n_buckets}"
+    if partition_col:
+        tag += f"_p{partition_col}"
+    return f"sgi_{tag}"
+
+
+def append_once(
+    spark: SparkSession,
+    name: str,
+    fingerprint: str,
+    append_tag: str,
+    build: "callable[[], DataFrame]",
+    bucket_col: str,
+    n_buckets: int = 16,
+    spec_version: str = "v1",
+) -> bool:
+    """Append ``build()``'s rows into the existing bucketed index —
+    EXACTLY ONCE per ``append_tag`` (a crawl-drop / ingest-epoch id):
+    a marker file under the build flock makes retries and concurrent
+    appenders idempotent, the lakehouse commit discipline in
+    miniature. The appended rows land as one extra file per touched
+    bucket with the same bucket spec, so probes keep bucket-pruning
+    across base + appended files. Returns True if this call performed
+    the append, False if the tag had already been applied.
+
+    The index must already exist (``get_or_build_index`` with the same
+    identity) and must be ATTACHED in this session — appending goes
+    through the catalog table so Spark enforces the bucket spec."""
+    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    path = f"{_STORE_DIR}/{tbl}"
+    if not _complete(path):
+        raise ValueError(f"append target index does not exist: {tbl}")
+    marker = f"{path}.append_{append_tag}"
+    if os.path.isfile(marker):
+        return False
+    with _build_lock(path):
+        if os.path.isfile(marker):  # re-check under the lock
+            return False
+        if not spark.catalog.tableExists(tbl):
+            # attach via the shared read path (registers the DDL)
+            get_or_build_index(
+                spark, name, fingerprint,
+                lambda: (_ for _ in ()).throw(AssertionError("exists on disk")),
+                bucket_col=bucket_col, n_buckets=n_buckets,
+                spec_version=spec_version,
+            )
+        (
+            build()
+            .repartition(n_buckets, bucket_col)
+            .write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .mode("append")
+            .saveAsTable(tbl)
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(append_tag)
+        os.replace(tmp, marker)
+    # drop session memos so readers see the appended files
+    _ATTACHED.pop((id(spark), tbl), None)
+    spark.catalog.refreshTable(tbl)
+    return True
+
+
 def get_or_build_index(
     spark: SparkSession,
     name: str,
@@ -104,12 +179,9 @@ def get_or_build_index(
     """
     if bucket_col and partition_col:
         raise ValueError("bucket_col and partition_col are exclusive")
-    tag = f"{name}_{spec_version}_{fingerprint}"
-    if bucket_col:
-        tag += f"_b{n_buckets}"
-    if partition_col:
-        tag += f"_p{partition_col}"
-    tbl = f"sgi_{tag}"
+    tbl = _table_name(
+        name, fingerprint, bucket_col, n_buckets, partition_col, spec_version
+    )
     path = f"{_STORE_DIR}/{tbl}"
     memo = (id(spark), tbl)
     if memo in _ATTACHED:

@@ -69,6 +69,31 @@ def test_incremental_dedup_disk_matches_session_plan(spark, tables):
     assert sorted(disk.collect(), key=key) == sorted(ref.collect(), key=key)
 
 
+def test_bm25_append_is_exactly_once_and_matches_full(spark, tables):
+    """The incremental-ingest face: the drop's postings append lands
+    EXACTLY ONCE (marker commit — a re-run must not duplicate rows),
+    probes keep bucket-pruning across base + appended files, and the
+    served ranking equals the full-corpus fresh plan."""
+    import re
+
+    from mmw_geoprocessing_spark.operators import search
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    full = search.bm25_topk(spark, load_table(spark, SF_DIR, "documents"))
+    inc = search.bm25_index_append_topk(spark, SF_DIR)
+    rows1 = inc.collect()
+    rows2 = search.bm25_index_append_topk(spark, SF_DIR).collect()
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(rows1, key=key) == sorted(full.collect(), key=key)
+    assert sorted(rows1, key=key) == sorted(rows2, key=key)
+    # the commit marker exists and the second call changed nothing
+    markers = glob.glob(f"{STORE}/sgi_bm25_postings_inc_*.append_drop1")
+    assert markers
+
+
 def test_fingerprint_tracks_source_identity(tmp_path):
     from mmw_geoprocessing_spark.sources.index_store import corpus_fingerprint
 

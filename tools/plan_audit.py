@@ -105,6 +105,7 @@ AUDITED = [
     # dynamicpruningexpression on the IVF-list scan) and the two new
     # curation operators
     "search_bm25_disk_topk",
+    "search_bm25_index_append",
     "similarity_ann_ivf_disk_topk",
     "dedup_incremental_disk",
     "sampling_nucleus_topp",
@@ -135,6 +136,7 @@ THETA_OK = {
     "search_bm25_indexed_topk",
     # served from the durable on-disk postings; same 1-row totals crossJoin
     "search_bm25_disk_topk",
+    "search_bm25_index_append",
 }
 
 
