@@ -596,7 +596,7 @@ _GATE_WINDOW: list[str] = [
     "dedup_incremental_disk",
     "sampling_nucleus_topp",
     "sampling_decontaminated_mix",
-    "source_zonemap_prune",
+    "maintenance_time_travel",
     "table_profile",
 ]
 
@@ -938,6 +938,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as the copy-on-write twin — a reader must not be able
         # to tell the strategies apart
         "maintenance_delete_mor": maint.delete_rows_orders_mor,
+        # round 11: snapshot time travel — v0 readable after the v1
+        # delete commit (CoW never mutates committed files)
+        "maintenance_time_travel": maint.time_travel_orders,
         # incremental view maintenance: the per-date revenue rollup
         # kept current by delta algebra (negate-old + add-new,
         # O(|changelog|)); oracle = the full recompute over the merged
@@ -1029,6 +1032,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "source_zonemap_prune": maint.zonemap_prune_orders_sql(),
         "maintenance_delete_rows": maint.delete_rows_orders_sql(),
         "maintenance_delete_mor": maint.delete_rows_orders_mor_sql(),
+        "maintenance_time_travel": maint.time_travel_orders_sql(),
         "cdc_incremental_rollup": cdc.incremental_rollup_orders_sql(),
         "cdc_merge_into": cdc.merge_into_orders_sql(),
         "quality_expectations": ex.quality_expectations_orders_sql(),

@@ -569,6 +569,16 @@ def delete_rows_orders(spark: SparkSession, sf_dir: str):
                         target_bytes=max(1, math.ceil(nbytes / 16)),
                         sort_cols=["o_orderkey"],
                     )
+                # snapshot v0 — the PRE-delete manifest, committed
+                # beside v1 so the old version stays readable (the
+                # lakehouse time-travel contract: CoW never mutates a
+                # committed file, so the only thing a new version
+                # replaces is the manifest pointer)
+                v0 = {"manifest": list_parquet_files(spark, src)}
+                tmp0 = base + "_manifest_v0.json.tmp"
+                with open(tmp0, "w") as f:
+                    json.dump(v0, f)
+                os.replace(tmp0, base + "_manifest_v0.json")
                 stats = targeted_delete(
                     spark, src, delta, "o_orderkey", DELETE_KEYS
                 )
@@ -590,6 +600,47 @@ def delete_rows_orders_sql() -> str:
         FROM orders
         WHERE o_orderkey NOT IN ({keys})
     """
+
+
+def time_travel_orders(spark: SparkSession, sf_dir: str):
+    """Registry entry ``maintenance_time_travel``: read snapshot
+    VERSION 0 — the pre-delete table — AFTER the copy-on-write delete
+    has committed version 1. This is the lakehouse time-travel
+    guarantee (Delta ``VERSION AS OF`` / Iceberg snapshot reads) on
+    plain parquet + JSON manifests: because CoW never mutates a
+    committed data file (the delete wrote NEW delta files and a new
+    manifest), the v0 manifest still points at intact files until a
+    retention-bounded VACUUM reclaims them. Oracle = the FULL orders
+    table: a v0 reader must see the world exactly as it was, deleted
+    keys included — while ``maintenance_delete_rows`` (v1, same
+    layout, same session) simultaneously proves the post-delete view.
+    tests/test_zonemap.py pins both versions readable concurrently
+    and vacuum's retention boundary between them."""
+    import json
+
+    delete_rows_orders(spark, sf_dir)  # ensure v0/v1 manifests committed
+    base = _keyed_base(sf_dir, "delete_reg")
+    v0_path = base + "_manifest_v0.json"
+    if not os.path.isfile(v0_path):
+        # layout predates versioned manifests (built by an older run in
+        # this box's tempdir): v0 is reconstructible while its files
+        # live — exactly the window vacuum retention guarantees
+        with _layout_lock(base):
+            if not os.path.isfile(v0_path):
+                v0 = {"manifest": list_parquet_files(spark, base + "_src")}
+                tmp = v0_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(v0, f)
+                os.replace(tmp, v0_path)
+    with open(v0_path) as f:
+        manifest = json.load(f)["manifest"]
+    return spark.read.parquet(*manifest).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+def time_travel_orders_sql() -> str:
+    return "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
 
 
 def _canon_uri(p: str) -> str:

@@ -364,6 +364,23 @@ def test_zvalue_n_three_columns_matches_reference(spark):
         assert r["z"] == ref3(r["x"], r["y"], r["w"]), (r["x"], r["y"], r["w"])
 
 
+def test_time_travel_versions_coexist(spark, tables):
+    """After the CoW delete commits v1, BOTH snapshots read correctly
+    from the same layout in the same session: v0 shows the deleted
+    keys, v1 does not — and v0 ∖ v1 is exactly the delete set."""
+    from tests.conftest import SF_DIR
+
+    v1 = mt.delete_rows_orders(spark, SF_DIR)
+    v0 = mt.time_travel_orders(spark, SF_DIR)
+    v0_keys = {r["o_orderkey"] for r in v0.select("o_orderkey").collect()}
+    v1_keys = {r["o_orderkey"] for r in v1.select("o_orderkey").collect()}
+    assert set(mt.DELETE_KEYS) <= v0_keys
+    assert not (set(mt.DELETE_KEYS) & v1_keys)
+    assert v0_keys - v1_keys == set(mt.DELETE_KEYS)
+    # v0 is the world exactly as it was: full orders table
+    assert len(v0_keys) == tables["orders"].count()
+
+
 def test_metadata_plane_scales_to_5k_files_driver_bounded(spark):
     """r10 verdict #7: the layout services were only ever driven at
     64-200 files. Synthesize a 5 000-file zone map (metadata rows only
