@@ -439,6 +439,55 @@ def nucleus_topp_sample_sql(
     """
 
 
+#: rolling-hash modulus: keys stay < 2^40, so acc*31 + x < 2^45 —
+#: exact in BIGINT in both engines (DuckDB errors on real overflow)
+GRAM_MOD = 1 << 40
+
+
+def _word_hashes(text_col):
+    """Per-word h28 list. MUST be materialized as its own projection
+    column before ``_gram_fold`` references it: higher-order-function
+    lambdas get no common-subexpression elimination, so inlining this
+    expression into the per-gram fold re-evaluates EVERY word's md5
+    for EVERY gram — O(len²) md5s per document (measured: the inlined
+    form ran >15 min at the 100x replica; the materialized column
+    ~seconds)."""
+    return F.transform(
+        F.split(text_col, " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("bigint"),
+    )
+
+
+def _gram_fold(wh_col, n: int):
+    """Array of rolling-hash keys over a PRE-MATERIALIZED word-hash
+    column: each n-window folds left-to-right as
+    ``acc*31 + wh (mod 2^40)`` — integer math only, no per-gram
+    string allocation. Short docs yield an empty array (the
+    ``sequence(1, 0) == [1, 0]`` guard of ``_ngram_strings``)."""
+    k = F.size(wh_col) - F.lit(n - 1)
+    fold = lambda i: F.aggregate(  # noqa: E731
+        F.slice(wh_col, i, n),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % GRAM_MOD,
+    )
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), fold)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def _gram_hashes_sql(wh: str, n: int) -> str:
+    """DuckDB twin of ``_gram_hashes`` over a PRE-HASHED word-hash
+    list column ``wh`` (hash the words in an earlier CTE — inlining
+    the word-hash transform here would re-evaluate it per gram,
+    O(len²) md5s per document)."""
+    span = n - 1
+    return (
+        f"list_transform(range(1, greatest(len({wh}) - {span}, 0) + 1), "
+        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), {wh}[i:i+{span}]), "
+        f"(acc, v) -> (acc * 31 + v) % {GRAM_MOD}))"
+    )
+
+
 def decontaminated_mix(
     documents: DataFrame,
     bench_mod: int = 101,
@@ -468,13 +517,32 @@ def decontaminated_mix(
     windows — nothing new shuffles. Output: ``corpus_mix`` columns
     over the decontaminated survivor set.
     """
-    from mmw_geoprocessing_spark.operators.text_analysis import contamination_check
-
     is_bench = (F.col("doc_id") % bench_mod) == bench_rem
-    bench = documents.filter(is_bench)
-    contam = contamination_check(documents, bench, n=ngram_n)
-    clean_ids = contam.filter(F.col("hit_ngrams") == 0).select("doc_id")
-    survivors = documents.filter(~is_bench).join(clean_ids, "doc_id", "semi")
+    # Two measured optimizations over the naive contamination wiring
+    # (40 s -> ~13 s at the 100x replica):
+    # - the mix needs only the PREDICATE "shares any n-gram with the
+    #   benchmark", not per-doc hit COUNTS — a semi-join to the dirty
+    #   id set + an anti-join, no count aggregation over every
+    #   (doc, gram) row;
+    # - grams are matched as ROLLING HASHES, not materialized strings
+    #   (hash-based n-gram decontamination is what production
+    #   pipelines run): hash each word once (md5-derived h28, the
+    #   repo's cross-engine recipe), then fold each 13-word window to
+    #   one BIGINT inside codegen — no 13x-corpus string allocation.
+    #   Both engines compute the IDENTICAL key function, so the (rare,
+    #   deterministic) hash-collision false-dirties are mirrored and
+    #   the survivor sets stay hash-equal.
+    hashed = documents.select(
+        "doc_id", _word_hashes(F.col("text")).alias("wh")
+    ).select("doc_id", F.explode(_gram_fold(F.col("wh"), ngram_n)).alias("ng"))
+    bench_grams = hashed.filter(is_bench).select("ng").distinct()
+    dirty = (
+        hashed.filter(~is_bench)
+        .join(F.broadcast(bench_grams), "ng", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = documents.filter(~is_bench).join(dirty, "doc_id", "anti")
     return corpus_mix(
         survivors,
         budgets=budgets,
@@ -494,22 +562,24 @@ def decontaminated_mix_sql(
     """DuckDB twin: contamination CTE -> survivor set -> the one-window
     corpus_mix over it."""
     budgets = budgets or {}
-    span = ngram_n - 1
-    grams = (
-        f"list_transform(range(1, greatest(len(w) - {span}, 0) + 1), "
-        f"i -> array_to_string(w[i:i+{span}], ' '))"
-    )
+    grams = _gram_hashes_sql("wh", ngram_n)
+    whash = H28_SQL.format(x="w")
     hb = H28_SQL.format(x="CAST(doc_id AS VARCHAR)")
     ho = H28_SQL.format(x="CAST(source AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")
     return f"""
-    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH dw AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), w -> {whash}) AS wh
+        FROM documents
+    ),
     bg AS MATERIALIZED (
         SELECT DISTINCT unnest({grams}) AS ng
         FROM dw WHERE doc_id % {bench_mod} = {bench_rem}
     ),
     hits AS (
         SELECT DISTINCT dg.doc_id
-        FROM (SELECT doc_id, unnest({grams}) AS ng FROM dw) dg
+        FROM (SELECT doc_id, unnest({grams}) AS ng FROM dw
+              WHERE doc_id % {bench_mod} <> {bench_rem}) dg
         JOIN bg ON dg.ng = bg.ng
     ),
     survivors AS (
