@@ -99,6 +99,7 @@ from mmw_geoprocessing_spark.sources import pysource as psrc
 from mmw_geoprocessing_spark.sources.tables import load_tables, register_views
 from mmw_geoprocessing_spark.streaming import cdc as scdc
 from mmw_geoprocessing_spark.streaming import windows as sw
+from mmw_geoprocessing_spark.streaming import index_ingest as si
 
 
 def _t(spark: SparkSession, sf_dir: str):
@@ -597,7 +598,7 @@ _GATE_WINDOW: list[str] = [
     "sampling_nucleus_topp",
     "sampling_decontaminated_mix",
     "maintenance_time_travel",
-    "table_profile",
+    "stream_index_append",
 ]
 
 
@@ -900,6 +901,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-verification entries); SF1/SF10 selfcheck rows + pytest
         # carry it until the next rotation.
         "stream_stateful_counts": sw.stream_stateful_counts_batch,
+        # round 11: streaming ingest into the durable search index —
+        # exactly-once by chunk-id marker commit (idempotent sink)
+        "stream_index_append": si.stream_index_serve,
         # Spark-4 custom Python DataSource (pyspark.sql.datasource):
         # deterministic synthetic ledger read in parallel partitions;
         # md5-derived content gives it a full value-hash oracle. The
@@ -1025,6 +1029,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "skew_join_salted": sk.skew_join_salted_sql(),
         "stream_sessionize": sw.stream_sessionize_batch_sql(),
         "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
+        "stream_index_append": si.stream_index_serve_sql(),
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),

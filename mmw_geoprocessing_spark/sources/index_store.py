@@ -154,6 +154,18 @@ def append_once(
     return True
 
 
+def _stored_schema(spark: SparkSession, path: str):
+    """Index schema: the sidecar written at build time, else inferred
+    from the data files (pre-sidecar layouts)."""
+    sidecar = f"{path}.schema.json"
+    if os.path.isfile(sidecar):
+        from pyspark.sql.types import StructType
+
+        with open(sidecar) as f:
+            return StructType.fromJson(__import__("json").loads(f.read()))
+    return spark.read.parquet(path).schema
+
+
 def get_or_build_index(
     spark: SparkSession,
     name: str,
@@ -191,6 +203,15 @@ def get_or_build_index(
         with _build_lock(path):
             if not _complete(path):  # re-check under the lock
                 df = build()
+                # schema sidecar: an index that is legitimately EMPTY
+                # at build time (day-zero streaming bootstrap) writes
+                # no parquet data files, so a later attach cannot
+                # infer its schema from the directory
+                os.makedirs(_STORE_DIR, exist_ok=True)
+                tmp = f"{path}.schema.json.tmp"
+                with open(tmp, "w") as f:
+                    f.write(df.schema.json())
+                os.replace(tmp, f"{path}.schema.json")
                 if bucket_col:
                     (
                         df.repartition(n_buckets, bucket_col)
@@ -213,7 +234,7 @@ def get_or_build_index(
 
     if bucket_col:
         if not spark.catalog.tableExists(tbl):
-            schema = spark.read.parquet(path).schema
+            schema = _stored_schema(spark, path)
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema
             )

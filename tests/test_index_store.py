@@ -152,3 +152,34 @@ def test_fresh_process_serves_from_disk_without_rebuild(spark, tables):
     assert all(after.get(d) == t for d, t in before.items()), (
         "fresh process rebuilt an index it should have re-attached"
     )
+
+
+def test_stream_ingest_exactly_once_under_checkpoint_loss(spark, tables):
+    """Structured Streaming delivers at-least-once to foreachBatch; the
+    chunk-id marker commit must make the sink exactly-once. Drain,
+    DESTROY the checkpoint (the worst replay: every chunk
+    re-delivered), re-drain — zero appends may happen — and the served
+    ranking must equal the fresh full-corpus plan throughout."""
+    import os
+    import shutil
+    import tempfile
+
+    from mmw_geoprocessing_spark.operators import search
+    from mmw_geoprocessing_spark.sources.tables import load_table
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: (r["query_id"], r["rank"])
+    full = sorted(
+        search.bm25_topk(spark, load_table(spark, SF_DIR, "documents")).collect(),
+        key=key,
+    )
+    rows = sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key)
+    assert rows == full
+    replay = ii.replay_docs_dir(spark, SF_DIR)
+    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    shutil.rmtree(ckpt)
+    log: list[str] = []
+    ii.stream_index_ingest(spark, SF_DIR, appended_log=log)
+    assert log == [], f"checkpoint-loss replay re-appended chunks: {log}"
+    rows3 = sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key)
+    assert rows3 == full
