@@ -4,14 +4,19 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-117 queries are registered: round 11 adds the three durable-index
-serving paths — ``search_bm25_disk_topk`` (term-bucketed on-disk
-postings, probe bucket-prunes), ``similarity_ann_ivf_disk_topk``
-(cell-partitioned inverted file, dynamic-partition-pruned probe),
+120 queries are registered: round 11 adds the durable-index family
+— ``search_bm25_disk_topk`` (term-bucketed on-disk postings, probe
+bucket-prunes), ``similarity_ann_ivf_disk_topk`` (cell-partitioned
+inverted file, dynamic-partition-pruned probe),
 ``dedup_incremental_disk`` (batch-vs-reference probe against on-disk
-band/array indexes) — plus ``sampling_nucleus_topp`` (grouped top-p
-support-set selection) and ``sampling_decontaminated_mix`` (the fused
-decontaminate-then-budget curation pass), on top of the round-10 112
+band/array indexes), ``search_bm25_index_append`` (exactly-once drop
+append + delta-merged siblings), ``stream_index_append`` (streaming
+ingest into the same index, idempotent under checkpoint loss) — plus
+``sampling_nucleus_topp`` (grouped top-p support-set selection),
+``sampling_decontaminated_mix`` (the fused decontaminate-then-budget
+curation pass, hashed-gram matching), and ``maintenance_time_travel``
+(snapshot v0 readable after the CoW delete commits v1), on top of
+the round-10 112
 (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
 customer↔supplier trade graph, the iterative-algorithm family —

@@ -110,6 +110,7 @@ AUDITED = [
     "dedup_incremental_disk",
     "sampling_nucleus_topp",
     "sampling_decontaminated_mix",
+    "maintenance_time_travel",
 ]
 
 THETA_OK = {
