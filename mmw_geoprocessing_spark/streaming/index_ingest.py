@@ -52,7 +52,7 @@ def replay_docs_dir(spark: SparkSession, sf_dir: str) -> str:
         ident = "nostat"
     tag = sf_dir.strip("/").replace("/", "_")
     final = os.path.join(
-        tempfile.gettempdir(), f"stream_docs_v1_{tag}_{ident}_c{N_CHUNKS}"
+        tempfile.gettempdir(), f"stream_docs_v2_{tag}_{ident}_c{N_CHUNKS}"
     )
     if os.path.isdir(final):
         return final
@@ -61,9 +61,18 @@ def replay_docs_dir(spark: SparkSession, sf_dir: str) -> str:
         "chunk_id", (F.col("doc_id") % N_CHUNKS).cast("int")
     )
     for i in range(N_CHUNKS):
-        docs.filter(F.col("chunk_id") == i).write.mode("overwrite").parquet(
-            os.path.join(work, f"chunk_{i}")
-        )
+        # ONE FILE PER CHUNK — the invariant the idempotence key rests
+        # on: with maxFilesPerTrigger=1 a micro-batch is one FILE, and
+        # the marker commit treats its chunk as fully applied. A chunk
+        # split across files would commit on its first file and
+        # DISCARD the rest (caught at the 100x replica, where the
+        # multi-file v1 replay served 3% of the corpus: the drop is
+        # the atomic unit, so it ships as one file — a deployment
+        # whose drops are multi-file batches keys the marker on the
+        # drop MANIFEST instead).
+        docs.filter(F.col("chunk_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, f"chunk_{i}"))
     try:
         os.rename(work, final)
     except OSError:
@@ -107,7 +116,7 @@ def _ingest_batch(
         rows = batch.filter(F.col("chunk_id") == cid)
         did = append_once(
             spark,
-            "bm25_postings_stream",
+            "bm25_postings_stream_v2",
             fingerprint,
             f"chunk{cid}",
             lambda r=rows: _chunk_postings(r),
@@ -152,7 +161,7 @@ def stream_index_ingest(
     # the index starts EMPTY — every posting arrives by stream
     get_or_build_index(
         spark,
-        "bm25_postings_stream",
+        "bm25_postings_stream_v2",
         fp,
         lambda: spark.createDataFrame([], _POSTINGS_SCHEMA),
         bucket_col="term",
@@ -202,7 +211,7 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = get_or_build_index(
         spark,
-        "bm25_postings_stream",
+        "bm25_postings_stream_v2",
         fp,
         lambda: (_ for _ in ()).throw(AssertionError("built by the drain")),
         bucket_col="term",
