@@ -10,11 +10,12 @@ Structured Streaming guarantees at-least-once delivery to
 the checkpoint), so a naive append duplicates postings. The standard
 recipe — make the sink idempotent by a deterministic batch identity —
 is implemented here with the index store's marker commit: the append
-tag is the CHUNK id carried in the data (not the epoch id, which
-resets when a checkpoint is rebuilt), so a replayed or re-drained
-chunk hits its marker and becomes a no-op. The totals ledger gets the
-dual treatment: duplicate 1-row entries are collapsed at read time by
-chunk id (dedup-at-read, the other half of the idempotent-sink
+tag is the source FILE identity (not the epoch id, which resets when
+a checkpoint is rebuilt, and not the logical chunk id, which drops
+data when a chunk spans files), so a replayed or re-drained file hits
+its marker and becomes a no-op. The totals ledger gets the dual
+treatment: duplicate 1-row entries are collapsed at read time by
+source tag (dedup-at-read, the other half of the idempotent-sink
 recipe). tests/test_index_store.py drains, DESTROYS the checkpoint,
 re-drains, and proves zero duplication.
 
@@ -61,15 +62,12 @@ def replay_docs_dir(spark: SparkSession, sf_dir: str) -> str:
         "chunk_id", (F.col("doc_id") % N_CHUNKS).cast("int")
     )
     for i in range(N_CHUNKS):
-        # ONE FILE PER CHUNK — the invariant the idempotence key rests
-        # on: with maxFilesPerTrigger=1 a micro-batch is one FILE, and
-        # the marker commit treats its chunk as fully applied. A chunk
-        # split across files would commit on its first file and
-        # DISCARD the rest (caught at the 100x replica, where the
-        # multi-file v1 replay served 3% of the corpus: the drop is
-        # the atomic unit, so it ships as one file — a deployment
-        # whose drops are multi-file batches keys the marker on the
-        # drop MANIFEST instead).
+        # One file per chunk: each drop arrives as one deterministic
+        # micro-batch. (Correctness no longer rests on this — the
+        # idempotence key is the FILE identity after the 100x-replica
+        # defect where chunk-id keying dropped every file of a
+        # multi-file chunk after its first — but a one-file drop keeps
+        # the replay's batch boundaries deterministic.)
         docs.filter(F.col("chunk_id") == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(work, f"chunk_{i}"))
@@ -103,32 +101,42 @@ def _ingest_batch(
     batch: DataFrame,
     appended_log: list[str] | None = None,
 ) -> None:
-    """foreachBatch body: for each chunk present in the batch (one,
-    with maxFilesPerTrigger=1), marker-gated postings append + a
-    totals ledger row. Safe under replay: the marker makes the append
-    a no-op, the ledger dedups at read."""
+    """foreachBatch body: for each source FILE present in the batch
+    (one, with maxFilesPerTrigger=1), marker-gated postings append +
+    a totals ledger row. The idempotence key is the file identity —
+    stable across epochs, checkpoint rebuilds, AND multi-file drops
+    (the v1 key was the chunk id, which silently dropped every file
+    of a chunk after its first — the 100x-replica defect; file keying
+    removes the one-file-per-chunk invariant from the correctness
+    path entirely, though the replay still ships one file per drop
+    for determinism). Safe under any replay: the marker makes the
+    append a no-op, the ledger dedups at read."""
+    import hashlib
+
     from mmw_geoprocessing_spark.sources.index_store import append_once
 
-    chunk_ids = sorted(
-        r["chunk_id"] for r in batch.select("chunk_id").distinct().collect()
+    files = sorted(
+        r["f"]
+        for r in batch.select(F.input_file_name().alias("f")).distinct().collect()
     )
-    for cid in chunk_ids:
-        rows = batch.filter(F.col("chunk_id") == cid)
+    for fname in files:
+        tag = "f" + hashlib.md5(fname.encode()).hexdigest()[:12]
+        rows = batch.filter(F.input_file_name() == fname)
         did = append_once(
             spark,
             "bm25_postings_stream_v2",
             fingerprint,
-            f"chunk{cid}",
+            tag,
             lambda r=rows: _chunk_postings(r),
             bucket_col="term",
         )
         if did and appended_log is not None:
-            appended_log.append(f"chunk{cid}")
+            appended_log.append(tag)
         if did:
             (
                 rows.select(F.split(F.lower(F.col("text")), " ").alias("w"))
                 .agg(
-                    F.lit(int(cid)).alias("chunk_id"),
+                    F.lit(tag).alias("src_tag"),
                     F.count(F.lit(1)).alias("n_docs"),
                     F.sum(F.size("w")).alias("t_tokens"),
                 )
@@ -220,7 +228,7 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice; identical rows collapse on chunk_id before the sum
     totals = (
         spark.read.parquet(totals_dir)
-        .dropDuplicates(["chunk_id"])
+        .dropDuplicates(["src_tag"])
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("t_tokens").alias("t_tokens"))
     )
     qterms = _query_terms_df(spark)
