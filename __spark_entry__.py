@@ -406,6 +406,12 @@ def _tpch_q6(s: SparkSession, d: str) -> DataFrame:
     return tpch.q6_forecast_revenue(_t(s, d)["lineitem"])
 
 
+def _tpch_q6_clustered(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    return tpch.q6_forecast_revenue_clustered(s, d)
+
+
 def _tpch_q10(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
@@ -457,6 +463,7 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (3 predicates into the parquet reader, no join); Q10 — returned-
     # item lost revenue, 3-way fact join + broadcast dim + money top-20
     "tpch_q6": _tpch_q6,
+    "tpch_q6_clustered": _tpch_q6_clustered,
     "tpch_q10": _tpch_q10,
     # Q14 — promo share: broadcast dim + exact-cents ratio; Q18 —
     # large-volume customers: the aggregate-then-semi-join shape
@@ -480,6 +487,7 @@ def _tpch_oracles() -> dict[str, str]:
         "tpch_q3": tpch.q3_sql(),
         "tpch_q5": tpch.q5_sql(),
         "tpch_q6": tpch.q6_sql(),
+        "tpch_q6_clustered": tpch.q6_clustered_sql(),
         "tpch_q10": tpch.q10_sql(),
         "tpch_q14": tpch.q14_sql(),
         "tpch_q18": tpch.q18_sql(),
@@ -589,7 +597,7 @@ _GATE_WINDOW: list[str] = [
     #    its scale path)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash_neardup",
+    "tpch_q6_clustered",
     "dedup_ngram_jaccard",
     "similarity_cosine_topk",
     "similarity_ann_lsh_topk",

@@ -116,6 +116,9 @@ LLM_SECTION = [
     "dedup_incremental_disk",
     "sampling_nucleus_topp",
     "sampling_decontaminated_mix",
+    # round 11 (late): Q6 through the shipdate-clustered layout
+    # (serving-path-only: rewrite + index land in warm-up)
+    "tpch_q6_clustered",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest
@@ -124,6 +127,7 @@ LLM_SECTION = [
 # comparison (r10 ADVICE). Reported per-query for trend-tracking but
 # EXCLUDED from the aggregate llm_total / llm_ratio_vs_duck summary.
 SERVING_PATH_ONLY = {
+    "tpch_q6_clustered",
     "maintenance_delete_rows",
     "maintenance_delete_mor",
     "maintenance_zorder",

@@ -141,6 +141,54 @@ def q6_sql() -> str:
     """
 
 
+def q6_forecast_revenue_clustered(spark, sf_dir: str) -> DataFrame:
+    """Q6 served through the LAYOUT answer to its scan floor: the r10
+    sf10 crossover adjudicated tpch_q6 at 2.8× as a single-scan floor
+    (all three predicates pushed, nothing left in the plan). But the
+    deployment answer to a date-windowed fact scan is clustering, not
+    plan work: lineitem rewritten range-clustered on l_shipdate (the
+    nightly sort-order rewrite, ``clustered_lineitem_dir``) lets the
+    zone-map index prune to the ~1/6 of files overlapping the Q6 year
+    BEFORE the scan starts — the same discipline the zonal catalog
+    applies to AOI bboxes. The pruned read re-applies the exact
+    predicates (min/max overlap is necessary, not sufficient; the
+    BETWEEN residual is tightened to Q6's half-open bound), so the
+    result is bit-identical to the raw-scan plan and ``q6_sql()``
+    hash-gates it. Bench basis: serving-path-only (the rewrite + index
+    land in warm-up; DuckDB scans raw — same labeled basis as the
+    zonemap/delete rows)."""
+    from datetime import datetime
+
+    from mmw_geoprocessing_spark.sources.maintenance import (
+        _ensure_zonemap,
+        clustered_lineitem_dir,
+    )
+    from mmw_geoprocessing_spark.sources.zonemap import zonemap_pruned_read
+
+    dst = clustered_lineitem_dir(spark, sf_dir)
+    zm = spark.read.parquet(_ensure_zonemap(spark, dst, ["l_shipdate"]))
+    df, _stats = zonemap_pruned_read(
+        spark,
+        zm,
+        {"l_shipdate": (datetime(1996, 1, 1), datetime(1997, 1, 1))},
+        schema_src=dst,
+    )
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        df.filter(
+            (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_money(rev, 10000, df).alias("revenue"))
+    )
+
+
+def q6_clustered_sql() -> str:
+    """Layout must be invisible in the result -> Q6's own oracle."""
+    return q6_sql()
+
+
 def q10_returned_items(
     customer: DataFrame,
     orders: DataFrame,

@@ -426,6 +426,43 @@ def zonemap_prune_orders(spark: SparkSession, sf_dir: str):
     )
 
 
+def clustered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source identity) the shipdate-range-clustered
+    rewrite of lineitem — the layout every date-windowed fact scan
+    wants (Delta/Iceberg sort-order rewrite on the event-time column).
+    ~32 files so pruning selectivity is observable at every SF; emits
+    the zone-map index alongside (the rewrite job's responsibility,
+    not the query's)."""
+    import os
+    import tempfile
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    src_file = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"lclust_reg_{tag}_{ident}")
+    frag, dst = base + "_frag", base + "_dst"
+    if not _complete(dst):
+        with _layout_lock(base):
+            if not _complete(dst):  # re-check under the lock
+                load_table(spark, sf_dir, "lineitem").write.mode(
+                    "overwrite"
+                ).parquet(frag)
+                _, nbytes = parquet_dir_stats(spark, frag)
+                compact_parquet_dir(
+                    spark, frag, dst,
+                    target_bytes=max(1, math.ceil(nbytes / 32)),
+                    sort_cols=["l_shipdate"],
+                )
+    _ensure_zonemap(spark, dst, ["l_shipdate"])
+    return dst
+
+
 def zonemap_prune_orders_sql() -> str:
     return """
         SELECT o_orderpriority,

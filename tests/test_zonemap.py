@@ -498,3 +498,26 @@ def test_merge_on_read_delete_matches_cow_and_oracle(spark, tables, duck):
     # the MoR read plans a broadcast anti-join, never a shuffle of the scan
     plan = mor._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q6_clustered_prunes_files_and_matches_raw(spark, tables):
+    """Q6 through the shipdate-clustered layout: the zone map must
+    prune to the files overlapping the Q6 year (files_read <<
+    files_total — the 100 TB evidence line; at hot-cache local scale
+    the extra planning job can exceed the saved I/O, recorded honestly
+    in BASELINE.md), and the result must equal the raw-scan plan."""
+    from datetime import datetime
+
+    from mmw_geoprocessing_spark.operators import tpch
+    from tests.conftest import SF_DIR
+
+    clustered = tpch.q6_forecast_revenue_clustered(spark, SF_DIR).collect()
+    raw = tpch.q6_forecast_revenue(tables["lineitem"]).collect()
+    assert [tuple(r) for r in clustered] == [tuple(r) for r in raw]
+
+    dst = mt.clustered_lineitem_dir(spark, SF_DIR)
+    zmap = spark.read.parquet(mt._ensure_zonemap(spark, dst, ["l_shipdate"]))
+    files, total = zm.prune_files(
+        zmap, {"l_shipdate": (datetime(1996, 1, 1), datetime(1997, 1, 1))}
+    )
+    assert len(files) < total, (len(files), total)
