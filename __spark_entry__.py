@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-120 queries are registered: round 11 adds the durable-index family
+121 queries are registered: round 11 adds the durable-index family
 — ``search_bm25_disk_topk`` (term-bucketed on-disk postings, probe
 bucket-prunes), ``similarity_ann_ivf_disk_topk`` (cell-partitioned
 inverted file, dynamic-partition-pruned probe),
@@ -15,7 +15,9 @@ ingest into the same index, idempotent under checkpoint loss) — plus
 ``sampling_nucleus_topp`` (grouped top-p support-set selection),
 ``sampling_decontaminated_mix`` (the fused decontaminate-then-budget
 curation pass, hashed-gram matching), and ``maintenance_time_travel``
-(snapshot v0 readable after the CoW delete commits v1), on top of
+(snapshot v0 readable after the CoW delete commits v1) and
+``tpch_q6_clustered`` (Q6 through the shipdate-clustered layout's
+zone-map prune — the honest-negative row, BASELINE.md), on top of
 the round-10 112
 (the round-9 81 plus round 10's
 ``graph_pagerank`` — fixed-point bigint PageRank over the
@@ -593,8 +595,9 @@ _GATE_WINDOW: list[str] = [
     "stream_static_enrich",
     "stream_sessionize",
     "events_windows_showcase",
-    # -- 7 dedup/similarity-core rows (each family's exact baseline +
-    #    its scale path)
+    # -- 6 dedup/similarity-core rows (each family's exact baseline +
+    #    its scale path; dedup_simhash_neardup — driver-green r9/r10 —
+    #    ceded its seat to the round-11 tpch_q6_clustered)
     "dedup_exact",
     "dedup_minhash_lsh",
     "tpch_q6_clustered",
@@ -602,8 +605,7 @@ _GATE_WINDOW: list[str] = [
     "similarity_cosine_topk",
     "similarity_ann_lsh_topk",
     "similarity_ann_ivf_topk",
-    # -- remaining 8 slots: round-11 additions land here (until they
-    #    do, high-traffic re-verification rows hold the seats)
+    # -- the 8 rotation seats, all taken by round-11 additions
     "search_bm25_disk_topk",
     "search_bm25_index_append",
     "similarity_ann_ivf_disk_topk",
