@@ -836,6 +836,10 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 11: the incremental-ingest face — exactly-once postings
         # append per drop + delta-merged df/totals siblings
         "search_bm25_index_append": lambda s, d: se.bm25_index_append_topk(s, d),
+        # round 12: the maintenance face — appended fragments rewritten
+        # back to one file per bucket (generation swap; markers, bucket
+        # pruning and exactly-once all survive the rewrite)
+        "search_bm25_index_compact": lambda s, d: se.bm25_index_compact_topk(s, d),
         "cdc_changelog_merge": lambda s, d: cdc.changelog_merge_orders(
             _t(s, d)["orders"]
         ),
@@ -1027,6 +1031,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "search_bm25_indexed_topk": se.bm25_indexed_topk_sql(),
         "search_bm25_disk_topk": se.bm25_disk_topk_sql(),
         "search_bm25_index_append": se.bm25_index_append_topk_sql(),
+        "search_bm25_index_compact": se.bm25_index_compact_topk_sql(),
         "cdc_changelog_merge": cdc.changelog_merge_orders_sql(),
         "sessionize_events": rex.sessionize_events_sql(),
         "search_hybrid_rrf_topk": se.hybrid_rrf_topk_sql(),

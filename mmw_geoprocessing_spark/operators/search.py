@@ -461,6 +461,57 @@ def bm25_index_append_topk_sql(k: int = TOP_K) -> str:
     return bm25_topk_sql(k=k)
 
 
+def bm25_index_compact_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """The MAINTENANCE face of the durable bm25 index (r11 verdict #1):
+    every ``append_once`` drop leaves one extra file per touched
+    bucket, so K daily drops degrade the postings table to K+1
+    files/bucket — this row runs the full lifecycle
+    build → append → COMPACT → serve. ``compact_index`` rewrites the
+    current generation back to one file per bucket under the same
+    CLUSTERED BY spec (bucket pruning and the sort-elision property
+    both survive — pinned in tests/test_index_store.py), swaps a
+    ``.current`` pointer atomically, and leaves the append markers in
+    place so exactly-once holds across the rewrite (a replayed
+    pre-compaction drop still no-ops; new drops append into the new
+    generation). Reference analogue: the layer catalog serves compacted
+    tile sets (``Utils.scala:22-23``). Results are byte-identical to
+    the full-corpus fresh plan, so ``bm25_topk``'s DuckDB oracle
+    hash-gates the whole lifecycle."""
+    from mmw_geoprocessing_spark.sources.index_store import (
+        compact_index,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+
+    # materialize the appended state (idempotent: the store's markers
+    # make re-entry a no-op), then compact it
+    bm25_index_append_topk(spark, sf_dir, k)
+    fp = corpus_fingerprint(sf_dir, "documents")
+    compact_index(spark, "bm25_postings_inc", fp, bucket_col="term")
+
+    def _absent() -> DataFrame:
+        raise AssertionError("built by bm25_index_append_topk above")
+
+    # serve from the compacted generation (fresh attach after the swap)
+    postings = get_or_build_index(
+        spark, "bm25_postings_inc", fp, _absent, bucket_col="term"
+    )
+    df_all = get_or_build_index(spark, "bm25_df_incfull", fp, _absent)
+    totals = get_or_build_index(spark, "bm25_totals_incfull", fp, _absent)
+    qterms = _query_terms_df(spark)
+    all_terms = sorted({t for _, terms in QUERIES for t in terms})
+    tf = postings.filter(F.col("term").isin(all_terms))
+    df_ = df_all.filter(F.col("term").isin(all_terms))
+    return _bm25_score_topk(qterms, tf, df_, totals, k)
+
+
+def bm25_index_compact_topk_sql(k: int = TOP_K) -> str:
+    """compaction is result-invariant -> the full-corpus oracle."""
+    return bm25_topk_sql(k=k)
+
+
 # Hybrid retrieval: each registered query carries BOTH its keyword
 # terms (the BM25 leg) and a dense-query anchor — the embedding of a
 # fixed corpus row (doc_id == vec_id by fixture construction), the

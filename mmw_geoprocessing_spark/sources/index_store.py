@@ -29,7 +29,10 @@ directory counts as built only once Spark's _SUCCESS marker lands.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import re
+import shutil
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,8 +49,30 @@ def clear_index_store_cache() -> None:
     _ATTACHED.clear()
 
 
+def _resolve_location(path: str) -> str:
+    """The directory currently serving the index. Compaction rewrites
+    into a NEW generation directory and atomically swaps the
+    ``.current`` pointer (os.replace), so readers see either the old
+    file set or the new one — never a mix. No pointer = generation 0 =
+    the base path itself."""
+    ptr = path + ".current"
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            return f.read().strip()
+    return path
+
+
 def _complete(d: str) -> bool:
-    return os.path.isdir(d) and os.path.isfile(os.path.join(d, "_SUCCESS"))
+    loc = _resolve_location(d)
+    return os.path.isdir(loc) and os.path.isfile(os.path.join(loc, "_SUCCESS"))
+
+
+def _data_files(loc: str) -> list[str]:
+    return sorted(
+        fn
+        for fn in os.listdir(loc)
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    )
 
 
 @contextmanager
@@ -95,6 +120,100 @@ def _table_name(
     return f"sgi_{tag}"
 
 
+def append_applied(
+    name: str,
+    fingerprint: str,
+    append_tag: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    spec_version: str = "v1",
+) -> bool:
+    """True iff ``append_tag`` has already been committed into the
+    index (its marker exists). Lets sidecar writes (e.g. the streaming
+    ingest's totals ledger) sequence themselves BEFORE the marker
+    commit without re-staging the append."""
+    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    return os.path.isfile(f"{_STORE_DIR}/{tbl}.append_{append_tag}")
+
+
+def _refresh_attached(spark: SparkSession, tbl: str) -> None:
+    """Another process may have appended since this session attached
+    ``tbl``; drop the session memo and the cached file listing so the
+    next probe re-lists (ADVICE r11: the marker-exists path must not
+    keep serving the stale pre-append listing)."""
+    _ATTACHED.pop((id(spark), tbl), None)
+    try:
+        if spark.catalog.tableExists(tbl):
+            spark.catalog.refreshTable(tbl)
+    except Exception:
+        pass  # not attached in this session: nothing stale to drop
+
+
+def _stage_dir_write(
+    spark: SparkSession,
+    df: DataFrame,
+    stage: str,
+    tbl: str,
+    append_tag: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> list[str]:
+    """Write ``df`` as bucketed parquet files into the STAGING dir (not
+    the table location) and return the data-file names. Spark encodes a
+    file's bucket id in its name (``part-NNNNN-<uuid>_<bucket>.…``), so
+    the staged files keep their bucket mapping when later renamed into
+    the table directory — the same reason a plain ``mode(append)``
+    write preserves the spec."""
+    stage_tbl = re.sub(r"\W", "_", f"{tbl}_stage_{append_tag}")
+    (
+        df.repartition(n_buckets, bucket_col)
+        .write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", stage)
+        .mode("overwrite")
+        .saveAsTable(stage_tbl)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+    return sorted(
+        fn
+        for fn in os.listdir(stage)
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    )
+
+
+def _write_intent(intent: str, files: list[str]) -> None:
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(files))
+    os.replace(tmp, intent)
+
+
+def _roll_forward(intent: str, stage: str, path: str) -> None:
+    """Complete a journaled commit: move every intent-listed file from
+    the stage dir into the table dir. Idempotent — a file already moved
+    (dest exists, source gone) is skipped, so a crashed half-commit
+    finishes cleanly on replay instead of duplicating."""
+    with open(intent) as f:
+        files = json.loads(f.read())
+    for fn in files:
+        src, dst = os.path.join(stage, fn), os.path.join(path, fn)
+        if os.path.isfile(dst):
+            continue
+        if not os.path.isfile(src):
+            raise RuntimeError(
+                f"append commit journal lists {fn} but it is in neither "
+                f"the stage dir nor the table dir — store corrupted"
+            )
+        os.rename(src, dst)
+
+
+def _commit_marker(marker: str, append_tag: str) -> None:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(append_tag)
+    os.replace(tmp, marker)
+
+
 def append_once(
     spark: SparkSession,
     name: str,
@@ -106,51 +225,79 @@ def append_once(
     spec_version: str = "v1",
 ) -> bool:
     """Append ``build()``'s rows into the existing bucketed index —
-    EXACTLY ONCE per ``append_tag`` (a crawl-drop / ingest-epoch id):
-    a marker file under the build flock makes retries and concurrent
-    appenders idempotent, the lakehouse commit discipline in
-    miniature. The appended rows land as one extra file per touched
-    bucket with the same bucket spec, so probes keep bucket-pruning
-    across base + appended files. Returns True if this call performed
-    the append, False if the tag had already been applied.
+    EXACTLY ONCE per ``append_tag`` (a crawl-drop / ingest-epoch id),
+    crash-safe at every step. The appended rows land as one extra file
+    per touched bucket with the same bucket spec, so probes keep
+    bucket-pruning across base + appended files. Returns True if this
+    call physically made the drop's rows visible (including finishing
+    another call's crashed commit), False if the tag had already been
+    fully applied.
+
+    Commit protocol (ADVICE r11: the v1 scheme made appended files
+    visible BEFORE the marker, so a crash between the two duplicated
+    the drop on replay). All under the per-index flock:
+
+    1. re-check the marker — present ⇒ no-op (refresh stale listings).
+    2. stage: write the drop as bucketed parquet into a SIDE directory
+       (invisible to the table).
+    3. journal: atomically write an intent file listing the staged
+       data files.
+    4. publish: rename each staged file into the table directory.
+    5. commit: atomically write the marker; clean up intent + stage.
+
+    Crash before 3 ⇒ replay discards the partial stage and rebuilds
+    (nothing was visible). Crash after 3 ⇒ replay ROLLS FORWARD from
+    the journal (never re-runs ``build``), so the drop lands exactly
+    once no matter where the writer died. Readers racing a commit can
+    observe a prefix of the drop's files for the duration of step 4 —
+    per-drop atomic visibility would need a manifest-gated read path
+    (sources/maintenance.py has one); the exactly-once guarantee this
+    store makes is about COMMITTED state, and every crash/replay
+    converges to base + each drop exactly once.
 
     The index must already exist (``get_or_build_index`` with the same
-    identity) and must be ATTACHED in this session — appending goes
-    through the catalog table so Spark enforces the bucket spec."""
+    identity); appending goes through a staged bucketed write so the
+    files Spark sees always carry the table's bucket spec."""
     tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
     path = f"{_STORE_DIR}/{tbl}"
     if not _complete(path):
         raise ValueError(f"append target index does not exist: {tbl}")
     marker = f"{path}.append_{append_tag}"
+    intent = f"{path}.intent_{append_tag}"
+    stage = f"{path}.stage_{append_tag}"
     if os.path.isfile(marker):
+        _refresh_attached(spark, tbl)
         return False
     with _build_lock(path):
         if os.path.isfile(marker):  # re-check under the lock
+            _refresh_attached(spark, tbl)
             return False
-        if not spark.catalog.tableExists(tbl):
-            # attach via the shared read path (registers the DDL)
-            get_or_build_index(
-                spark, name, fingerprint,
-                lambda: (_ for _ in ()).throw(AssertionError("exists on disk")),
-                bucket_col=bucket_col, n_buckets=n_buckets,
-                spec_version=spec_version,
+        # publish into the CURRENT generation (resolved under the lock:
+        # compaction holds the same flock, so the generation cannot
+        # swap mid-commit)
+        loc = _resolve_location(path)
+        if os.path.isfile(intent):
+            # a previous writer crashed between journal and commit:
+            # finish ITS commit — never re-run build() (re-staging a
+            # non-deterministic build after files were published would
+            # duplicate rows)
+            _roll_forward(intent, stage, loc)
+        else:
+            # crash before the journal leaves at most a partial stage,
+            # none of it visible — discard and rebuild
+            shutil.rmtree(stage, ignore_errors=True)
+            files = _stage_dir_write(
+                spark, build(), stage, tbl, append_tag, bucket_col, n_buckets
             )
-        (
-            build()
-            .repartition(n_buckets, bucket_col)
-            .write.bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .option("path", path)
-            .mode("append")
-            .saveAsTable(tbl)
-        )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(append_tag)
-        os.replace(tmp, marker)
+            _write_intent(intent, files)
+            _roll_forward(intent, stage, loc)
+        _commit_marker(marker, append_tag)
+        os.remove(intent)
+        shutil.rmtree(stage, ignore_errors=True)
     # drop session memos so readers see the appended files
     _ATTACHED.pop((id(spark), tbl), None)
-    spark.catalog.refreshTable(tbl)
+    if spark.catalog.tableExists(tbl):
+        spark.catalog.refreshTable(tbl)
     return True
 
 
@@ -188,6 +335,18 @@ def get_or_build_index(
       static or dynamic partition pruning.
     - neither: plain parquet directory (small sibling tables: df,
       totals, centroids).
+
+    SESSION-MODE NOTE (ADVICE r11): attaching a BUCKETED index enters
+    bucket mode session-wide — ``autoBucketedScan`` off and
+    ``requireAllClusterKeysForCoPartition=false`` stay set until
+    ``fixtures.clear_fixture_cache()`` restores them. Results of
+    unrelated queries are unaffected (the confs only change plan
+    shape), but their plans can differ; the confs cannot be scoped per
+    probe because Catalyst resolves them at ACTION time, after the
+    probe DataFrame has been handed to the caller. Every public entry
+    that serves a bucketed index (search.bm25_disk_topk,
+    search.bm25_index_append_topk, dedup.incremental_batch_dedup_disk,
+    streaming.index_ingest) inherits this note by reference.
     """
     if bucket_col and partition_col:
         raise ValueError("bucket_col and partition_col are exclusive")
@@ -238,10 +397,13 @@ def get_or_build_index(
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema
             )
+            # LOCATION = the current GENERATION (post-compaction the
+            # pointer names a rewritten directory; generation 0 is the
+            # base path)
             spark.sql(
                 f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
                 f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
-                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{_resolve_location(path)}'"
             )
         # bucket pruning works regardless of autoBucketedScan, but the
         # exchange-free probe joins need the bucket-mode confs; enter
@@ -251,6 +413,130 @@ def get_or_build_index(
         fx.enter_bucket_mode(spark)
         out = spark.table(tbl)
     else:
-        out = spark.read.parquet(path)
+        out = spark.read.parquet(_resolve_location(path))
     _ATTACHED[memo] = out
     return out
+
+
+def _repair_pending_appends(path: str, loc: str) -> int:
+    """Complete every crashed append commit (intent present, marker
+    absent) before a maintenance rewrite touches the file set —
+    otherwise compaction would fold a HALF-published drop into the new
+    generation and the eventual replay could not tell which journaled
+    files already landed. Runs under the caller's flock."""
+    import glob as _glob
+
+    n = 0
+    for intent in sorted(_glob.glob(path + ".intent_*")):
+        tag = os.path.basename(intent).split(".intent_", 1)[1]
+        _roll_forward(intent, f"{path}.stage_{tag}", loc)
+        _commit_marker(f"{path}.append_{tag}", tag)
+        os.remove(intent)
+        shutil.rmtree(f"{path}.stage_{tag}", ignore_errors=True)
+        n += 1
+    return n
+
+
+def compact_index(
+    spark: SparkSession,
+    name: str,
+    fingerprint: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    spec_version: str = "v1",
+    vacuum: bool = True,
+) -> dict:
+    """Rewrite the appended bucketed index back to ONE file per bucket
+    (r11 verdict #1: every ``append_once`` drop lands one extra file
+    per touched bucket, so K drops → K+1 files/bucket — after a year
+    of daily crawls the probe reads hundreds of fragments per bucket
+    and the sort-metadata optimizations are long gone; the reference's
+    analogue is layer-catalog compaction, ``Utils.scala:22-23``).
+
+    Protocol (under the same per-index flock as append_once, so a
+    compaction never races an append):
+
+    1. repair: roll forward any crashed append commits first — a
+       rewrite must only ever fold FULLY-committed drops.
+    2. rewrite: read the current generation, write it as a fresh
+       bucketed table (same CLUSTERED BY spec — bucket assignment is
+       the same hash, so pruning survives; one file per bucket, sorted,
+       which also restores the sort-elision property appends eroded)
+       into a NEW generation directory.
+    3. swap: atomically point ``.current`` at the new generation
+       (os.replace) — readers see the old file set or the new one,
+       never a mix — and re-point this session's catalog entry.
+    4. vacuum: drop generations older than the new one (optional;
+       sessions in OTHER processes attached to the old generation keep
+       serving it until they re-attach, so production retention should
+       exceed the longest session lifetime — the same
+       retention-horizon rule as maintenance.vacuum/time-travel).
+
+    Append markers are SIBLINGS of the base path, not generation
+    contents, so exactly-once survives compaction: a replayed
+    pre-compaction drop still finds its marker and no-ops; new drops
+    append one file per bucket into the new generation.
+
+    Returns ``{"compacted", "files_before", "files_after",
+    "location", "repaired_appends"}``."""
+    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    path = f"{_STORE_DIR}/{tbl}"
+    if not _complete(path):
+        raise ValueError(f"compaction target index does not exist: {tbl}")
+    with _build_lock(path):
+        loc = _resolve_location(path)
+        repaired = _repair_pending_appends(path, loc)
+        before = _data_files(loc)
+        if len(before) <= n_buckets:
+            return {
+                "compacted": False,
+                "files_before": len(before),
+                "files_after": len(before),
+                "location": loc,
+                "repaired_appends": repaired,
+            }
+        gen = 1 + (int(loc.rsplit(".gen", 1)[1]) if ".gen" in loc else 0)
+        new_loc = f"{path}.gen{gen}"
+        # a crashed previous compaction attempt never swapped the
+        # pointer, so its directory is dead weight — rebuild it
+        shutil.rmtree(new_loc, ignore_errors=True)
+        rewrite_tbl = re.sub(r"\W", "_", f"{tbl}_compact_g{gen}")
+        (
+            spark.read.schema(_stored_schema(spark, path))
+            .parquet(loc)
+            .repartition(n_buckets, bucket_col)
+            .write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", new_loc)
+            .mode("overwrite")
+            .saveAsTable(rewrite_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {rewrite_tbl}")
+        after = _data_files(new_loc)
+        tmp = path + ".current.tmp"
+        with open(tmp, "w") as f:
+            f.write(new_loc)
+        os.replace(tmp, path + ".current")
+        if spark.catalog.tableExists(tbl):
+            spark.sql(f"ALTER TABLE {tbl} SET LOCATION '{new_loc}'")
+            spark.catalog.refreshTable(tbl)
+        if vacuum:
+            import glob as _glob
+
+            for old in _glob.glob(path + ".gen*"):
+                if old != new_loc:
+                    shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(path):
+                # generation 0: clear the superseded data files but keep
+                # the directory + _SUCCESS — it is the index's identity
+                # anchor (_complete resolves through the pointer)
+                for fn in _data_files(path):
+                    os.remove(os.path.join(path, fn))
+    _ATTACHED.pop((id(spark), tbl), None)
+    return {
+        "compacted": True,
+        "files_before": len(before),
+        "files_after": len(after),
+        "location": new_loc,
+        "repaired_appends": repaired,
+    }

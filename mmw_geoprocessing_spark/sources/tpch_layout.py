@@ -32,10 +32,30 @@ from __future__ import annotations
 
 import hashlib
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 _BUCKET_DIR = "/tmp/spark_graft_bucketed_tpch"
+
+
+@contextmanager
+def _layout_lock(path: str):
+    """Per-layout inter-process flock (ADVICE r11: two concurrent
+    processes — bench + the sf10 gate — could race the overwrite and
+    one would attach a half-written layout). Same discipline as
+    maintenance._layout_lock / index_store._build_lock: the lock dies
+    with its holder, completeness is re-checked under it."""
+    import fcntl
+
+    os.makedirs(_BUCKET_DIR, exist_ok=True)
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 #: 32 buckets: one task per core on the local[32] test rig, and at
 #: cluster scale a power-of-two that splits evenly into executor counts.
 N_BUCKETS = int(os.environ.get("SPARK_GRAFT_TPCH_BUCKETS", "32"))
@@ -85,32 +105,38 @@ def bucketed_fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if memo_key in _ATTACHED:
         return _ATTACHED[memo_key]
     path = f"{_BUCKET_DIR}/{tbl}"
-    if not spark.catalog.tableExists(tbl) and os.path.isfile(
-        os.path.join(path, "_SUCCESS")
-    ):
-        # previous process wrote it; re-attach via DDL (no rewrite)
-        schema = spark.read.parquet(path).schema
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
-        spark.sql(
-            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
-        )
     if not spark.catalog.tableExists(tbl):
-        from mmw_geoprocessing_spark.sources.tables import load_table
+        # build-or-attach under the per-layout flock so concurrent
+        # processes serialize: whoever wins writes; everyone else
+        # re-checks completeness under the lock and attaches
+        with _layout_lock(path):
+            if os.path.isfile(os.path.join(path, "_SUCCESS")):
+                # previous process wrote it; re-attach via DDL (no rewrite)
+                schema = spark.read.parquet(path).schema
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+                    f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                from mmw_geoprocessing_spark.sources.tables import load_table
 
-        df = load_table(spark, sf_dir, name)
-        (
-            # repartition on the bucket key FIRST: one task per bucket
-            # -> exactly ONE file per bucket, the condition for the
-            # scan to report its sortBy order so SMJs elide their Sort
-            df.repartition(N_BUCKETS, key)
-            .write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .option("path", path)
-            .mode("overwrite")
-            .saveAsTable(tbl)
-        )
+                df = load_table(spark, sf_dir, name)
+                (
+                    # repartition on the bucket key FIRST: one task per
+                    # bucket -> exactly ONE file per bucket, the
+                    # condition for the scan to report its sortBy order
+                    # so SMJs elide their Sort
+                    df.repartition(N_BUCKETS, key)
+                    .write.bucketBy(N_BUCKETS, key)
+                    .sortBy(key)
+                    .option("path", path)
+                    .mode("overwrite")
+                    .saveAsTable(tbl)
+                )
     out = spark.table(tbl)
     _ATTACHED[memo_key] = out
     return out

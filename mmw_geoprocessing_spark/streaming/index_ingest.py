@@ -110,10 +110,20 @@ def _ingest_batch(
     removes the one-file-per-chunk invariant from the correctness
     path entirely, though the replay still ships one file per drop
     for determinism). Safe under any replay: the marker makes the
-    append a no-op, the ledger dedups at read."""
+    append a no-op, the ledger dedups at read.
+
+    Ordering (ADVICE r11): the ledger row is written BEFORE the marker
+    commit, not after — ledger-then-marker means a crash between the
+    two replays BOTH (the duplicate ledger row collapses at read on
+    src_tag), while the old marker-then-ledger order permanently lost
+    the ledger row (replay saw the marker, skipped the ledger, and
+    n_docs/t_tokens silently undercounted every BM25 score)."""
     import hashlib
 
-    from mmw_geoprocessing_spark.sources.index_store import append_once
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_applied,
+        append_once,
+    )
 
     files = sorted(
         r["f"]
@@ -121,7 +131,20 @@ def _ingest_batch(
     )
     for fname in files:
         tag = "f" + hashlib.md5(fname.encode()).hexdigest()[:12]
+        if append_applied("bm25_postings_stream_v2", fingerprint, tag, "term"):
+            continue  # fully committed drop: its ledger row preceded it
         rows = batch.filter(F.input_file_name() == fname)
+        (
+            rows.select(F.split(F.lower(F.col("text")), " ").alias("w"))
+            .agg(
+                F.lit(tag).alias("src_tag"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("w")).alias("t_tokens"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(totals_dir)
+        )
         did = append_once(
             spark,
             "bm25_postings_stream_v2",
@@ -132,18 +155,6 @@ def _ingest_batch(
         )
         if did and appended_log is not None:
             appended_log.append(tag)
-        if did:
-            (
-                rows.select(F.split(F.lower(F.col("text")), " ").alias("w"))
-                .agg(
-                    F.lit(tag).alias("src_tag"),
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size("w")).alias("t_tokens"),
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(totals_dir)
-            )
 
 
 def stream_index_ingest(

@@ -183,3 +183,348 @@ def test_stream_ingest_exactly_once_under_checkpoint_loss(spark, tables):
     assert log == [], f"checkpoint-loss replay re-appended chunks: {log}"
     rows3 = sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key)
     assert rows3 == full
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe append commit (ADVICE r11): the v1 append made files
+# visible before the marker, so a crash between the two duplicated the
+# drop on replay. The v2 protocol stages invisibly, journals an intent,
+# publishes, THEN commits the marker — these tests kill the writer at
+# each window and prove every replay converges to exactly-once.
+# ---------------------------------------------------------------------------
+
+
+def _mini_index(spark, tag):
+    import uuid
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name = f"crashsim_{tag}"
+    fp = uuid.uuid4().hex[:10]
+    base = spark.createDataFrame([(i, "base") for i in range(20)], "k int, v string")
+    ixs.get_or_build_index(spark, name, fp, lambda: base, bucket_col="k", n_buckets=4)
+    return name, fp
+
+
+def _drop_df(spark):
+    return spark.createDataFrame(
+        [(i, "drop") for i in range(20, 30)], "k int, v string"
+    )
+
+
+def _no_rebuild():
+    raise AssertionError("replay after the journal must never re-run build()")
+
+
+def _served_rows(spark, name, fp):
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    ixs.clear_index_store_cache()
+    df = ixs.get_or_build_index(
+        spark, name, fp, lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_crash_before_journal_rebuilds_exactly_once(spark, monkeypatch):
+    """Writer dies while staging (before the intent journal): nothing
+    was visible, so the replay re-runs build() — and the drop still
+    lands exactly once."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "prejournal")
+
+    def die(intent, files):
+        raise RuntimeError("simulated crash before journal")
+
+    monkeypatch.setattr(ixs, "_write_intent", die)
+    with pytest.raises(RuntimeError, match="before journal"):
+        ixs.append_once(
+            spark, name, fp, "d1", lambda: _drop_df(spark),
+            bucket_col="k", n_buckets=4,
+        )
+    assert _served_rows(spark, name, fp) == sorted(
+        [(i, "base") for i in range(20)]
+    ), "pre-journal crash leaked staged rows into the table"
+    monkeypatch.undo()
+    rebuilt = {"n": 0}
+
+    def build():
+        rebuilt["n"] += 1
+        return _drop_df(spark)
+
+    assert ixs.append_once(spark, name, fp, "d1", build, bucket_col="k", n_buckets=4)
+    assert rebuilt["n"] == 1, "pre-journal replay must rebuild the drop"
+    want = sorted([(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)])
+    assert _served_rows(spark, name, fp) == want
+    # a further replay is a marker no-op
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert _served_rows(spark, name, fp) == want
+
+
+def test_append_crash_mid_publish_rolls_forward_without_rebuild(spark, monkeypatch):
+    """Writer dies halfway through publishing the journaled files: the
+    replay ROLLS FORWARD from the intent (never re-running build), so
+    the drop lands exactly once with no duplicated files."""
+    import json as _json
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "midpublish")
+    orig = ixs._roll_forward
+    state = {"crashed": False}
+
+    def partial(intent, stage, path):
+        if not state["crashed"]:
+            with open(intent) as f:
+                files = _json.loads(f.read())
+            assert len(files) > 1, "need >=2 staged files to crash between them"
+            os.rename(os.path.join(stage, files[0]), os.path.join(path, files[0]))
+            state["crashed"] = True
+            raise RuntimeError("simulated crash mid-publish")
+        return orig(intent, stage, path)
+
+    monkeypatch.setattr(ixs, "_roll_forward", partial)
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        ixs.append_once(
+            spark, name, fp, "d1", lambda: _drop_df(spark),
+            bucket_col="k", n_buckets=4,
+        )
+    # replay completes the SAME commit: build must not run again
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    want = sorted([(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)])
+    assert _served_rows(spark, name, fp) == want
+
+
+def test_append_crash_before_marker_does_not_duplicate(spark, monkeypatch):
+    """The exact window ADVICE r11 flagged: files fully published,
+    marker not yet written. The replay must finish the commit (write
+    the marker) WITHOUT appending the rows a second time."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "premarker")
+
+    def die(marker, tag):
+        raise RuntimeError("simulated crash before marker")
+
+    monkeypatch.setattr(ixs, "_commit_marker", die)
+    with pytest.raises(RuntimeError, match="before marker"):
+        ixs.append_once(
+            spark, name, fp, "d1", lambda: _drop_df(spark),
+            bucket_col="k", n_buckets=4,
+        )
+    monkeypatch.undo()
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    ), "replay should report it completed the crashed commit"
+    want = sorted([(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)])
+    assert _served_rows(spark, name, fp) == want, (
+        "pre-marker crash replay duplicated the drop"
+    )
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert _served_rows(spark, name, fp) == want
+
+
+def test_ledger_precedes_marker_and_dedups_at_read(spark, tmp_path):
+    """ADVICE r11 medium #2 end-to-end: kill the ingest between the
+    totals-ledger write and the postings commit — the replay re-writes
+    the ledger row (collapsed at read by src_tag) and the totals never
+    undercount."""
+    import uuid
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+    from pyspark.sql import functions as F
+
+    fp = uuid.uuid4().hex[:10]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(8)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(docs_dir)
+    totals_dir = str(tmp_path / "totals")
+    ixs.get_or_build_index(
+        spark, "bm25_postings_stream_v2", fp,
+        lambda: spark.createDataFrame([], ii._POSTINGS_SCHEMA), bucket_col="term",
+    )
+    batch = spark.read.parquet(docs_dir)
+
+    real_append = ixs.append_once
+
+    def die(*a, **kw):
+        raise RuntimeError("simulated crash between ledger and marker")
+
+    ii_ixs = __import__(
+        "mmw_geoprocessing_spark.sources.index_store", fromlist=["append_once"]
+    )
+    try:
+        ii_ixs.append_once = die
+        with pytest.raises(RuntimeError, match="ledger and marker"):
+            ii._ingest_batch(spark, fp, totals_dir, batch)
+    finally:
+        ii_ixs.append_once = real_append
+    # crash window state: ledger row written, postings NOT committed
+    raw = spark.read.parquet(totals_dir)
+    assert raw.count() == 1
+    # replay: ledger written again (duplicate), postings commit lands
+    log: list[str] = []
+    ii._ingest_batch(spark, fp, totals_dir, batch, appended_log=log)
+    assert len(log) == 1
+    raw = spark.read.parquet(totals_dir)
+    assert raw.count() == 2, "replay should re-write the ledger row"
+    deduped = raw.dropDuplicates(["src_tag"]).agg(
+        F.sum("n_docs").alias("n"), F.sum("t_tokens").alias("t")
+    ).collect()[0]
+    assert deduped["n"] == 8 and deduped["t"] == 24
+    # a third delivery is a full no-op on both sides
+    ii._ingest_batch(spark, fp, totals_dir, batch, appended_log=log)
+    assert len(log) == 1
+    assert spark.read.parquet(totals_dir).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Compaction (r11 verdict #1): K append_once drops leave K extra files
+# per touched bucket; compact_index rewrites the current generation to
+# one file per bucket under the SAME bucket spec and swaps a .current
+# pointer atomically. Results, bucket pruning, and exactly-once append
+# markers must all survive the rewrite.
+# ---------------------------------------------------------------------------
+
+
+def test_compact_collapses_files_keeps_results_pruning_and_markers(spark, tables):
+    import re
+
+    from mmw_geoprocessing_spark.operators import search
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    key = lambda r: (r["query_id"], r["rank"])
+    full = sorted(
+        search.bm25_topk(spark, load_table(spark, SF_DIR, "documents")).collect(),
+        key=key,
+    )
+    # build the appended state, then compact through the registry row
+    search.bm25_index_append_topk(spark, SF_DIR).collect()
+    fp = ixs.corpus_fingerprint(SF_DIR, "documents")
+    tbl_dir = [
+        d for d in glob.glob(f"{STORE}/sgi_bm25_postings_inc_*_b16")
+        if fp in d and not d.endswith((".lock", ".current"))
+    ]
+    assert len(tbl_dir) == 1
+    base = tbl_dir[0]
+    before = len(ixs._data_files(ixs._resolve_location(base)))
+    served = search.bm25_index_compact_topk(spark, SF_DIR)
+    rows = sorted(served.collect(), key=key)
+    stats_loc = ixs._resolve_location(base)
+    after = len(ixs._data_files(stats_loc))
+    if before > 16:
+        assert stats_loc.endswith(".gen1") or ".gen" in stats_loc
+        assert after <= 16 < before, (before, after)
+    assert rows == full, "compaction changed the served ranking"
+    # probes still bucket-prune over the compacted generation
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:1500]
+    # exactly-once survives: the pre-compaction drop's marker still
+    # no-ops a replay (build must not run)
+    assert not ixs.append_once(
+        spark, "bm25_postings_inc", fp, "drop1",
+        lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
+        bucket_col="term",
+    )
+    assert sorted(
+        search.bm25_index_compact_topk(spark, SF_DIR).collect(), key=key
+    ) == full
+
+
+def test_compact_then_new_append_lands_in_new_generation(spark):
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "compactgen")
+    # three drops -> 1 base + up to 3 extra files per touched bucket
+    for i, tag in enumerate(("d1", "d2", "d3")):
+        lo = 20 + 10 * i
+        drop = spark.createDataFrame(
+            [(k, f"drop{tag}") for k in range(lo, lo + 10)], "k int, v string"
+        )
+        assert ixs.append_once(
+            spark, name, fp, tag, lambda d=drop: d, bucket_col="k", n_buckets=4
+        )
+    tbl = ixs._table_name(name, fp, "k", 4)
+    base = f"{STORE}/{tbl}"
+    before = len(ixs._data_files(ixs._resolve_location(base)))
+    stats = ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)
+    assert stats["compacted"] and stats["files_after"] <= 4 < before
+    want = sorted(
+        [(i, "base") for i in range(20)]
+        + [(k, f"drop{t}") for i, t in enumerate(("d1", "d2", "d3"))
+           for k in range(20 + 10 * i, 30 + 10 * i)]
+    )
+    assert _served_rows(spark, name, fp) == want
+    # a NEW drop appends into the new generation, exactly once
+    d4 = spark.createDataFrame([(k, "dropd4") for k in range(50, 60)], "k int, v string")
+    assert ixs.append_once(spark, name, fp, "d4", lambda: d4, bucket_col="k", n_buckets=4)
+    assert not ixs.append_once(
+        spark, name, fp, "d4", lambda: (_ for _ in ()).throw(AssertionError("dup")),
+        bucket_col="k", n_buckets=4,
+    )
+    want += [(k, "dropd4") for k in range(50, 60)]
+    assert _served_rows(spark, name, fp) == sorted(want)
+    new_loc = ixs._resolve_location(base)
+    assert ".gen" in new_loc
+    assert len(ixs._data_files(new_loc)) <= 8  # 4 compacted + <=4 from d4
+    # replayed pre-compaction tags still no-op
+    for tag in ("d1", "d2", "d3"):
+        assert not ixs.append_once(
+            spark, name, fp, tag,
+            lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
+            bucket_col="k", n_buckets=4,
+        )
+
+
+def test_compact_repairs_crashed_append_before_rewriting(spark, monkeypatch):
+    """A compaction that finds a crashed half-published append must
+    finish THAT commit first (roll forward + marker), then fold it —
+    otherwise the replay could not reconcile the journal against the
+    rewritten file set."""
+    import json as _json
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "compactrepair")
+    orig = ixs._roll_forward
+    state = {"crashed": False}
+
+    def partial(intent, stage, path):
+        if not state["crashed"]:
+            with open(intent) as f:
+                files = _json.loads(f.read())
+            assert len(files) > 1
+            os.rename(os.path.join(stage, files[0]), os.path.join(path, files[0]))
+            state["crashed"] = True
+            raise RuntimeError("simulated crash mid-publish")
+        return orig(intent, stage, path)
+
+    monkeypatch.setattr(ixs, "_roll_forward", partial)
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        ixs.append_once(
+            spark, name, fp, "d1", lambda: _drop_df(spark),
+            bucket_col="k", n_buckets=4,
+        )
+    monkeypatch.undo()
+    stats = ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)
+    assert stats["repaired_appends"] == 1
+    want = sorted([(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)])
+    assert _served_rows(spark, name, fp) == want
+    # the repaired drop's marker exists: replay is a no-op
+    assert not ixs.append_once(
+        spark, name, fp, "d1",
+        lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
+        bucket_col="k", n_buckets=4,
+    )
+    assert _served_rows(spark, name, fp) == want
