@@ -134,6 +134,10 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 11: IVF lists served from the durable partitioned-by-cell
     # on-disk index; probe = dynamic partition pruning (r10 verdict #2)
     "similarity_ann_ivf_disk_topk": lambda s, d: sim.ann_ivf_disk_topk(s, d),
+    # round 12: the append face — today's embedding drop assigned against
+    # the frozen quantizer and journaled exactly-once into the
+    # cell-partitioned lists (r11 verdict #2)
+    "similarity_ann_ivf_append": lambda s, d: sim.ann_ivf_append_topk(s, d),
     "text_token_counts": lambda s, d: ta.token_counts(_t(s, d)["documents"]),
     "text_quality_scores": lambda s, d: ta.quality_scores(_t(s, d)["documents"]),
     "text_lang_id": lambda s, d: ta.lang_id(_t(s, d)["documents"]),
@@ -152,6 +156,7 @@ _LLM_ORACLES: dict[str, str] = {
     "similarity_ann_lsh_topk": sim.ann_lsh_topk_sql(),
     "similarity_ann_ivf_topk": sim.ann_ivf_topk_sql(),
     "similarity_ann_ivf_disk_topk": sim.ann_ivf_disk_topk_sql(),
+    "similarity_ann_ivf_append": sim.ann_ivf_append_topk_sql(),
     "text_token_counts": ta.token_counts_sql(),
     "text_quality_scores": ta.quality_scores_sql(),
     "text_lang_id": ta.lang_id_sql(),
@@ -863,6 +868,13 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 11: the daily-crawl probe against the durable on-disk
         # reference band/array indexes (bucketed by bkey / doc_id)
         "dedup_incremental_disk": lambda s, d: dd.incremental_batch_dedup_disk(s, d),
+        # round 12: the append face of the minhash reference indexes —
+        # yesterday's drop's band signatures + shingle arrays land via
+        # two journaled exactly-once commits, then today's batch probes
+        # the combined reference (r11 verdict #2)
+        "dedup_incremental_append": lambda s, d: dd.incremental_batch_dedup_append(
+            s, d
+        ),
         "dedup_incremental_batch": lambda s, d: dd.incremental_batch_dedup(
             _t(s, d)["documents"]
         ),
@@ -1038,6 +1050,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf_ivf_topk": se.hybrid_rrf_ivf_topk_sql(),
         "dedup_incremental_batch": dd.incremental_batch_dedup_sql(),
         "dedup_incremental_disk": dd.incremental_batch_dedup_disk_sql(),
+        "dedup_incremental_append": dd.incremental_batch_dedup_append_sql(),
         "text_duplicate_spans": ta.duplicate_spans_sql(),
         "text_classifier_score": ta.classifier_score_sql(),
         "retention_cohorts": rex.retention_cohorts_sql(),

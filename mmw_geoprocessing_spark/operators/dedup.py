@@ -682,6 +682,138 @@ def incremental_batch_dedup_disk_sql(threshold: float = 0.5) -> str:
     return incremental_batch_dedup_sql(threshold=threshold)
 
 
+#: deterministic "yesterday's reference drop" slice (disjoint from the
+#: incoming-batch remainder 7): the reference corpus itself is built
+#: incrementally — base at its ingest, this drop appended later
+REF_APPEND_REM = 3
+
+
+def incremental_batch_dedup_append(
+    spark, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """The INCREMENTAL-INGEST face of the durable minhash indexes (r11
+    verdict #2): a crawl pipeline doesn't just PROBE the reference band
+    index — every admitted drop is APPENDED into it so tomorrow's probe
+    sees today's documents. Here the reference corpus's own history is
+    replayed: its standing part (``doc_id % 10 ∉ {3, 7}``) was indexed
+    at its ingest; yesterday's drop (``doc_id % 10 = 3``) appends its
+    band signatures into the bkey-bucketed band index AND its shingle
+    arrays into the doc_id-bucketed array index — two journaled
+    exactly-once commits (one marker per index), each one extra file
+    per touched bucket under the unchanged bucket spec. Ingest cost ∝
+    the DROP (its shingles + signatures), zero corpus rework.
+
+    Serving is byte-for-byte ``incremental_batch_dedup_disk``: today's
+    incoming batch (``doc_id % 10 = 7``) probes the combined base ∪
+    drop reference = the FULL reference corpus, so the same DuckDB
+    oracle hash-gates the whole lifecycle."""
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    rem = F.col("doc_id") % INCREMENTAL_BATCH_MOD
+    is_batch = rem == INCREMENTAL_BATCH_REM
+    is_ref_drop = rem == REF_APPEND_REM
+
+    def _ref_docs(drop_side: bool) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").filter(~is_batch)
+        return docs.filter(is_ref_drop if drop_side else ~is_ref_drop)
+
+    def _bands_of(drop_side: bool) -> DataFrame:
+        return _band_rows(_doc_shingles(_ref_docs(drop_side)))
+
+    def _arrays_of(drop_side: bool) -> DataFrame:
+        return (
+            _doc_shingles(_ref_docs(drop_side))
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("s")).alias("ss"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    # base-reference ingest (its own, earlier, drop)
+    get_or_build_index(
+        spark, "lsh_ref_bands_inc", fp, lambda: _bands_of(False), bucket_col="bkey"
+    )
+    get_or_build_index(
+        spark, "lsh_ref_arrays_inc", fp, lambda: _arrays_of(False),
+        bucket_col="doc_id",
+    )
+    # yesterday's drop: exactly-once append into BOTH indexes
+    append_once(
+        spark, "lsh_ref_bands_inc", fp, "drop1", lambda: _bands_of(True),
+        bucket_col="bkey",
+    )
+    append_once(
+        spark, "lsh_ref_arrays_inc", fp, "drop1", lambda: _arrays_of(True),
+        bucket_col="doc_id",
+    )
+
+    def _absent() -> DataFrame:
+        raise AssertionError("built above")
+
+    ref_bands = get_or_build_index(
+        spark, "lsh_ref_bands_inc", fp, _absent, bucket_col="bkey"
+    )
+    ref_arrays = get_or_build_index(
+        spark, "lsh_ref_arrays_inc", fp, _absent, bucket_col="doc_id"
+    )
+
+    documents = load_table(spark, sf_dir, "documents")
+    inc_sh = _shingles_persisted(documents.filter(is_batch))
+    inc_bands = _band_rows(inc_sh)
+    cand = (
+        inc_bands.select(F.col("doc_id").alias("inc_id"), "band", "bkey")
+        .join(
+            ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("inc_id", "ref_id")
+        .dropDuplicates(["inc_id", "ref_id"])
+    )
+    a = (
+        inc_sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ss1"),
+            F.count(F.lit(1)).alias("n1"),
+        )
+        .withColumnRenamed("doc_id", "inc_id")
+    )
+    b = ref_arrays.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("ss").alias("ss2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
+    matches = (
+        cand.join(a, "inc_id")
+        .join(b, "ref_id")
+        .filter((inter / (F.col("n1") + F.col("n2") - inter)) >= threshold)
+        .groupBy("inc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
+    )
+    incoming = documents.filter(is_batch).select("doc_id")
+    return incoming.join(
+        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
+            "n_ref_matches"
+        ),
+    )
+
+
+def incremental_batch_dedup_append_sql(threshold: float = 0.5) -> str:
+    """base ∪ appended drop == the full reference corpus -> the same
+    oracle as the probe-only rows."""
+    return incremental_batch_dedup_sql(threshold=threshold)
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """60-bit SimHash per document: for each bit k, sum +-1 votes of the
     distinct words' 60-bit hashes; bit k is set iff the vote is positive.

@@ -923,6 +923,108 @@ def ann_ivf_disk_topk_sql(
     return ann_ivf_topk_sql(n_queries=n_queries, k=k, nprobe=nprobe)
 
 
+#: deterministic "new embedding drop" slice for the incremental-ingest
+#: row (the bm25 append row's convention, operators/search.py)
+IVF_APPEND_MOD, IVF_APPEND_REM = 10, 3
+
+
+def ann_ivf_append_topk(
+    spark, sf_dir: str, n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> DataFrame:
+    """The INCREMENTAL-INGEST face of the durable IVF index (r11
+    verdict #2: the inverted file was build-once while a crawl pipeline
+    appends embeddings per drop exactly like postings). The standing
+    corpus (``vec_id % 10 != 3``) was assigned to its cells at its own
+    ingest; today's drop (``vec_id % 10 = 3``) is assigned against the
+    SAME frozen coarse quantizer (the first ``N_CELLS`` corpus vectors
+    — a deployment freezes its quantizer when the index is created;
+    re-clustering would move every stored vector) and APPENDED into the
+    cell-partitioned inverted file via the index store's journaled
+    exactly-once commit: one extra parquet file under each touched
+    ``cell=…`` directory, unseen cells becoming new directories.
+    Ingest cost ∝ the DROP (its ``N_CELLS`` assignment dots), zero
+    corpus rework.
+
+    Serving is byte-for-byte ``ann_ivf_disk_topk`` over the combined
+    lists — the probe still Dynamic-Partition-Prunes to the nprobe
+    cells' directories across base + appended files — and the frozen
+    quantizer makes base ∪ drop IDENTICAL to the full-corpus build, so
+    the same DuckDB oracle hash-gates the whole lifecycle."""
+    from pyspark.sql import Window
+
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    is_drop = (F.col("vec_id") % IVF_APPEND_MOD) == IVF_APPEND_REM
+
+    def _assigned(drop_side: bool) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _centroids(emb)  # full-corpus quantizer, frozen at ingest
+        base = emb.filter(is_drop if drop_side else ~is_drop).select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        return base.withColumn("cell", _cell_assign("v", cents)).withColumn(
+            "nv", _norm(F.col("v"))
+        )
+
+    # base-corpus ingest (its own, earlier, drop)
+    get_or_build_index(
+        spark, "ivf_lists_inc", fp, lambda: _assigned(False), partition_col="cell"
+    )
+    # today's drop: exactly-once journaled append into the cell layout
+    append_once(
+        spark, "ivf_lists_inc", fp, "drop1", lambda: _assigned(True),
+        partition_col="cell",
+    )
+    idx = get_or_build_index(
+        spark, "ivf_lists_inc", fp,
+        lambda: (_ for _ in ()).throw(AssertionError("built above")),
+        partition_col="cell",
+    ).select("vec_id", "v", "nv", "cell")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nq", _norm(F.col("v")))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            "nq",
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(idx, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf_append_topk_sql(
+    n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
+) -> str:
+    """base ∪ appended drop == the full inverted file (frozen quantizer)
+    -> the same oracle."""
+    return ann_ivf_topk_sql(n_queries=n_queries, k=k, nprobe=nprobe)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic deduplication: coarse-cluster the embedding
 # space, then near-dup only WITHIN a cell (Abbas et al. 2023,

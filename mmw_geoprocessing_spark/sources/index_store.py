@@ -124,15 +124,18 @@ def append_applied(
     name: str,
     fingerprint: str,
     append_tag: str,
-    bucket_col: str,
+    bucket_col: str | None = None,
     n_buckets: int = 16,
+    partition_col: str | None = None,
     spec_version: str = "v1",
 ) -> bool:
     """True iff ``append_tag`` has already been committed into the
     index (its marker exists). Lets sidecar writes (e.g. the streaming
     ingest's totals ledger) sequence themselves BEFORE the marker
     commit without re-staging the append."""
-    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    tbl = _table_name(
+        name, fingerprint, bucket_col, n_buckets, partition_col, spec_version
+    )
     return os.path.isfile(f"{_STORE_DIR}/{tbl}.append_{append_tag}")
 
 
@@ -155,30 +158,42 @@ def _stage_dir_write(
     stage: str,
     tbl: str,
     append_tag: str,
-    bucket_col: str,
+    bucket_col: str | None,
     n_buckets: int,
+    partition_col: str | None = None,
 ) -> list[str]:
-    """Write ``df`` as bucketed parquet files into the STAGING dir (not
-    the table location) and return the data-file names. Spark encodes a
-    file's bucket id in its name (``part-NNNNN-<uuid>_<bucket>.…``), so
-    the staged files keep their bucket mapping when later renamed into
-    the table directory — the same reason a plain ``mode(append)``
-    write preserves the spec."""
-    stage_tbl = re.sub(r"\W", "_", f"{tbl}_stage_{append_tag}")
-    (
-        df.repartition(n_buckets, bucket_col)
-        .write.bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", stage)
-        .mode("overwrite")
-        .saveAsTable(stage_tbl)
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-    return sorted(
-        fn
-        for fn in os.listdir(stage)
-        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
-    )
+    """Write ``df`` into the STAGING dir (not the table location) in
+    the index's own layout and return the data files' RELATIVE paths.
+
+    - bucketed: Spark encodes a file's bucket id in its name
+      (``part-NNNNN-<uuid>_<bucket>.…``), so the staged files keep
+      their bucket mapping when later renamed into the table directory
+      — the same reason a plain ``mode(append)`` write preserves the
+      spec.
+    - partitioned: files land under ``<col>=<value>/`` subdirectories;
+      renaming them in preserves partition discovery, and a drop whose
+      values include UNSEEN partitions simply creates new directories
+      (new cells = new IVF lists)."""
+    if bucket_col:
+        stage_tbl = re.sub(r"\W", "_", f"{tbl}_stage_{append_tag}")
+        (
+            df.repartition(n_buckets, bucket_col)
+            .write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", stage)
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+    else:
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(stage)
+    out: list[str] = []
+    for root, _dirs, files in os.walk(stage):
+        rel_root = os.path.relpath(root, stage)
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                out.append(fn if rel_root == "." else os.path.join(rel_root, fn))
+    return sorted(out)
 
 
 def _write_intent(intent: str, files: list[str]) -> None:
@@ -204,6 +219,7 @@ def _roll_forward(intent: str, stage: str, path: str) -> None:
                 f"append commit journal lists {fn} but it is in neither "
                 f"the stage dir nor the table dir — store corrupted"
             )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
 
 
@@ -220,16 +236,21 @@ def append_once(
     fingerprint: str,
     append_tag: str,
     build: "callable[[], DataFrame]",
-    bucket_col: str,
+    bucket_col: str | None = None,
     n_buckets: int = 16,
+    partition_col: str | None = None,
     spec_version: str = "v1",
 ) -> bool:
-    """Append ``build()``'s rows into the existing bucketed index —
-    EXACTLY ONCE per ``append_tag`` (a crawl-drop / ingest-epoch id),
-    crash-safe at every step. The appended rows land as one extra file
-    per touched bucket with the same bucket spec, so probes keep
-    bucket-pruning across base + appended files. Returns True if this
-    call physically made the drop's rows visible (including finishing
+    """Append ``build()``'s rows into the existing index — EXACTLY
+    ONCE per ``append_tag`` (a crawl-drop / ingest-epoch id),
+    crash-safe at every step. For a BUCKETED index the appended rows
+    land as one extra file per touched bucket with the same bucket
+    spec, so probes keep bucket-pruning across base + appended files;
+    for a PARTITIONED index they land as extra files under the touched
+    partitions' directories (creating directories for unseen values —
+    new IVF cells become new lists), so partition pruning / DPP keeps
+    skipping unprobed directories. Returns True if this call
+    physically made the drop's rows visible (including finishing
     another call's crashed commit), False if the tag had already been
     fully applied.
 
@@ -256,9 +277,13 @@ def append_once(
     converges to base + each drop exactly once.
 
     The index must already exist (``get_or_build_index`` with the same
-    identity); appending goes through a staged bucketed write so the
-    files Spark sees always carry the table's bucket spec."""
-    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    identity); appending goes through a staged layout-preserving write
+    so the files Spark sees always carry the index's spec."""
+    if bool(bucket_col) == bool(partition_col):
+        raise ValueError("exactly one of bucket_col / partition_col required")
+    tbl = _table_name(
+        name, fingerprint, bucket_col, n_buckets, partition_col, spec_version
+    )
     path = f"{_STORE_DIR}/{tbl}"
     if not _complete(path):
         raise ValueError(f"append target index does not exist: {tbl}")
@@ -287,7 +312,8 @@ def append_once(
             # none of it visible — discard and rebuild
             shutil.rmtree(stage, ignore_errors=True)
             files = _stage_dir_write(
-                spark, build(), stage, tbl, append_tag, bucket_col, n_buckets
+                spark, build(), stage, tbl, append_tag, bucket_col, n_buckets,
+                partition_col,
             )
             _write_intent(intent, files)
             _roll_forward(intent, stage, loc)
@@ -310,7 +336,9 @@ def _stored_schema(spark: SparkSession, path: str):
 
         with open(sidecar) as f:
             return StructType.fromJson(__import__("json").loads(f.read()))
-    return spark.read.parquet(path).schema
+    # pre-sidecar layout: infer from the CURRENT generation's data files
+    # (after a compaction the base directory's files are vacuumed away)
+    return spark.read.parquet(_resolve_location(path)).schema
 
 
 def get_or_build_index(
@@ -501,8 +529,16 @@ def compact_index(
         # pointer, so its directory is dead weight — rebuild it
         shutil.rmtree(new_loc, ignore_errors=True)
         rewrite_tbl = re.sub(r"\W", "_", f"{tbl}_compact_g{gen}")
+        schema = _stored_schema(spark, path)
+        if not os.path.isfile(f"{path}.schema.json"):
+            # backfill the sidecar for pre-sidecar layouts: after the
+            # vacuum below, generation 0 holds no data files to infer from
+            tmp = f"{path}.schema.json.tmp"
+            with open(tmp, "w") as f:
+                f.write(schema.json())
+            os.replace(tmp, f"{path}.schema.json")
         (
-            spark.read.schema(_stored_schema(spark, path))
+            spark.read.schema(schema)
             .parquet(loc)
             .repartition(n_buckets, bucket_col)
             .write.bucketBy(n_buckets, bucket_col)

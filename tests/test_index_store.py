@@ -528,3 +528,73 @@ def test_compact_repairs_crashed_append_before_rewriting(spark, monkeypatch):
         bucket_col="k", n_buckets=4,
     )
     assert _served_rows(spark, name, fp) == want
+
+
+# ---------------------------------------------------------------------------
+# Append lifecycle for the IVF and minhash indexes (r11 verdict #2):
+# the same exactly-once drop-append discipline as bm25 postings, on the
+# cell-PARTITIONED inverted file and the bkey/doc_id-BUCKETED band and
+# array indexes. Serving must equal the full-corpus build (frozen
+# quantizer / unchanged bucket specs), pruned plans must survive.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_append_is_exactly_once_and_matches_full(spark, tables):
+    from mmw_geoprocessing_spark.operators import similarity as sim
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    key = lambda r: (r["q_id"], r["rank"])
+    full = sorted(
+        sim.ann_ivf_topk(load_table(spark, SF_DIR, "embeddings")).collect(), key=key
+    )
+    inc = sim.ann_ivf_append_topk(spark, SF_DIR)
+    rows1 = sorted(inc.collect(), key=key)
+    rows2 = sorted(sim.ann_ivf_append_topk(spark, SF_DIR).collect(), key=key)
+    assert rows1 == full, "base + appended drop must equal the full inverted file"
+    assert rows1 == rows2, "replay duplicated the IVF drop"
+    # probe still dynamic-partition-prunes across base + appended files
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+    # the drop landed under the cell=... directories with a commit marker
+    idx_dirs = [
+        d for d in glob.glob(f"{STORE}/sgi_ivf_lists_inc_*_pcell")
+        if os.path.isdir(d)
+    ]
+    assert idx_dirs
+    markers = glob.glob(f"{STORE}/sgi_ivf_lists_inc_*_pcell.append_drop1")
+    assert markers
+    # drop rows are physically inside partition directories
+    assert any(
+        fn.startswith("cell=") for d in idx_dirs for fn in os.listdir(d)
+    )
+
+
+def test_minhash_append_is_exactly_once_and_matches_probe(spark, tables):
+    import re
+
+    from mmw_geoprocessing_spark.operators import dedup
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    key = lambda r: r["doc_id"]
+    full = sorted(
+        dedup.incremental_batch_dedup(
+            load_table(spark, SF_DIR, "documents")
+        ).collect(),
+        key=key,
+    )
+    inc = dedup.incremental_batch_dedup_append(spark, SF_DIR)
+    rows1 = sorted(inc.collect(), key=key)
+    rows2 = sorted(
+        dedup.incremental_batch_dedup_append(spark, SF_DIR).collect(), key=key
+    )
+    assert rows1 == full, "base + appended reference drop must equal the full probe"
+    assert rows1 == rows2, "replay duplicated the reference drop"
+    # one marker per index, both committed
+    for name in ("lsh_ref_bands_inc", "lsh_ref_arrays_inc"):
+        assert glob.glob(f"{STORE}/sgi_{name}_*.append_drop1"), name
+    # the band-index probe is still a bucketed scan (bucket spec survived
+    # the append): the combined table reports its bucket count
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Bucketed: true", plan) or "SelectedBucketsCount" in plan, (
+        plan[:1500]
+    )
