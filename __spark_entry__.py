@@ -776,6 +776,12 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_decontaminated_mix": lambda s, d: samp.decontaminated_mix(
             _t(s, d)["documents"], budgets=_MIX_BUDGETS
         ),
+        # round 12 (r11 verdict #4): the serving twin — bench grams and
+        # the contaminated-id set persisted at ingest via the index
+        # store; the per-run mix is survivor-side only
+        "sampling_decontaminated_mix_disk": lambda s, d: samp.decontaminated_mix_disk(
+            s, d, budgets=_MIX_BUDGETS
+        ),
         "text_quality_percentile_filter": lambda s, d: ta.quality_percentile_filter(
             _t(s, d)["documents"], p=0.5
         ),
@@ -1025,6 +1031,9 @@ def lib_oracle_sql() -> dict[str, str]:
         "sampling_corpus_mix": samp.corpus_mix_sql(budgets=_MIX_BUDGETS),
         "sampling_nucleus_topp": samp.nucleus_topp_sample_sql(),
         "sampling_decontaminated_mix": samp.decontaminated_mix_sql(
+            budgets=_MIX_BUDGETS
+        ),
+        "sampling_decontaminated_mix_disk": samp.decontaminated_mix_disk_sql(
             budgets=_MIX_BUDGETS
         ),
         "text_quality_percentile_filter": ta.quality_percentile_filter_sql(p=0.5),

@@ -551,6 +551,98 @@ def decontaminated_mix(
     )
 
 
+def decontaminated_mix_disk(
+    spark,
+    sf_dir: str,
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+    ngram_n: int = 13,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``decontaminated_mix`` served from INGEST-TIME decontamination
+    artifacts (r11 verdict #4: the row entered at 5.16×, was optimized
+    to 2.42×, and the remaining cost is the per-run corpus-wide 13-gram
+    scan — which a real pipeline runs ONCE per (corpus, benchmark),
+    not per mix). Two artifacts go through the durable index store,
+    fingerprinted on the corpus like every other index:
+
+    - ``decontam_bench_grams``: the benchmark slice's distinct rolling
+      13-gram hashes — the set a crawl pipeline probes every NEW drop
+      against at its ingest;
+    - ``decontam_dirty_ids``: the accumulated contaminated doc_id set
+      for the standing corpus (the result of that probe).
+
+    The per-run mix is then SURVIVOR-side only: one anti-join of the
+    corpus against the small dirty-id table (AQE broadcasts it — the
+    set's size is the contamination rate, not the corpus) and the
+    bounded per-(source, bucket) prefix-sum windows of ``corpus_mix``.
+    No gram is hashed at serve time. Results are identical to the
+    fused single-pass plan, so the same DuckDB oracle hash-gates it;
+    the exact leg stays registered as ``sampling_decontaminated_mix``
+    (the bm25_topk / bm25_disk_topk convention)."""
+    from mmw_geoprocessing_spark.sources.index_store import (
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    is_bench = (F.col("doc_id") % bench_mod) == bench_rem
+
+    def _hashed() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", _word_hashes(F.col("text")).alias("wh")
+        ).select("doc_id", F.explode(_gram_fold(F.col("wh"), ngram_n)).alias("ng"))
+
+    def _bench_grams() -> DataFrame:
+        return _hashed().filter(is_bench).select("ng").distinct()
+
+    bench_grams = get_or_build_index(
+        spark, f"decontam_bench_grams_n{ngram_n}", fp, _bench_grams
+    )
+
+    def _dirty() -> DataFrame:
+        return (
+            _hashed()
+            .filter(~is_bench)
+            .join(F.broadcast(bench_grams), "ng", "semi")
+            .select("doc_id")
+            .distinct()
+        )
+
+    dirty = get_or_build_index(spark, f"decontam_dirty_ids_n{ngram_n}", fp, _dirty)
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.filter(~is_bench).join(dirty, "doc_id", "anti")
+    return corpus_mix(
+        survivors,
+        budgets=budgets,
+        default_budget=default_budget,
+        n_buckets=n_buckets,
+    )
+
+
+def decontaminated_mix_disk_sql(
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+    ngram_n: int = 13,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 700,
+    n_buckets: int = 32,
+) -> str:
+    """Identical results -> the same oracle as the fused plan."""
+    return decontaminated_mix_sql(
+        bench_mod=bench_mod,
+        bench_rem=bench_rem,
+        ngram_n=ngram_n,
+        budgets=budgets,
+        default_budget=default_budget,
+        n_buckets=n_buckets,
+    )
+
+
 def decontaminated_mix_sql(
     bench_mod: int = 101,
     bench_rem: int = 7,

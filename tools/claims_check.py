@@ -201,6 +201,43 @@ def check_claims() -> list[str]:
 _VALID_VERDICTS = {"pass", "fail", "rows_only", "skipped"}
 
 
+def check_registry_counts() -> list[str]:
+    """Registry-count consistency (r11 verdict: SURVEY §8 and README
+    each lagged the code by a round — 120/112 stated vs 121 live).
+    The LIVE count is ``len(__spark_entry__.queries())``; README's
+    current-state claims and the LATEST ``Registry: **N entries``
+    statement in SURVEY.md (earlier ones are historical per-round
+    records and stay frozen) must equal it."""
+    problems: list[str] = []
+    live = len(_registry_names())
+
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    for pat, label in [
+        (r"all (\d+) registry queries", "README 'all N registry queries'"),
+        (r"# 0 failures / (\d+)", "README selfcheck command comment"),
+    ]:
+        for m in re.findall(pat, readme):
+            if int(m) != live:
+                problems.append(
+                    f"{label} says {m} but queries() has {live} entries"
+                )
+
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    stated = re.findall(r"Registry: \*\*(\d+) entries", survey)
+    if not stated:
+        problems.append(
+            "SURVEY.md has no 'Registry: **N entries' statement to check"
+        )
+    elif int(stated[-1]) != live:
+        problems.append(
+            f"SURVEY.md's latest registry statement says {stated[-1]} "
+            f"entries but queries() has {live}"
+        )
+    return problems
+
+
 def check_artifact_schema(arts: dict | None = None) -> list[str]:
     """Validate the SELFCHECK artifact shape: schema_version >= 2 means
     EVERY row carries {verdict, reason, rows} with verdict in
@@ -237,7 +274,7 @@ def check_artifact_schema(arts: dict | None = None) -> list[str]:
 
 
 def main() -> int:
-    problems = check_claims()
+    problems = check_claims() + check_registry_counts()
     for p in problems:
         print(f"CLAIM DRIFT: {p}")
     if not problems:
