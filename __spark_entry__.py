@@ -4,7 +4,18 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-121 queries are registered: round 11 adds the durable-index family
+127 queries are registered: round 12 adds the index LIFECYCLE faces
+— ``search_bm25_index_compact`` (appended fragments rewritten to one
+file per bucket; generation pointer swap, markers/pruning survive),
+``similarity_ann_ivf_append`` (exactly-once drop append into the
+cell-partitioned inverted file, frozen quantizer),
+``dedup_incremental_append`` (band + doc-array drop append, two
+markers), ``sampling_decontaminated_mix_disk`` (bench grams + dirty
+ids as ingest-time artifacts; survivor-side-only mix) — and the
+tokenizer-fidelity family ``text_bpe_token_counts`` /
+``sampling_corpus_mix_bpe`` (corpus-trained piece vocab, greedy
+longest-match JVM fold, budgets denominated in model tokens).
+Round 11 added the durable-index family
 — ``search_bm25_disk_topk`` (term-bucketed on-disk postings, probe
 bucket-prunes), ``similarity_ann_ivf_disk_topk`` (cell-partitioned
 inverted file, dynamic-partition-pruned probe),
@@ -98,6 +109,7 @@ from mmw_geoprocessing_spark.operators import sampling as samp
 from mmw_geoprocessing_spark.operators import search as se
 from mmw_geoprocessing_spark.operators import similarity as sim
 from mmw_geoprocessing_spark.operators import skew as sk
+from mmw_geoprocessing_spark.operators import tokenize as tok
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
@@ -139,6 +151,17 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cell-partitioned lists (r11 verdict #2)
     "similarity_ann_ivf_append": lambda s, d: sim.ann_ivf_append_topk(s, d),
     "text_token_counts": lambda s, d: ta.token_counts(_t(s, d)["documents"]),
+    # round 12 (r11 verdict #7): tokenizer-fidelity subword counting —
+    # corpus-trained top-K piece vocab (one rank pass, both engines),
+    # greedy longest-match encode as a JVM aggregate fold (zero shuffle)
+    "text_bpe_token_counts": lambda s, d: tok.bpe_token_counts(
+        _t(s, d)["documents"]
+    ),
+    # the budget-realism consumer: corpus_mix denominated in subword
+    # tokens instead of the whitespace stand-in
+    "sampling_corpus_mix_bpe": lambda s, d: tok.corpus_mix_bpe(
+        _t(s, d)["documents"]
+    ),
     "text_quality_scores": lambda s, d: ta.quality_scores(_t(s, d)["documents"]),
     "text_lang_id": lambda s, d: ta.lang_id(_t(s, d)["documents"]),
     "text_fingerprints": lambda s, d: ta.fingerprints(_t(s, d)["documents"]),
@@ -158,6 +181,8 @@ _LLM_ORACLES: dict[str, str] = {
     "similarity_ann_ivf_disk_topk": sim.ann_ivf_disk_topk_sql(),
     "similarity_ann_ivf_append": sim.ann_ivf_append_topk_sql(),
     "text_token_counts": ta.token_counts_sql(),
+    "text_bpe_token_counts": tok.bpe_token_counts_sql(),
+    "sampling_corpus_mix_bpe": tok.corpus_mix_bpe_sql(),
     "text_quality_scores": ta.quality_scores_sql(),
     "text_lang_id": ta.lang_id_sql(),
     "text_fingerprints": ta.fingerprints_sql(),
@@ -549,29 +574,44 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate reads the FIRST 50 entries of
-# queries(). Round-11 rotation (r10 verdict #3): lead with the 14
-# entries that have never received a driver verdict (the late-round-10
-# additions), then the semantics-critical §2 zonal core, the TPC-H
-# parity rows, the streaming core, and the dedup/similarity core.
-# Slots past those go to round-11 additions as they land; everything
-# displaced keeps SF1/SF10 selfcheck coverage.
+# queries(). Round-12 rotation (r11 verdict #5): lead with the 29
+# entries last driver-checked in round 9 — two rounds of freshness
+# decay is where drift hides — then the semantics-critical §2 zonal
+# core, the round-12 additions, and the rows whose commit/read paths
+# CHANGED this round (crash-safe append, generation pointers, ledger
+# ordering). Everything displaced keeps SF1/SF10 selfcheck coverage
+# and is driver-green from r10/r11.
 _GATE_WINDOW: list[str] = [
-    # -- 14 late-round-10 entries, never driver-checked (r10 verdict
-    #    "What's missing" #1, first-verification beats re-verification)
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "cdc_merge_into",
-    "cdc_incremental_rollup",
-    "quality_expectations",
-    "asof_join_cogroup",
-    "maintenance_compact",
-    "maintenance_delete_rows",
-    "maintenance_delete_mor",
-    "source_python_ledger",
-    "source_python_stream",
-    "stream_stateful_counts",
+    # -- 29 entries last driver-checked in round 9 (r11 verdict #5)
+    "aggregate_variants",
+    "approx_distinct",
+    "array_functions_showcase",
+    "asof_join_events_orders",
+    "correlated_subquery",
+    "cross_join_dims",
+    "cube_order_counts",
+    "datetime_functions_showcase",
+    "dedup_simhash_neardup",
+    "grouping_sets_revenue",
+    "interval_join_events",
+    "json_extract_events",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "pandas_udf_showcase",
+    "pivot_event_counts",
+    "rollup_revenue",
+    "scalar_functions_showcase",
+    "semi_anti_customers",
+    "set_ops_customers",
+    "similarity_cosine_neardup",
+    "string_agg_ordered",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "top_customers_by_revenue",
+    "window_running_total",
+    "windows_showcase",
     # -- 10 semantics-critical §2 zonal rows (O1-O8 + NODATA join +
     #    the mapshed flagship): the reference's whole public surface,
     #    re-verified every round they fit
@@ -585,40 +625,22 @@ _GATE_WINDOW: list[str] = [
     "multi_operation",
     "mapshed_suite",
     "raster_grouped_count_nodata",
-    # -- 3 TPC-H fact-fact rows (q6/q10/q14/q18 are in the 14 above;
-    #    q1-shape = pricing_summary below)
-    "tpch_q3",
-    "tpch_q5",
-    "pricing_summary",
-    # -- 8 streaming-core rows (dedup x2, CDC x2, join x2,
-    #    sessionization, the three-shape window union)
-    "stream_exact_dedup",
-    "stream_content_dedup",
-    "stream_cdc_merge",
-    "stream_cdc_merge_bucketed",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "stream_sessionize",
-    "events_windows_showcase",
-    # -- 6 dedup/similarity-core rows (each family's exact baseline +
-    #    its scale path; dedup_simhash_neardup — driver-green r9/r10 —
-    #    ceded its seat to the round-11 tpch_q6_clustered)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "tpch_q6_clustered",
-    "dedup_ngram_jaccard",
-    "similarity_cosine_topk",
-    "similarity_ann_lsh_topk",
-    "similarity_ann_ivf_topk",
-    # -- the 8 rotation seats, all taken by round-11 additions
-    "search_bm25_disk_topk",
+    # -- 6 round-12 additions (index lifecycle + decontam serving twin
+    #    + the tokenizer family)
+    "search_bm25_index_compact",
+    "similarity_ann_ivf_append",
+    "dedup_incremental_append",
+    "sampling_decontaminated_mix_disk",
+    "text_bpe_token_counts",
+    "sampling_corpus_mix_bpe",
+    # -- 5 rows whose commit/read machinery changed this round
+    #    (staged crash-safe append, .current generation resolution,
+    #    ledger-before-marker stream ingest)
+    "stream_index_append",
     "search_bm25_index_append",
+    "search_bm25_disk_topk",
     "similarity_ann_ivf_disk_topk",
     "dedup_incremental_disk",
-    "sampling_nucleus_topp",
-    "sampling_decontaminated_mix",
-    "maintenance_time_travel",
-    "stream_index_append",
 ]
 
 

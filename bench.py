@@ -126,6 +126,10 @@ LLM_SECTION = [
     "similarity_ann_ivf_append",
     "dedup_incremental_append",
     "sampling_decontaminated_mix_disk",
+    # round 12: the tokenizer-fidelity family (trained vocab lands in
+    # warm-up; the timed runs are the codegen encode fold)
+    "text_bpe_token_counts",
+    "sampling_corpus_mix_bpe",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

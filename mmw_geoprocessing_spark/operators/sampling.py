@@ -161,6 +161,7 @@ def corpus_mix(
     key_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    tokens_col=None,
 ) -> DataFrame:
     """Per-source token budgeting — the corpus "mixing" step of a
     training-data pipeline (fix the contribution of each source to the
@@ -186,10 +187,18 @@ def corpus_mix(
     including this document (<= budget).
     """
     budgets = budgets or {}
+    # tokens_col: the document-weight column, default whitespace tokens;
+    # operators/tokenize.py passes its subword-count fold here so
+    # budgets can be denominated in model tokens (corpus_mix_bpe)
+    weight = (
+        tokens_col
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " +"))
+    )
     base = documents.select(
         F.col(key_col),
         F.col(source_col).alias("source"),
-        F.size(F.split(F.col(text_col), " +")).cast("bigint").alias("n_tokens"),
+        weight.cast("bigint").alias("n_tokens"),
         (h28(F.col(key_col).cast("string")) % n_buckets).cast("int").alias("bucket"),
         h28(
             F.concat_ws(

@@ -598,3 +598,39 @@ def test_minhash_append_is_exactly_once_and_matches_probe(spark, tables):
     assert re.search(r"Bucketed: true", plan) or "SelectedBucketsCount" in plan, (
         plan[:1500]
     )
+
+
+def test_streamed_index_compacts_and_keeps_serving(spark, tables):
+    """Lifecycle closure for the STREAMED index: after the availableNow
+    drain has appended its per-file drops, compaction rewrites the
+    accumulated fragments to one file per bucket and serving is
+    unchanged; a post-compaction re-drain is still a no-op (the
+    file-identity markers are generation-independent)."""
+    from mmw_geoprocessing_spark.operators import search
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+    from mmw_geoprocessing_spark.sources.tables import load_table
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: (r["query_id"], r["rank"])
+    full = sorted(
+        search.bm25_topk(spark, load_table(spark, SF_DIR, "documents")).collect(),
+        key=key,
+    )
+    assert sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key) == full
+    fp = ixs.corpus_fingerprint(SF_DIR, "documents")
+    tbl = ixs._table_name("bm25_postings_stream_v2", fp, "term", 16)
+    base = f"{STORE}/{tbl}"
+    before = len(ixs._data_files(ixs._resolve_location(base)))
+    stats = ixs.compact_index(
+        spark, "bm25_postings_stream_v2", fp, bucket_col="term"
+    )
+    after = len(ixs._data_files(ixs._resolve_location(base)))
+    assert after <= 16
+    if before > 16:
+        assert stats["compacted"] and after < before
+    # serving from the compacted generation is identical, and the
+    # drain (including its marker checks) remains a no-op
+    log: list[str] = []
+    ii.stream_index_ingest(spark, SF_DIR, appended_log=log)
+    assert log == [], f"post-compaction drain re-appended: {log}"
+    assert sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key) == full

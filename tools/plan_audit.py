@@ -114,6 +114,18 @@ AUDITED = [
     # Q6 through the clustered layout: the scan's InMemoryFileIndex
     # holds only the zone-map survivors (~1/6 of the files)
     "tpch_q6_clustered",
+    # round-12 additions: the index LIFECYCLE faces (compaction /
+    # appends — evidence lines unchanged from their families:
+    # SelectedBucketsCount over the rewritten generation, DPP over
+    # base + appended cells), the decontamination serving twin (no
+    # gram explode at serve time), and the tokenizer family (literal
+    # vocab fold: no Join/Generate, <=1 Exchange)
+    "search_bm25_index_compact",
+    "similarity_ann_ivf_append",
+    "dedup_incremental_append",
+    "sampling_decontaminated_mix_disk",
+    "text_bpe_token_counts",
+    "sampling_corpus_mix_bpe",
 ]
 
 THETA_OK = {
@@ -141,6 +153,7 @@ THETA_OK = {
     # served from the durable on-disk postings; same 1-row totals crossJoin
     "search_bm25_disk_topk",
     "search_bm25_index_append",
+    "search_bm25_index_compact",
 }
 
 
