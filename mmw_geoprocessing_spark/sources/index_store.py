@@ -68,11 +68,15 @@ def _complete(d: str) -> bool:
 
 
 def _data_files(loc: str) -> list[str]:
-    return sorted(
-        fn
-        for fn in os.listdir(loc)
-        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
-    )
+    """Data files under ``loc``, as paths relative to it — flat for
+    bucketed layouts, recursive (``cell=…/part-…``) for partitioned."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(loc):
+        rel = os.path.relpath(root, loc)
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                out.append(fn if rel == "." else os.path.join(rel, fn))
+    return sorted(out)
 
 
 @contextmanager
@@ -469,8 +473,9 @@ def compact_index(
     spark: SparkSession,
     name: str,
     fingerprint: str,
-    bucket_col: str,
+    bucket_col: str | None = None,
     n_buckets: int = 16,
+    partition_col: str | None = None,
     spec_version: str = "v1",
     vacuum: bool = True,
 ) -> dict:
@@ -505,9 +510,20 @@ def compact_index(
     pre-compaction drop still finds its marker and no-ops; new drops
     append one file per bucket into the new generation.
 
+    PARTITIONED indexes (the IVF cell layout) compact the same way:
+    each ``cell=…`` directory accumulates one file per drop; the
+    rewrite clusters each partition value into one task so the new
+    generation holds ONE file per cell directory, and partition
+    discovery / DPP are layout-properties of the directory names, so
+    they survive untouched.
+
     Returns ``{"compacted", "files_before", "files_after",
     "location", "repaired_appends"}``."""
-    tbl = _table_name(name, fingerprint, bucket_col, n_buckets, None, spec_version)
+    if bool(bucket_col) == bool(partition_col):
+        raise ValueError("exactly one of bucket_col / partition_col required")
+    tbl = _table_name(
+        name, fingerprint, bucket_col, n_buckets, partition_col, spec_version
+    )
     path = f"{_STORE_DIR}/{tbl}"
     if not _complete(path):
         raise ValueError(f"compaction target index does not exist: {tbl}")
@@ -515,7 +531,18 @@ def compact_index(
         loc = _resolve_location(path)
         repaired = _repair_pending_appends(path, loc)
         before = _data_files(loc)
-        if len(before) <= n_buckets:
+        if partition_col:
+            # compact when any partition directory holds >1 file
+            n_parts = sum(
+                1
+                for d in os.listdir(loc)
+                if d.startswith(f"{partition_col}=")
+                and os.path.isdir(os.path.join(loc, d))
+            )
+            already = len(before) <= max(n_parts, 1)
+        else:
+            already = len(before) <= n_buckets
+        if already:
             return {
                 "compacted": False,
                 "files_before": len(before),
@@ -528,7 +555,6 @@ def compact_index(
         # a crashed previous compaction attempt never swapped the
         # pointer, so its directory is dead weight — rebuild it
         shutil.rmtree(new_loc, ignore_errors=True)
-        rewrite_tbl = re.sub(r"\W", "_", f"{tbl}_compact_g{gen}")
         schema = _stored_schema(spark, path)
         if not os.path.isfile(f"{path}.schema.json"):
             # backfill the sidecar for pre-sidecar layouts: after the
@@ -537,17 +563,32 @@ def compact_index(
             with open(tmp, "w") as f:
                 f.write(schema.json())
             os.replace(tmp, f"{path}.schema.json")
-        (
-            spark.read.schema(schema)
-            .parquet(loc)
-            .repartition(n_buckets, bucket_col)
-            .write.bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .option("path", new_loc)
-            .mode("overwrite")
-            .saveAsTable(rewrite_tbl)
-        )
-        spark.sql(f"DROP TABLE IF EXISTS {rewrite_tbl}")
+        if bucket_col:
+            rewrite_tbl = re.sub(r"\W", "_", f"{tbl}_compact_g{gen}")
+            (
+                spark.read.schema(schema)
+                .parquet(loc)
+                .repartition(n_buckets, bucket_col)
+                .write.bucketBy(n_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", new_loc)
+                .mode("overwrite")
+                .saveAsTable(rewrite_tbl)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {rewrite_tbl}")
+        else:
+            # partition discovery restores the partition column from the
+            # directory names; repartition on it clusters every value
+            # into one task -> one file per partition directory
+            from pyspark.sql import functions as _F
+
+            (
+                spark.read.parquet(loc)
+                .repartition(_F.col(partition_col))
+                .write.partitionBy(partition_col)
+                .mode("overwrite")
+                .parquet(new_loc)
+            )
         after = _data_files(new_loc)
         tmp = path + ".current.tmp"
         with open(tmp, "w") as f:

@@ -634,3 +634,70 @@ def test_streamed_index_compacts_and_keeps_serving(spark, tables):
     ii.stream_index_ingest(spark, SF_DIR, appended_log=log)
     assert log == [], f"post-compaction drain re-appended: {log}"
     assert sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key) == full
+
+
+def test_partitioned_index_compacts_per_cell(spark):
+    """The IVF-layout twin of bucketed compaction: K drops leave K+1
+    files per cell directory; compact_index rewrites to ONE file per
+    cell under a new generation, results and new appends survive."""
+    import uuid
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name = "crashsim_partcompact"
+    fp = uuid.uuid4().hex[:10]
+    mk = lambda lo, hi, v: spark.createDataFrame(
+        [(i, v, i % 3) for i in range(lo, hi)], "k int, v string, cell int"
+    )
+    ixs.get_or_build_index(
+        spark, name, fp, lambda: mk(0, 20, "base"), partition_col="cell"
+    )
+    for i, tag in enumerate(("d1", "d2", "d3")):
+        lo = 20 + 10 * i
+        drop = mk(lo, lo + 10, f"drop{tag}")
+        assert ixs.append_once(
+            spark, name, fp, tag, lambda d=drop: d, partition_col="cell"
+        )
+    tbl = ixs._table_name(name, fp, None, 16, "cell")
+    base = f"{STORE}/{tbl}"
+    loc0 = ixs._resolve_location(base)
+    before = len(ixs._data_files(loc0))
+    assert before > 3, "expected multiple files per cell before compaction"
+    stats = ixs.compact_index(spark, name, fp, partition_col="cell")
+    loc1 = ixs._resolve_location(base)
+    assert stats["compacted"] and ".gen" in loc1
+    # exactly one file per cell directory
+    for d in os.listdir(loc1):
+        if d.startswith("cell="):
+            files = ixs._data_files(os.path.join(loc1, d))
+            assert len(files) == 1, (d, files)
+    ixs.clear_index_store_cache()
+    served = ixs.get_or_build_index(
+        spark, name, fp,
+        lambda: (_ for _ in ()).throw(AssertionError("rebuild after compact")),
+        partition_col="cell",
+    )
+    want = sorted(
+        [(i, "base", i % 3) for i in range(20)]
+        + [(k, f"drop{t}", k % 3) for i, t in enumerate(("d1", "d2", "d3"))
+           for k in range(20 + 10 * i, 30 + 10 * i)]
+    )
+    assert sorted((r["k"], r["v"], r["cell"]) for r in served.collect()) == want
+    # replayed pre-compaction tags no-op; a new drop appends to the new
+    # generation exactly once
+    for tag in ("d1", "d2", "d3"):
+        assert not ixs.append_once(
+            spark, name, fp, tag,
+            lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
+            partition_col="cell",
+        )
+    d4 = mk(50, 60, "dropd4")
+    assert ixs.append_once(spark, name, fp, "d4", lambda: d4, partition_col="cell")
+    want += [(k, "dropd4", k % 3) for k in range(50, 60)]
+    ixs.clear_index_store_cache()
+    served = ixs.get_or_build_index(
+        spark, name, fp,
+        lambda: (_ for _ in ()).throw(AssertionError("rebuild after append")),
+        partition_col="cell",
+    )
+    assert sorted((r["k"], r["v"], r["cell"]) for r in served.collect()) == sorted(want)
