@@ -424,7 +424,14 @@ def get_or_build_index(
                     df.write.mode("overwrite").parquet(path)
 
     if bucket_col:
-        if not spark.catalog.tableExists(tbl):
+        if spark.catalog.tableExists(tbl):
+            # cold re-attach of a table this session already registered:
+            # another PROCESS may have appended since (the markers make
+            # that legal), and Spark caches the file listing — refresh so
+            # the attach reflects current on-disk state. Once per memo
+            # fill, so probe-path cost is unchanged.
+            spark.catalog.refreshTable(tbl)
+        else:
             schema = _stored_schema(spark, path)
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema

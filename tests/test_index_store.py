@@ -701,3 +701,58 @@ def test_partitioned_index_compacts_per_cell(spark):
         partition_col="cell",
     )
     assert sorted((r["k"], r["v"], r["cell"]) for r in served.collect()) == sorted(want)
+
+
+_APPEND_PROC = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from mmw_geoprocessing_spark.session import get_spark
+from mmw_geoprocessing_spark.sources import index_store as ixs
+name, fp, tag, lo = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = get_spark(app_name="appender_" + tag, master="local[2]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+drop = spark.createDataFrame(
+    [(i, "drop_" + tag) for i in range(lo, lo + 10)], "k int, v string"
+)
+did = ixs.append_once(spark, name, fp, tag, lambda: drop, bucket_col="k", n_buckets=4)
+print("DID:" + json.dumps(did))
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_concurrent_append_processes_are_exactly_once(spark):
+    """Two PROCESSES race the same append tag while a third lands a
+    different tag: the flock + marker commit must admit the same-tag
+    drop exactly once (one True, one False) and the other tag
+    independently — final contents are base + each drop exactly once.
+    This is the claim the in-process crash tests cannot make: the lock
+    and markers coordinate writers that share nothing but the
+    filesystem."""
+    name, fp = _mini_index(spark, "concproc")
+
+    def launch(tag, lo):
+        return subprocess.Popen(
+            [sys.executable, "-c", _APPEND_PROC, name, fp, tag, str(lo)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+    procs = [launch("dA", 20), launch("dA", 20), launch("dB", 30)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("DID:")]
+        assert line, out[-1000:]
+        outs.append(json.loads(line[0][len("DID:"):]))
+    assert sorted(outs[:2]) == [False, True], (
+        f"same-tag race must admit exactly one append, got {outs[:2]}"
+    )
+    assert outs[2] is True
+    want = sorted(
+        [(i, "base") for i in range(20)]
+        + [(i, "drop_dA") for i in range(20, 30)]
+        + [(i, "drop_dB") for i in range(30, 40)]
+    )
+    assert _served_rows(spark, name, fp) == want
