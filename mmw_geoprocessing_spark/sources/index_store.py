@@ -605,15 +605,24 @@ def compact_index(
             spark.sql(f"ALTER TABLE {tbl} SET LOCATION '{new_loc}'")
             spark.catalog.refreshTable(tbl)
         if vacuum:
+            # Retention = one generation: the NEW generation serves and
+            # the immediately-PREVIOUS one stays on disk for readers
+            # that attached just before the pointer swap (another
+            # process mid-scan must not have its files deleted under
+            # it); anything older goes. vacuum_index() is the explicit
+            # "no readers remain" cleanup — the same retention-horizon
+            # decision as maintenance.vacuum vs time travel.
             import glob as _glob
 
+            keep = {new_loc, loc}
             for old in _glob.glob(path + ".gen*"):
-                if old != new_loc:
+                if old not in keep:
                     shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(path):
-                # generation 0: clear the superseded data files but keep
-                # the directory + _SUCCESS — it is the index's identity
-                # anchor (_complete resolves through the pointer)
+            if path not in keep and os.path.isdir(path):
+                # generation 0 past retention: clear the superseded data
+                # files but keep the directory + _SUCCESS — it is the
+                # index's identity anchor (_complete resolves through
+                # the pointer)
                 for fn in _data_files(path):
                     os.remove(os.path.join(path, fn))
     _ATTACHED.pop((id(spark), tbl), None)
@@ -624,3 +633,38 @@ def compact_index(
         "location": new_loc,
         "repaired_appends": repaired,
     }
+
+
+def vacuum_index(
+    spark: SparkSession,
+    name: str,
+    fingerprint: str,
+    bucket_col: str | None = None,
+    n_buckets: int = 16,
+    partition_col: str | None = None,
+    spec_version: str = "v1",
+) -> int:
+    """Remove every NON-CURRENT generation of the index — the explicit
+    retention decision ("no reader still holds the old file listing"),
+    separated from compaction on purpose: compaction keeps the
+    immediately-previous generation so readers attached before the
+    pointer swap finish their scans. Returns the number of superseded
+    generations removed. Runs under the index flock."""
+    tbl = _table_name(
+        name, fingerprint, bucket_col, n_buckets, partition_col, spec_version
+    )
+    path = f"{_STORE_DIR}/{tbl}"
+    removed = 0
+    with _build_lock(path):
+        import glob as _glob
+
+        cur = _resolve_location(path)
+        for old in _glob.glob(path + ".gen*"):
+            if old != cur:
+                shutil.rmtree(old, ignore_errors=True)
+                removed += 1
+        if path != cur and os.path.isdir(path) and _data_files(path):
+            for fn in _data_files(path):
+                os.remove(os.path.join(path, fn))
+            removed += 1
+    return removed

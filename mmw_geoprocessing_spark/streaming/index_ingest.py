@@ -125,6 +125,11 @@ def _ingest_batch(
         append_once,
     )
 
+    # Two passes over the micro-batch (one distinct-file collect, then a
+    # filter per file). Bounded and correct under maxFilesPerTrigger=1
+    # (one file per batch -> two scans of one drop); if the trigger is
+    # ever widened, fold this into one pass that groups by
+    # input_file_name() before appending (r11 verdict note).
     files = sorted(
         r["f"]
         for r in batch.select(F.input_file_name().alias("f")).distinct().collect()

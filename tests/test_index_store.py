@@ -756,3 +756,42 @@ def test_concurrent_append_processes_are_exactly_once(spark):
         + [(i, "drop_dB") for i in range(30, 40)]
     )
     assert _served_rows(spark, name, fp) == want
+
+
+def test_compaction_retention_and_explicit_vacuum(spark):
+    """Compaction retains the immediately-previous generation (readers
+    in other processes attached before the pointer swap finish their
+    scans); generations older than that are removed; vacuum_index is
+    the explicit no-readers-remain cleanup that drops everything but
+    the current generation."""
+    import glob as _glob
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "retention")
+    tbl = ixs._table_name(name, fp, "k", 4)
+    base = f"{STORE}/{tbl}"
+    d1 = spark.createDataFrame([(i, "d1") for i in range(20, 30)], "k int, v string")
+    assert ixs.append_once(spark, name, fp, "d1", lambda: d1, bucket_col="k", n_buckets=4)
+    assert ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)["compacted"]
+    # generation 0 (the previous generation) keeps its files
+    assert ixs._data_files(base), "retention must keep the previous generation"
+    gen1 = ixs._resolve_location(base)
+    assert gen1.endswith(".gen1")
+    d2 = spark.createDataFrame([(i, "d2") for i in range(30, 40)], "k int, v string")
+    assert ixs.append_once(spark, name, fp, "d2", lambda: d2, bucket_col="k", n_buckets=4)
+    assert ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)["compacted"]
+    # now gen1 is the previous (kept), gen0 is past retention (cleared)
+    assert ixs._resolve_location(base).endswith(".gen2")
+    assert ixs._data_files(base) == [], "gen0 is past the retention horizon"
+    assert os.path.isdir(gen1) and ixs._data_files(gen1)
+    # explicit vacuum drops everything but the current generation
+    removed = ixs.vacuum_index(spark, name, fp, bucket_col="k", n_buckets=4)
+    assert removed >= 1
+    assert [d for d in _glob.glob(base + ".gen*") if d != ixs._resolve_location(base)] == []
+    want = sorted(
+        [(i, "base") for i in range(20)]
+        + [(i, "d1") for i in range(20, 30)]
+        + [(i, "d2") for i in range(30, 40)]
+    )
+    assert _served_rows(spark, name, fp) == want
