@@ -24,6 +24,24 @@ query-sized read and a corpus-sized one.
 Concurrency/atomicity discipline shared with sources/maintenance.py:
 builds run under a per-key flock (lock dies with the holder), and a
 directory counts as built only once Spark's _SUCCESS marker lands.
+
+Round 12 made the store a full index LIFECYCLE:
+
+- ``append_once`` — exactly-once per drop tag, CRASH-SAFE via a
+  staged-files → intent-journal → publish → marker commit (replays
+  roll forward, never re-run the build after the journal); works for
+  bucketed AND partition-directory layouts.
+- ``compact_index`` — rewrites accumulated drop fragments back to one
+  file per bucket / per partition directory into a NEW generation,
+  swapped in by an atomic ``.current`` pointer; markers are
+  generation-independent so exactly-once survives; the previous
+  generation is retained for in-flight readers.
+- ``vacuum_index`` — the explicit retention decision: drop every
+  non-current generation once no reader can still hold its listing.
+
+Cross-process coordination is filesystem-only (flock + atomic rename)
+and is exercised by subprocess tests: concurrent same-tag appenders,
+fresh-process serving, and crash injection at every commit window.
 """
 
 from __future__ import annotations
