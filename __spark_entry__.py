@@ -110,6 +110,7 @@ from mmw_geoprocessing_spark.operators import search as se
 from mmw_geoprocessing_spark.operators import similarity as sim
 from mmw_geoprocessing_spark.operators import skew as sk
 from mmw_geoprocessing_spark.operators import tokenize as tok
+from mmw_geoprocessing_spark.operators import urls
 from mmw_geoprocessing_spark.operators import text_analysis as ta
 from mmw_geoprocessing_spark.operators import zonal
 from mmw_geoprocessing_spark.sources import fixtures as fx
@@ -162,6 +163,17 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampling_corpus_mix_bpe": lambda s, d: tok.corpus_mix_bpe(
         _t(s, d)["documents"]
     ),
+    # round 12 (r11 verdict #7b): URL canonicalization + canonical-URL
+    # dedup, the C4/RefinedWeb crawl pre-stage (synthetic raw URLs via
+    # the deterministic-injection convention; every normalization rule
+    # — case, www, :443, trailing slash, tracking params, param order,
+    # fragments — is exercised by the hash gate)
+    "curation_url_canonicalize": lambda s, d: urls.url_canonicalize(
+        urls.with_raw_url(_t(s, d)["documents"])
+    ),
+    "dedup_url_canonical": lambda s, d: urls.dedup_url_canonical(
+        urls.with_raw_url(_t(s, d)["documents"])
+    ),
     "text_quality_scores": lambda s, d: ta.quality_scores(_t(s, d)["documents"]),
     "text_lang_id": lambda s, d: ta.lang_id(_t(s, d)["documents"]),
     "text_fingerprints": lambda s, d: ta.fingerprints(_t(s, d)["documents"]),
@@ -183,6 +195,8 @@ _LLM_ORACLES: dict[str, str] = {
     "text_token_counts": ta.token_counts_sql(),
     "text_bpe_token_counts": tok.bpe_token_counts_sql(),
     "sampling_corpus_mix_bpe": tok.corpus_mix_bpe_sql(),
+    "curation_url_canonicalize": urls.url_canonicalize_sql(),
+    "dedup_url_canonical": urls.dedup_url_canonical_sql(),
     "text_quality_scores": ta.quality_scores_sql(),
     "text_lang_id": ta.lang_id_sql(),
     "text_fingerprints": ta.fingerprints_sql(),
@@ -625,22 +639,25 @@ _GATE_WINDOW: list[str] = [
     "multi_operation",
     "mapshed_suite",
     "raster_grouped_count_nodata",
-    # -- 6 round-12 additions (index lifecycle + decontam serving twin
-    #    + the tokenizer family)
+    # -- 8 round-12 additions (index lifecycle + decontam serving twin
+    #    + the tokenizer family + the URL-dedup family)
     "search_bm25_index_compact",
     "similarity_ann_ivf_append",
     "dedup_incremental_append",
     "sampling_decontaminated_mix_disk",
     "text_bpe_token_counts",
     "sampling_corpus_mix_bpe",
-    # -- 5 rows whose commit/read machinery changed this round
+    "curation_url_canonicalize",
+    "dedup_url_canonical",
+    # -- 3 rows whose commit/read machinery changed this round
     #    (staged crash-safe append, .current generation resolution,
-    #    ledger-before-marker stream ingest)
+    #    ledger-before-marker stream ingest). The *_disk serving rows
+    #    share this code path and are exercised transitively by their
+    #    append/compact twins above; they stay r11-driver-green +
+    #    fresh-SF1-green.
     "stream_index_append",
     "search_bm25_index_append",
     "search_bm25_disk_topk",
-    "similarity_ann_ivf_disk_topk",
-    "dedup_incremental_disk",
 ]
 
 

@@ -130,6 +130,9 @@ LLM_SECTION = [
     # warm-up; the timed runs are the codegen encode fold)
     "text_bpe_token_counts",
     "sampling_corpus_mix_bpe",
+    # round 12 (late): the URL-dedup crawl pre-stage
+    "curation_url_canonicalize",
+    "dedup_url_canonical",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

@@ -126,6 +126,10 @@ AUDITED = [
     "sampling_decontaminated_mix_disk",
     "text_bpe_token_counts",
     "sampling_corpus_mix_bpe",
+    # round-12 (late): URL canonicalization (a zero-shuffle projection)
+    # and canonical-URL dedup (one hash aggregation)
+    "curation_url_canonicalize",
+    "dedup_url_canonical",
 ]
 
 THETA_OK = {
