@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-127 queries are registered: round 12 adds the index LIFECYCLE faces
+129 queries are registered: round 12 adds the index LIFECYCLE faces
 — ``search_bm25_index_compact`` (appended fragments rewritten to one
 file per bucket; generation pointer swap, markers/pruning survive),
 ``similarity_ann_ivf_append`` (exactly-once drop append into the
@@ -14,7 +14,10 @@ markers), ``sampling_decontaminated_mix_disk`` (bench grams + dirty
 ids as ingest-time artifacts; survivor-side-only mix) — and the
 tokenizer-fidelity family ``text_bpe_token_counts`` /
 ``sampling_corpus_mix_bpe`` (corpus-trained piece vocab, greedy
-longest-match JVM fold, budgets denominated in model tokens).
+longest-match JVM fold, budgets denominated in model tokens) and the
+URL-dedup crawl pre-stage ``curation_url_canonicalize`` /
+``dedup_url_canonical`` (canonicalization, eTLD+1 registered domains,
+canonical-form dedup over deterministically injected raw URLs).
 Round 11 added the durable-index family
 — ``search_bm25_disk_topk`` (term-bucketed on-disk postings, probe
 bucket-prunes), ``similarity_ann_ivf_disk_topk`` (cell-partitioned
