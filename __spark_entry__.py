@@ -74,17 +74,13 @@ anti-filter, manifest swap for the rest — cost ∝ keys-hit-files) and
 commit, broadcast anti-join at read — same oracle, because readers
 must not be able to tell the strategies apart)), all
 with full
-oracle twins. ROUND-11 GATE ROTATION (r10 verdict #3): the driver's
+oracle twins. ROUND-13 GATE ROTATION (r12 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``.
-``_GATE_WINDOW`` below leads with the 14 late-round-10 entries that
-had never received a driver verdict (tpch_q6/q10/q14/q18, the CDC
-MERGE/rollup pair, quality_expectations, asof_join_cogroup, the
-maintenance compact/delete trio, the Python-DataSource pair, and
-stream_stateful_counts), then the semantics-critical core: all zonal
-O1-O8 + NODATA + MultiOperation, the TPC-H fact-fact rows, the
-eight streaming drains, and each dedup/similarity family's exact
-baseline + scale path. Round-11 additions displace the eight
-re-verification seats at the tail as they land. Displaced entries
+``_GATE_WINDOW`` below leads with the 42 entries last driver-checked
+in round 10 (two rounds of freshness decay is where drift hides —
+the exact list computed from the union of CORRECTNESS_r01..r12), then
+the 8 zonal public-operator rows O1-O8 (the reference's whole public
+surface, re-verified every round they fit). Displaced entries
 keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL entries).
 
 Column names are aliased identically on both sides (the driver's
@@ -591,47 +587,62 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate reads the FIRST 50 entries of
-# queries(). Round-12 rotation (r11 verdict #5): lead with the 29
-# entries last driver-checked in round 9 — two rounds of freshness
-# decay is where drift hides — then the semantics-critical §2 zonal
-# core, the round-12 additions, and the rows whose commit/read paths
-# CHANGED this round (crash-safe append, generation pointers, ledger
-# ordering). Everything displaced keeps SF1/SF10 selfcheck coverage
-# and is driver-green from r10/r11.
+# queries(). Round-13 rotation (r12 verdict #1): lead with the 42
+# entries last driver-checked in round 10 — two rounds of freshness
+# decay is where drift hides (the same discipline that rotated the r9
+# cohort in round 12) — then the 8 zonal public-operator rows (O1-O8),
+# the reference's whole public surface, re-verified every round they
+# fit. Everything displaced (incl. mapshed_suite and the NODATA-key
+# zonal row, both r12-driver-green) keeps SF1/SF10 selfcheck coverage.
 _GATE_WINDOW: list[str] = [
-    # -- 29 entries last driver-checked in round 9 (r11 verdict #5)
-    "aggregate_variants",
-    "approx_distinct",
-    "array_functions_showcase",
-    "asof_join_events_orders",
-    "correlated_subquery",
-    "cross_join_dims",
-    "cube_order_counts",
-    "datetime_functions_showcase",
-    "dedup_simhash_neardup",
-    "grouping_sets_revenue",
-    "interval_join_events",
-    "json_extract_events",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "pandas_udf_showcase",
-    "pivot_event_counts",
-    "rollup_revenue",
-    "scalar_functions_showcase",
-    "semi_anti_customers",
-    "set_ops_customers",
-    "similarity_cosine_neardup",
-    "string_agg_ordered",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "top_customers_by_revenue",
-    "window_running_total",
-    "windows_showcase",
-    # -- 10 semantics-critical §2 zonal rows (O1-O8 + NODATA join +
-    #    the mapshed flagship): the reference's whole public surface,
-    #    re-verified every round they fit
+    # -- 42 entries last driver-checked in round 10 (r12 verdict #1),
+    #    the exact list computed from the union of CORRECTNESS_r01..r12
+    "basket_pair_affinities",
+    "cdc_changelog_merge",
+    "cdc_scd2_history",
+    "curation_domain_rate_cap",
+    "dedup_bloom_probe",
+    "dedup_incremental_batch",
+    "dedup_neardup_components",
+    "embedding_quantize_int8",
+    "funnel_conversion",
+    "graph_pagerank",
+    "lib_contamination_check",
+    "lib_cosine_neardup_wide",
+    "lib_repetition_scores",
+    "lib_semantic_dedup_pairs",
+    "maintenance_zorder",
+    "pipeline_curate_corpus",
+    "retention_cohorts",
+    "sampling_corpus_mix",
+    "sampling_deterministic_split",
+    "sampling_epoch_shuffle",
+    "sampling_pack_token_batches",
+    "sampling_stratified_sample",
+    "search_bm25_indexed_topk",
+    "search_bm25_topk",
+    "search_hybrid_rrf_ivf_topk",
+    "search_hybrid_rrf_topk",
+    "semantic_dedup_components",
+    "sessionize_events",
+    "similarity_ann_ivf_q8_topk",
+    "similarity_cosine_topk_pandas",
+    "skew_join_salted",
+    "source_zonemap_prune",
+    "table_profile",
+    "text_bigram_surprisal",
+    "text_chunk_documents",
+    "text_classifier_score",
+    "text_duplicate_spans",
+    "text_normalize",
+    "text_pii_redact",
+    "text_quality_percentile_filter",
+    "text_unigram_surprisal",
+    "udtf_word_positions",
+    # -- 8 zonal public-operator rows (O1-O8): the reference's public
+    #    surface, re-verified every round they fit. mapshed_suite and
+    #    raster_grouped_count_nodata are displaced this round (both
+    #    r12-driver-green, both SF1/SF10-covered).
     "raster_grouped_count",
     "raster_grouped_count_many",
     "raster_average",
@@ -640,27 +651,6 @@ _GATE_WINDOW: list[str] = [
     "raster_lines_join",
     "raster_summary",
     "multi_operation",
-    "mapshed_suite",
-    "raster_grouped_count_nodata",
-    # -- 8 round-12 additions (index lifecycle + decontam serving twin
-    #    + the tokenizer family + the URL-dedup family)
-    "search_bm25_index_compact",
-    "similarity_ann_ivf_append",
-    "dedup_incremental_append",
-    "sampling_decontaminated_mix_disk",
-    "text_bpe_token_counts",
-    "sampling_corpus_mix_bpe",
-    "curation_url_canonicalize",
-    "dedup_url_canonical",
-    # -- 3 rows whose commit/read machinery changed this round
-    #    (staged crash-safe append, .current generation resolution,
-    #    ledger-before-marker stream ingest). The *_disk serving rows
-    #    share this code path and are exercised transitively by their
-    #    append/compact twins above; they stay r11-driver-green +
-    #    fresh-SF1-green.
-    "stream_index_append",
-    "search_bm25_index_append",
-    "search_bm25_disk_topk",
 ]
 
 
