@@ -217,6 +217,7 @@ def main() -> None:
     prepared_exec: dict[str, float] = {}
     duck_results: dict[str, float] = {}
     duck_medians: dict[str, float] = {}
+    duck_failed: dict[str, str] = {}
     phase_ts: dict[str, dict[str, float]] = {}
     spark_series: dict[str, list[float]] = {}
     duck_series: dict[str, list[float]] = {}
@@ -272,8 +273,12 @@ def main() -> None:
                 duck_results[name] = round(sum(dtimes) / len(dtimes), 4)
                 duck_medians[name] = round(_median(dtimes), 4)
                 duck_series[name] = [round(x, 4) for x in dtimes]
-            except Exception:
-                pass
+            except Exception as exc:  # r12 ADVICE: never silent
+                duck_failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(
+                    f"[bench] DuckDB twin FAILED for {name}: {exc}",
+                    file=sys.stderr,
+                )
         duck_end = time.time() - bench_t0
         # informational: steady-state re-execution of the warmed handle
         # (prepared-statement serving; upstream shuffle stages reused)
@@ -397,15 +402,19 @@ def main() -> None:
         # the mean-based ratio above stays for series continuity
         "queries_median": medians,
         "duck_queries_median": duck_medians,
+        # r12 ADVICE: numerator restricted to keys whose DuckDB twin
+        # RAN — a failed oracle (recorded in duck_failed, never silent)
+        # must drop the query from BOTH sides, not inflate the ratio
         "ratio_vs_duck_median": (
             round(
-                sum(medians.values())
+                sum(medians[k] for k in medians if k in duck_medians)
                 / sum(duck_medians[k] for k in medians if k in duck_medians),
                 3,
             )
             if duck_medians
             else None
         ),
+        "duck_failed": duck_failed,
         # round-9 second section: LLM-pipeline operators, same
         # protocol, reported separately so the headline series
         # stays r7/r8-comparable. Aggregates exclude the
@@ -426,7 +435,11 @@ def main() -> None:
         "llm_duck_queries_median": llm_duck_medians,
         "llm_ratio_vs_duck_median": (
             round(
-                sum(v for k, v in llm_medians.items() if k not in SERVING_PATH_ONLY)
+                sum(
+                    v
+                    for k, v in llm_medians.items()
+                    if k not in SERVING_PATH_ONLY and k in llm_duck_medians
+                )
                 / sum(
                     v
                     for k, v in llm_duck_medians.items()

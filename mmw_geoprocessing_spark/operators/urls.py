@@ -113,7 +113,12 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
     use site, so each row paid ~25 regex evaluations; named
     intermediate columns evaluate each regex once (CollapseProject
     keeps non-cheap expressions staged)."""
-    drop = " OR ".join(f"p LIKE '{pre}%'" for pre in TRACKING_PREFIXES)
+    # r12 ADVICE: LIKE treats "_" as a single-char wildcard, so
+    # 'utm_%' also matched params named utmX... — substr-prefix
+    # comparison is wildcard-free and identical in both engines
+    drop = " OR ".join(
+        f"substr(p, 1, {len(pre)}) = '{pre}'" for pre in TRACKING_PREFIXES
+    )
     suf = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
     d1 = documents_with_url.select(
         "doc_id",
@@ -191,7 +196,12 @@ def _canonical_sql_ctes() -> str:
     """DuckDB twin of the parse + canonicalization, as chained CTEs
     (readable and single-evaluation; list_filter is depth-1 with
     literal prefixes — the shape DuckDB 1.0's lambda engine handles)."""
-    drop = " OR ".join(f"p LIKE '{pre}%'" for pre in TRACKING_PREFIXES)
+    # r12 ADVICE: LIKE treats "_" as a single-char wildcard, so
+    # 'utm_%' also matched params named utmX... — substr-prefix
+    # comparison is wildcard-free and identical in both engines
+    drop = " OR ".join(
+        f"substr(p, 1, {len(pre)}) = '{pre}'" for pre in TRACKING_PREFIXES
+    )
     suf = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
     return f"""
     raw AS (

@@ -313,10 +313,18 @@ def append_once(
     intent = f"{path}.intent_{append_tag}"
     stage = f"{path}.stage_{append_tag}"
     if os.path.isfile(marker):
+        # r12 ADVICE: a writer that crashed between os.remove(intent)
+        # and the stage rmtree leaked the stage dir forever (every
+        # later call fast-pathed out on the marker). The marker means
+        # the commit FINISHED — journaled files were renamed out — so
+        # any leftover stage content is garbage; safe outside the lock
+        # because no writer ever re-enters a committed tag's stage.
+        shutil.rmtree(stage, ignore_errors=True)
         _refresh_attached(spark, tbl)
         return False
     with _build_lock(path):
         if os.path.isfile(marker):  # re-check under the lock
+            shutil.rmtree(stage, ignore_errors=True)
             _refresh_attached(spark, tbl)
             return False
         # publish into the CURRENT generation (resolved under the lock:
@@ -475,6 +483,28 @@ def get_or_build_index(
     return out
 
 
+#: bucket id inside Spark's bucketed file name
+#: (``part-NNNNN-<uuid>_<bucket>.c000.snappy.parquet``) — the uuid is
+#: hyphen-separated, so the first underscore-digits group IS the bucket
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+def _bucket_fragmented(files: list[str]) -> bool:
+    """True iff any bucket id owns more than one data file. r12
+    ADVICE: the old total-count heuristic (``len(files) <= n_buckets``)
+    skipped compaction whenever the base build emitted fewer files
+    than n_buckets and appended fragments kept the total under the
+    cap, leaving multi-fragment buckets. A name that doesn't parse is
+    treated as fragmentation (conservative: compact)."""
+    seen: set[str] = set()
+    for fn in files:
+        m = _BUCKET_ID_RE.search(os.path.basename(fn))
+        if m is None or m.group(1) in seen:
+            return True
+        seen.add(m.group(1))
+    return False
+
+
 def _repair_pending_appends(path: str, loc: str) -> int:
     """Complete every crashed append commit (intent present, marker
     absent) before a maintenance rewrite touches the file set —
@@ -491,6 +521,15 @@ def _repair_pending_appends(path: str, loc: str) -> int:
         os.remove(intent)
         shutil.rmtree(f"{path}.stage_{tag}", ignore_errors=True)
         n += 1
+    # r12 ADVICE: also sweep stage dirs leaked by writers that crashed
+    # AFTER removing the intent but before the stage rmtree — the tag
+    # is committed (marker present, intent gone), the stage is garbage
+    for stale in sorted(_glob.glob(path + ".stage_*")):
+        tag = os.path.basename(stale).split(".stage_", 1)[1]
+        if os.path.isfile(f"{path}.append_{tag}") and not os.path.isfile(
+            f"{path}.intent_{tag}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
     return n
 
 
@@ -566,7 +605,7 @@ def compact_index(
             )
             already = len(before) <= max(n_parts, 1)
         else:
-            already = len(before) <= n_buckets
+            already = not _bucket_fragmented(before)
         if already:
             return {
                 "compacted": False,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -795,3 +796,89 @@ def test_compaction_retention_and_explicit_vacuum(spark):
         + [(i, "d2") for i in range(30, 40)]
     )
     assert _served_rows(spark, name, fp) == want
+
+
+def test_marker_exists_paths_sweep_leaked_stage_dirs(spark):
+    """r12 ADVICE: a writer crashing between os.remove(intent) and the
+    stage rmtree leaked the stage dir forever — every later call
+    fast-pathed out on the marker without cleanup. Both marker-exists
+    paths and the repair sweep must now remove committed tags' stale
+    stage dirs."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "stageleak")
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _drop_df(spark), bucket_col="k", n_buckets=4
+    )
+    base = f"{ixs._STORE_DIR}/{ixs._table_name(name, fp, 'k', 4, None, 'v1')}"
+    stage = base + ".stage_d1"
+    # simulate the leak: marker committed, intent removed, stage left
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "leftover.parquet"), "w") as f:
+        f.write("garbage")
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert not os.path.isdir(stage), "marker fast-path must sweep the leaked stage"
+    # the repair sweep (compaction's step 1) also clears leaked stages
+    os.makedirs(stage, exist_ok=True)
+    ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)
+    assert not os.path.isdir(stage), "repair must sweep committed tags' stages"
+    # an UNcommitted tag's stage (no marker) must survive the sweep —
+    # that is a pre-journal partial the next append_once handles itself
+    pend = base + ".stage_never_committed"
+    os.makedirs(pend, exist_ok=True)
+    ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=4)
+    assert os.path.isdir(pend), "sweep must not touch uncommitted stages"
+    shutil.rmtree(pend, ignore_errors=True)
+    want = sorted(
+        [(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)]
+    )
+    assert _served_rows(spark, name, fp) == want
+
+
+def test_compact_detects_per_bucket_fragmentation_under_total_cap(spark):
+    """r12 ADVICE: the old 'already compact' heuristic compared TOTAL
+    file count to n_buckets, so a base that hit few buckets plus
+    appends under the cap left multi-fragment buckets uncompacted.
+    Fragmentation is now detected per bucket id."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    # keys 0/1 only -> the base write fills at most 2 of 16 buckets
+    name, fp = "fragsim", __import__("uuid").uuid4().hex[:10]
+    base = spark.createDataFrame(
+        [(i % 2, f"base{i}") for i in range(8)], "k int, v string"
+    )
+    ixs.get_or_build_index(spark, name, fp, lambda: base, bucket_col="k", n_buckets=16)
+    drop = spark.createDataFrame(
+        [(i % 2, f"drop{i}") for i in range(8)], "k int, v string"
+    )
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: drop, bucket_col="k", n_buckets=16
+    )
+    loc = ixs._resolve_location(
+        f"{ixs._STORE_DIR}/{ixs._table_name(name, fp, 'k', 16, None, 'v1')}"
+    )
+    files = ixs._data_files(loc)
+    assert len(files) <= 16, "precondition: total stays under the bucket cap"
+    assert ixs._bucket_fragmented(files), "two files share a bucket id here"
+    stats = ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=16)
+    assert stats["compacted"], "per-bucket detection must trigger compaction"
+    after = ixs._data_files(stats["location"])
+    assert not ixs._bucket_fragmented(after)
+    assert stats["files_after"] < stats["files_before"]
+    # a second call is now a no-op
+    assert not ixs.compact_index(spark, name, fp, bucket_col="k", n_buckets=16)[
+        "compacted"
+    ]
+    want = sorted(
+        [(i % 2, f"base{i}") for i in range(8)]
+        + [(i % 2, f"drop{i}") for i in range(8)]
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in ixs.get_or_build_index(
+            spark, name, fp, lambda: _no_rebuild(), bucket_col="k", n_buckets=16
+        ).collect()
+    )
+    assert got == want

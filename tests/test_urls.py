@@ -52,6 +52,13 @@ class TestCanonicalRules:
             ),
             # bare host, http default port
             ("http://Example.com:80", "http://example.com", "example.com"),
+            # r12 ADVICE: LIKE's "_" wildcard made 'utm_%' also match
+            # utmX... params — the substr-prefix rule keeps them
+            (
+                "https://x.example.com/p?utmX=1&utma=2&utm_b=3",
+                "https://x.example.com/p?utmX=1&utma=2",
+                "example.com",
+            ),
         ],
     )
     def test_hand_urls(self, spark, raw, canonical, domain):
