@@ -973,6 +973,14 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 11: streaming ingest into the durable search index —
         # exactly-once by chunk-id marker commit (idempotent sink)
         "stream_index_append": si.stream_index_serve,
+        # round 13 (r12 verdict #2): the same exactly-once streaming
+        # ingest face for the OTHER two durable index families — the
+        # cell-partitioned IVF inverted file (embedding drops assigned
+        # against the frozen quantizer, DPP probe unchanged) and the
+        # minhash band/array reference indexes (two journaled commits
+        # per drop, crash-window-safe)
+        "stream_ivf_index_append": si.stream_ivf_serve,
+        "stream_minhash_index_append": si.stream_minhash_serve,
         # Spark-4 custom Python DataSource (pyspark.sql.datasource):
         # deterministic synthetic ledger read in parallel partitions;
         # md5-derived content gives it a full value-hash oracle. The
@@ -1104,6 +1112,8 @@ def lib_oracle_sql() -> dict[str, str]:
         "stream_sessionize": sw.stream_sessionize_batch_sql(),
         "stream_stateful_counts": sw.stream_stateful_counts_batch_sql(),
         "stream_index_append": si.stream_index_serve_sql(),
+        "stream_ivf_index_append": si.stream_ivf_serve_sql(),
+        "stream_minhash_index_append": si.stream_minhash_serve_sql(),
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),

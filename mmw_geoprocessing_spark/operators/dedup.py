@@ -582,6 +582,63 @@ def incremental_batch_dedup_sql(threshold: float = 0.5) -> str:
     """
 
 
+def probe_ref_indexes(
+    documents: DataFrame,
+    is_batch,
+    ref_bands: DataFrame,
+    ref_arrays: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The ONE reference-index probe every durable-minhash face shares
+    (disk / batch-append / stream-append serve): band-join the incoming
+    batch's signatures against the bkey-bucketed reference band index,
+    verify candidates by exact Jaccard against the doc_id-bucketed
+    shingle-array index, and report ``(doc_id, n_ref_matches)`` for
+    every incoming document. The probe join's only exchange is
+    batch-sized — the reference side reads its buckets in place."""
+    inc_sh = _shingles_persisted(documents.filter(is_batch))
+    inc_bands = _band_rows(inc_sh)
+    cand = (
+        inc_bands.select(F.col("doc_id").alias("inc_id"), "band", "bkey")
+        .join(
+            ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("inc_id", "ref_id")
+        .dropDuplicates(["inc_id", "ref_id"])
+    )
+    a = (
+        inc_sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ss1"),
+            F.count(F.lit(1)).alias("n1"),
+        )
+        .withColumnRenamed("doc_id", "inc_id")
+    )
+    b = ref_arrays.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("ss").alias("ss2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
+    matches = (
+        cand.join(a, "inc_id")
+        .join(b, "ref_id")
+        .filter((inter / (F.col("n1") + F.col("n2") - inter)) >= threshold)
+        .groupBy("inc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
+    )
+    incoming = documents.filter(is_batch).select("doc_id")
+    return incoming.join(
+        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
+            "n_ref_matches"
+        ),
+    )
+
+
 def incremental_batch_dedup_disk(
     spark, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
@@ -634,47 +691,7 @@ def incremental_batch_dedup_disk(
     )
 
     documents = load_table(spark, sf_dir, "documents")
-    inc_sh = _shingles_persisted(documents.filter(is_batch))
-    inc_bands = _band_rows(inc_sh)
-    cand = (
-        inc_bands.select(F.col("doc_id").alias("inc_id"), "band", "bkey")
-        .join(
-            ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bkey"),
-            ["band", "bkey"],
-        )
-        .select("inc_id", "ref_id")
-        .dropDuplicates(["inc_id", "ref_id"])
-    )
-    a = (
-        inc_sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("s")).alias("ss1"),
-            F.count(F.lit(1)).alias("n1"),
-        )
-        .withColumnRenamed("doc_id", "inc_id")
-    )
-    b = ref_arrays.select(
-        F.col("doc_id").alias("ref_id"),
-        F.col("ss").alias("ss2"),
-        F.col("n").alias("n2"),
-    )
-    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
-    matches = (
-        cand.join(a, "inc_id")
-        .join(b, "ref_id")
-        .filter((inter / (F.col("n1") + F.col("n2") - inter)) >= threshold)
-        .groupBy("inc_id")
-        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
-    )
-    incoming = documents.filter(is_batch).select("doc_id")
-    return incoming.join(
-        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
-            "n_ref_matches"
-        ),
-    )
+    return probe_ref_indexes(documents, is_batch, ref_bands, ref_arrays, threshold)
 
 
 def incremental_batch_dedup_disk_sql(threshold: float = 0.5) -> str:
@@ -765,47 +782,7 @@ def incremental_batch_dedup_append(
     )
 
     documents = load_table(spark, sf_dir, "documents")
-    inc_sh = _shingles_persisted(documents.filter(is_batch))
-    inc_bands = _band_rows(inc_sh)
-    cand = (
-        inc_bands.select(F.col("doc_id").alias("inc_id"), "band", "bkey")
-        .join(
-            ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bkey"),
-            ["band", "bkey"],
-        )
-        .select("inc_id", "ref_id")
-        .dropDuplicates(["inc_id", "ref_id"])
-    )
-    a = (
-        inc_sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("s")).alias("ss1"),
-            F.count(F.lit(1)).alias("n1"),
-        )
-        .withColumnRenamed("doc_id", "inc_id")
-    )
-    b = ref_arrays.select(
-        F.col("doc_id").alias("ref_id"),
-        F.col("ss").alias("ss2"),
-        F.col("n").alias("n2"),
-    )
-    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2")))
-    matches = (
-        cand.join(a, "inc_id")
-        .join(b, "ref_id")
-        .filter((inter / (F.col("n1") + F.col("n2") - inter)) >= threshold)
-        .groupBy("inc_id")
-        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
-    )
-    incoming = documents.filter(is_batch).select("doc_id")
-    return incoming.join(
-        matches.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
-            "n_ref_matches"
-        ),
-    )
+    return probe_ref_indexes(documents, is_batch, ref_bands, ref_arrays, threshold)
 
 
 def incremental_batch_dedup_append_sql(threshold: float = 0.5) -> str:

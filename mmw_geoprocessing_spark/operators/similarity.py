@@ -847,6 +847,49 @@ def ann_ivf_topk_sql(n_queries: int = 20, k: int = 5, nprobe: int = NPROBE) -> s
     """
 
 
+def probe_ivf_index(
+    spark, sf_dir: str, idx: DataFrame, n_queries: int, k: int, nprobe: int
+) -> DataFrame:
+    """The ONE inverted-file probe every durable-IVF face shares
+    (disk / batch-append / stream-append serve): broadcast the query
+    vectors exploded over their nprobe nearest cells, Dynamic-
+    Partition-Prune the ``cell=…`` directories to exactly those
+    cells, score with an exact cosine, window to top-k. ``idx`` is the
+    attached cell-partitioned index ``(vec_id, v, nv, cell)``."""
+    from pyspark.sql import Window
+
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nq", _norm(F.col("v")))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            "nq",
+            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(idx, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_ivf_disk_topk(
     spark, sf_dir: str, n_queries: int = 20, k: int = 5, nprobe: int = NPROBE
 ) -> DataFrame:
@@ -886,34 +929,7 @@ def ann_ivf_disk_topk(
         spark, "ivf_lists", fp, _build_ivf, partition_col="cell"
     ).select("vec_id", "v", "nv", "cell")
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(emb)
-    q = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nq", _norm(F.col("v")))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            "nq",
-            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        F.broadcast(q)
-        .join(idx, "cell")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
-                "cosine"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return probe_ivf_index(spark, sf_dir, idx, n_queries, k, nprobe)
 
 
 def ann_ivf_disk_topk_sql(
@@ -987,34 +1003,7 @@ def ann_ivf_append_topk(
         partition_col="cell",
     ).select("vec_id", "v", "nv", "cell")
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(emb)
-    q = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nq", _norm(F.col("v")))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            "nq",
-            F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        F.broadcast(q)
-        .join(idx, "cell")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
-                "cosine"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return probe_ivf_index(spark, sf_dir, idx, n_queries, k, nprobe)
 
 
 def ann_ivf_append_topk_sql(

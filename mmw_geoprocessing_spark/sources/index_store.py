@@ -478,7 +478,18 @@ def get_or_build_index(
         fx.enter_bucket_mode(spark)
         out = spark.table(tbl)
     else:
-        out = spark.read.parquet(_resolve_location(path))
+        # attach through the schema sidecar when present: an index that
+        # is legitimately EMPTY (day-zero streaming bootstrap — the IVF
+        # stream starts from zero cells exactly like the BM25 stream's
+        # empty bucketed table) holds no data files to infer from, and
+        # an explicit schema also keeps partition-column typing stable
+        # across appends. Partition discovery still reads the ``col=…``
+        # directory names; the schema just types them.
+        loc = _resolve_location(path)
+        if os.path.isfile(f"{path}.schema.json"):
+            out = spark.read.schema(_stored_schema(spark, path)).parquet(loc)
+        else:
+            out = spark.read.parquet(loc)
     _ATTACHED[memo] = out
     return out
 

@@ -258,3 +258,299 @@ def stream_index_serve_sql() -> str:
     from mmw_geoprocessing_spark.operators.search import bm25_topk_sql
 
     return bm25_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict #2: the streaming exactly-once ingest face for the OTHER
+# two durable index families. stream_index_ingest above covers BM25
+# postings; a crawl pipeline streams embeddings into the IVF inverted
+# file and admitted documents into the minhash reference indexes with
+# the SAME recipe — file-identity idempotence tags, the index store's
+# journaled marker commit, availableNow drains over a durable
+# checkpoint. The batch appends these faces build on are
+# similarity.ann_ivf_append_topk and dedup.incremental_batch_dedup_append.
+# ---------------------------------------------------------------------------
+
+
+def _chunked_replay_dir(
+    spark: SparkSession, sf_dir: str, variant: str, df: DataFrame, key: str
+) -> str:
+    """Deterministic chunked drop replay (``replay_docs_dir``'s shape,
+    generalized): ``df`` split into ``N_CHUNKS`` one-file drops by
+    ``key % N_CHUNKS``, built once per (sf_dir, source mtime) with an
+    atomic rename."""
+    src_file = os.path.join(sf_dir, f"{variant.split('_')[0]}.parquet")
+    try:
+        st = os.stat(src_file)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        ident = "nostat"
+    tag = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        tempfile.gettempdir(), f"stream_{variant}_{tag}_{ident}_c{N_CHUNKS}"
+    )
+    if os.path.isdir(final):
+        return final
+    work = tempfile.mkdtemp(prefix=f"stream_{variant}_build_")
+    chunked = df.withColumn("chunk_id", (F.col(key) % N_CHUNKS).cast("int"))
+    for i in range(N_CHUNKS):
+        chunked.filter(F.col("chunk_id") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, f"chunk_{i}"))
+    try:
+        os.rename(work, final)
+    except OSError:
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            raise
+    return final
+
+
+def _drain_files(
+    spark: SparkSession, replay: str, ckpt: str, body, timeout_s: int = 1800
+) -> None:
+    """availableNow drain of the chunked replay, one source file per
+    micro-batch, through ``body(batch_df, epoch_id)``."""
+    schema = spark.read.parquet(os.path.join(replay, "chunk_0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(f"stream drain exceeded {timeout_s}s")
+
+
+def _batch_file_tags(batch: DataFrame) -> list[tuple[str, str]]:
+    """(source file, idempotence tag) pairs present in the micro-batch
+    — the tag is the FILE identity (stable across epochs, checkpoint
+    rebuilds, and multi-file drops; see stream_index_ingest's module
+    note on why epoch ids and chunk ids both fail)."""
+    import hashlib
+
+    files = sorted(
+        r["f"]
+        for r in batch.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    return [("f" + hashlib.md5(f.encode()).hexdigest()[:12], f) for f in files]
+
+
+def stream_ivf_ingest(
+    spark: SparkSession, sf_dir: str, appended_log: list[str] | None = None
+) -> str:
+    """Drain the chunked EMBEDDING-drop stream into the durable
+    cell-partitioned IVF inverted file — exactly-once. Day zero: the
+    inverted file is created EMPTY and the coarse quantizer is frozen
+    (the first ``N_CELLS`` corpus vectors — the same frozen-quantizer
+    contract as the batch-append face, similarity.ann_ivf_append_topk:
+    re-clustering would move every stored vector). Each micro-batch's
+    vectors are assigned against the frozen quantizer and appended via
+    the journaled marker commit, one extra file per touched ``cell=…``
+    directory, unseen cells becoming new directories. A rebuilt
+    checkpoint re-delivers every drop; the markers discard all of
+    them."""
+    from mmw_geoprocessing_spark.operators.similarity import (
+        _as_double,
+        _cell_assign,
+        _centroids,
+        _norm,
+    )
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)  # frozen at index creation
+
+    def _assign(rows: DataFrame) -> DataFrame:
+        return (
+            rows.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("cell", _cell_assign("v", cents))
+            .withColumn("nv", _norm(F.col("v")))
+        )
+
+    # day-zero bootstrap: schema from the assigner over zero rows
+    get_or_build_index(
+        spark, "ivf_lists_stream", fp, lambda: _assign(emb.limit(0)),
+        partition_col="cell",
+    )
+    replay = _chunked_replay_dir(
+        spark, sf_dir, "embeddings_ivf", emb, "vec_id"
+    )
+    ident = os.path.basename(replay)
+
+    def _body(batch: DataFrame, _eid: int) -> None:
+        for tag, fname in _batch_file_tags(batch):
+            rows = batch.filter(F.input_file_name() == fname)
+            did = append_once(
+                spark, "ivf_lists_stream", fp, tag,
+                lambda r=rows: _assign(r), partition_col="cell",
+            )
+            if did and appended_log is not None:
+                appended_log.append(tag)
+
+    _drain_files(
+        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+    )
+    return fp
+
+
+def stream_ivf_serve(
+    spark: SparkSession, sf_dir: str, n_queries: int = 20, k: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Registry entry ``stream_ivf_index_append``: drain the embedding
+    stream into the durable IVF index, then serve the registered ANN
+    query set from it with the shared Dynamic-Partition-Pruned probe.
+    The streamed index holds exactly the full corpus under the frozen
+    quantizer -> ``ann_ivf_topk``'s DuckDB oracle hash-gates the whole
+    pipeline end-to-end."""
+    from mmw_geoprocessing_spark.operators.similarity import (
+        NPROBE,
+        probe_ivf_index,
+    )
+    from mmw_geoprocessing_spark.sources.index_store import get_or_build_index
+
+    fp = stream_ivf_ingest(spark, sf_dir)
+    idx = get_or_build_index(
+        spark, "ivf_lists_stream", fp,
+        lambda: (_ for _ in ()).throw(AssertionError("built by the drain")),
+        partition_col="cell",
+    ).select("vec_id", "v", "nv", "cell")
+    return probe_ivf_index(
+        spark, sf_dir, idx, n_queries, k, NPROBE if nprobe is None else nprobe
+    )
+
+
+def stream_ivf_serve_sql() -> str:
+    from mmw_geoprocessing_spark.operators.similarity import ann_ivf_topk_sql
+
+    return ann_ivf_topk_sql()
+
+
+def stream_minhash_ingest(
+    spark: SparkSession, sf_dir: str, appended_log: list[str] | None = None
+) -> str:
+    """Drain the chunked ADMITTED-DOCUMENT stream into BOTH durable
+    minhash reference indexes — the bkey-bucketed band index and the
+    doc_id-bucketed shingle-array index — exactly-once per index. Each
+    drop makes TWO journaled marker commits under one file-identity
+    tag; a crash between them replays safely (the committed index
+    no-ops on its marker, the other finishes), which the crash-window
+    test pins. Day zero: both indexes are created EMPTY, like the BM25
+    stream's bucketed table."""
+    from mmw_geoprocessing_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+        _band_rows,
+        _doc_shingles,
+    )
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
+    ref = docs.filter(~is_batch)
+
+    def _bands(rows: DataFrame) -> DataFrame:
+        return _band_rows(_doc_shingles(rows))
+
+    def _arrays(rows: DataFrame) -> DataFrame:
+        return (
+            _doc_shingles(rows)
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("s")).alias("ss"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    get_or_build_index(
+        spark, "lsh_ref_bands_stream", fp, lambda: _bands(ref.limit(0)),
+        bucket_col="bkey",
+    )
+    get_or_build_index(
+        spark, "lsh_ref_arrays_stream", fp, lambda: _arrays(ref.limit(0)),
+        bucket_col="doc_id",
+    )
+    replay = _chunked_replay_dir(spark, sf_dir, "documents_lsh", ref, "doc_id")
+    ident = os.path.basename(replay)
+
+    def _body(batch: DataFrame, _eid: int) -> None:
+        for tag, fname in _batch_file_tags(batch):
+            rows = batch.filter(F.input_file_name() == fname)
+            did = append_once(
+                spark, "lsh_ref_bands_stream", fp, tag,
+                lambda r=rows: _bands(r), bucket_col="bkey",
+            )
+            append_once(
+                spark, "lsh_ref_arrays_stream", fp, tag,
+                lambda r=rows: _arrays(r), bucket_col="doc_id",
+            )
+            if did and appended_log is not None:
+                appended_log.append(tag)
+
+    _drain_files(
+        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+    )
+    return fp
+
+
+def stream_minhash_serve(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Registry entry ``stream_minhash_index_append``: drain the
+    admitted-document stream into the durable reference indexes, then
+    probe them with today's incoming batch through the shared probe.
+    The streamed indexes hold exactly the full reference corpus ->
+    ``incremental_batch_dedup``'s DuckDB oracle hash-gates the whole
+    pipeline end-to-end."""
+    from mmw_geoprocessing_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+        probe_ref_indexes,
+    )
+    from mmw_geoprocessing_spark.sources.index_store import get_or_build_index
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = stream_minhash_ingest(spark, sf_dir)
+
+    def _absent() -> DataFrame:
+        raise AssertionError("built by the drain")
+
+    ref_bands = get_or_build_index(
+        spark, "lsh_ref_bands_stream", fp, _absent, bucket_col="bkey"
+    )
+    ref_arrays = get_or_build_index(
+        spark, "lsh_ref_arrays_stream", fp, _absent, bucket_col="doc_id"
+    )
+    documents = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
+    return probe_ref_indexes(documents, is_batch, ref_bands, ref_arrays, threshold)
+
+
+def stream_minhash_serve_sql(threshold: float = 0.5) -> str:
+    from mmw_geoprocessing_spark.operators.dedup import incremental_batch_dedup_sql
+
+    return incremental_batch_dedup_sql(threshold=threshold)

@@ -882,3 +882,102 @@ def test_compact_detects_per_bucket_fragmentation_under_total_cap(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_ivf_ingest_exactly_once_under_checkpoint_loss(spark, tables):
+    """r12 verdict #2: the IVF streaming face. Drain the embedding
+    drops into the cell-partitioned inverted file, DESTROY the
+    checkpoint, re-drain — zero appends may happen — and the served
+    top-k must equal the session ann_ivf plan throughout (the streamed
+    index holds exactly the full corpus under the frozen quantizer)."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.operators import similarity as sim
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: (r["q_id"], r["rank"])
+    from mmw_geoprocessing_spark.sources.tables import load_table as _lt
+
+    full = sorted(
+        sim.ann_ivf_topk(_lt(spark, SF_DIR, "embeddings")).collect(), key=key
+    )
+    rows = sorted(ii.stream_ivf_serve(spark, SF_DIR).collect(), key=key)
+    assert rows == full
+    replay = ii._chunked_replay_dir(
+        spark, SF_DIR, "embeddings_ivf",
+        __import__(
+            "mmw_geoprocessing_spark.sources.tables", fromlist=["load_table"]
+        ).load_table(spark, SF_DIR, "embeddings"),
+        "vec_id",
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    shutil.rmtree(ckpt)
+    log: list[str] = []
+    ii.stream_ivf_ingest(spark, SF_DIR, appended_log=log)
+    assert log == [], f"checkpoint-loss replay re-appended drops: {log}"
+    assert sorted(ii.stream_ivf_serve(spark, SF_DIR).collect(), key=key) == full
+
+
+def test_stream_minhash_ingest_exactly_once_and_crash_window(spark, tables, monkeypatch):
+    """r12 verdict #2: the minhash streaming face makes TWO journaled
+    commits per drop (band index + array index). Checkpoint loss must
+    re-append nothing; a crash BETWEEN the two commits must converge on
+    replay (bands no-op on their marker, arrays finish) with the served
+    probe equal to the session plan throughout."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.operators import dedup as dd
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: r["doc_id"]
+    from mmw_geoprocessing_spark.sources.tables import load_table as _lt
+
+    full = sorted(
+        dd.incremental_batch_dedup(_lt(spark, SF_DIR, "documents")).collect(),
+        key=key,
+    )
+    rows = sorted(ii.stream_minhash_serve(spark, SF_DIR).collect(), key=key)
+    assert rows == full
+    # checkpoint loss: every drop re-delivered, all discarded by markers
+    from mmw_geoprocessing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ref = load_table(spark, SF_DIR, "documents").filter(
+        (F.col("doc_id") % dd.INCREMENTAL_BATCH_MOD) != dd.INCREMENTAL_BATCH_REM
+    )
+    replay = ii._chunked_replay_dir(spark, SF_DIR, "documents_lsh", ref, "doc_id")
+    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    shutil.rmtree(ckpt)
+    log: list[str] = []
+    ii.stream_minhash_ingest(spark, SF_DIR, appended_log=log)
+    assert log == [], f"checkpoint-loss replay re-appended drops: {log}"
+    assert sorted(ii.stream_minhash_serve(spark, SF_DIR).collect(), key=key) == full
+    # crash window BETWEEN the two commits of one drop: rebuild from
+    # scratch with an append_once that dies after the bands commit
+    fp = ixs.corpus_fingerprint(SF_DIR, "documents")
+    import glob as _g
+
+    for nm in ("lsh_ref_bands_stream", "lsh_ref_arrays_stream"):
+        for p in _g.glob(f"{ixs._STORE_DIR}/sgi_{nm}_v1_{fp}*"):
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    ixs.clear_index_store_cache()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    orig = ixs.append_once
+    state = {"n": 0}
+
+    def crash_after_bands(spark_, name, fp_, tag, build, **kw):
+        did = orig(spark_, name, fp_, tag, build, **kw)
+        if name == "lsh_ref_bands_stream" and state["n"] == 0 and did:
+            state["n"] = 1
+            raise RuntimeError("simulated crash between the two commits")
+        return did
+
+    monkeypatch.setattr(ixs, "append_once", crash_after_bands)
+    with pytest.raises(Exception, match="simulated crash|StreamingQueryException"):
+        ii.stream_minhash_ingest(spark, SF_DIR)
+    monkeypatch.undo()
+    ixs.clear_index_store_cache()
+    # the replay finishes the half-committed drop and drains the rest
+    ii.stream_minhash_ingest(spark, SF_DIR)
+    assert sorted(ii.stream_minhash_serve(spark, SF_DIR).collect(), key=key) == full
