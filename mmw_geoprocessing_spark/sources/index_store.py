@@ -354,6 +354,25 @@ def append_once(
     _ATTACHED.pop((id(spark), tbl), None)
     if spark.catalog.tableExists(tbl):
         spark.catalog.refreshTable(tbl)
+    # Auto-compaction policy (r12 verdict #4): a year of daily drops
+    # must not rely on a manual compact_index call. After the commit
+    # (and after releasing the flock — compact_index re-acquires it;
+    # flock is per-fd, so nesting would self-deadlock), measure the
+    # worst bucket's / partition directory's fragment count and fold
+    # the index back to one file per bucket when it crosses the
+    # threshold. Exactly-once is unaffected: markers are
+    # generation-independent siblings, so replayed drops still no-op
+    # against the compacted generation. Threshold rationale in
+    # SCALE.md: probes pay one parquet footer + (for bucketed layouts)
+    # a lost sort-elision per extra fragment, linear in fragment
+    # count; 8 bounds the worst-bucket read amplification at ~8x while
+    # keeping compaction frequency ~1/8 of the drop cadence.
+    if _max_fragments(path, partition_col) > AUTO_COMPACT_MAX_FRAGMENTS:
+        compact_index(
+            spark, name, fingerprint, bucket_col=bucket_col,
+            n_buckets=n_buckets, partition_col=partition_col,
+            spec_version=spec_version,
+        )
     return True
 
 
@@ -498,6 +517,29 @@ def get_or_build_index(
 #: (``part-NNNNN-<uuid>_<bucket>.c000.snappy.parquet``) — the uuid is
 #: hyphen-separated, so the first underscore-digits group IS the bucket
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+#: auto-compaction trigger: worst-case data files per bucket (or per
+#: partition directory) tolerated before ``append_once`` folds the
+#: index back to one file per bucket. See SCALE.md §auto-compaction.
+AUTO_COMPACT_MAX_FRAGMENTS = 8
+
+
+def _max_fragments(path: str, partition_col: str | None) -> int:
+    """Worst fragment count across buckets (bucketed layout, bucket id
+    parsed from the file name) or partition directories (partitioned
+    layout, first path component) in the CURRENT generation."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for fn in _data_files(_resolve_location(path)):
+        if partition_col:
+            head, _, _tail = fn.partition(os.sep)
+            counts[head if _tail else "."] += 1
+        else:
+            m = _BUCKET_ID_RE.search(os.path.basename(fn))
+            counts[m.group(1) if m else fn] += 1
+    return max(counts.values(), default=0)
 
 
 def _bucket_fragmented(files: list[str]) -> bool:

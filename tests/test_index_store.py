@@ -981,3 +981,74 @@ def test_stream_minhash_ingest_exactly_once_and_crash_window(spark, tables, monk
     # the replay finishes the half-committed drop and drains the rest
     ii.stream_minhash_ingest(spark, SF_DIR)
     assert sorted(ii.stream_minhash_serve(spark, SF_DIR).collect(), key=key) == full
+
+
+def test_auto_compaction_bounds_fragments_across_many_appends(spark, monkeypatch):
+    """r12 verdict #4: a year of daily drops must not need a manual
+    compact_index call. With the threshold pinned low, a run of appends
+    keeps the worst bucket's fragment count bounded (auto-compaction
+    fires inside append_once), serving stays green after EVERY drop,
+    and replayed drops still no-op against compacted generations."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    monkeypatch.setattr(ixs, "AUTO_COMPACT_MAX_FRAGMENTS", 3)
+    name, fp = _mini_index(spark, "autocompact")
+    base = f"{ixs._STORE_DIR}/{ixs._table_name(name, fp, 'k', 4, None, 'v1')}"
+    want = [(i, "base") for i in range(20)]
+    for n in range(8):
+        lo = 100 + 10 * n
+        drop = spark.createDataFrame(
+            [(i % 4, f"d{n}_{i}") for i in range(lo, lo + 10)], "k int, v string"
+        )
+        rows = [(i % 4, f"d{n}_{i}") for i in range(lo, lo + 10)]
+        assert ixs.append_once(
+            spark, name, fp, f"tag{n}", lambda d=drop: d, bucket_col="k", n_buckets=4
+        )
+        want += rows
+        frag = ixs._max_fragments(base, None)
+        assert frag <= 3 + 1, f"drop {n}: worst bucket holds {frag} fragments"
+        assert _served_rows(spark, name, fp) == sorted(want), f"drop {n} serving"
+    # at least one auto-compaction must have fired (8 drops, threshold 3)
+    assert ".gen" in ixs._resolve_location(base)
+    # exactly-once survives the auto-compactions: every tag no-ops
+    for n in range(8):
+        assert not ixs.append_once(
+            spark, name, fp, f"tag{n}", lambda: _no_rebuild(),
+            bucket_col="k", n_buckets=4,
+        )
+    assert _served_rows(spark, name, fp) == sorted(want)
+
+
+def test_auto_compaction_partitioned_layout(spark, monkeypatch):
+    """The partitioned (IVF cell) layout auto-compacts per directory."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    monkeypatch.setattr(ixs, "AUTO_COMPACT_MAX_FRAGMENTS", 2)
+    import uuid
+
+    name, fp = "autocompact_part", uuid.uuid4().hex[:10]
+    base_df = spark.createDataFrame(
+        [(i, i % 3, "base") for i in range(12)], "vid int, cell int, v string"
+    )
+    ixs.get_or_build_index(
+        spark, name, fp, lambda: base_df, partition_col="cell"
+    )
+    base = f"{ixs._STORE_DIR}/{ixs._table_name(name, fp, None, 16, 'cell', 'v1')}"
+    want = [(i, i % 3, "base") for i in range(12)]
+    for n in range(5):
+        lo = 100 + 10 * n
+        rows = [(i, i % 3, f"d{n}") for i in range(lo, lo + 6)]
+        drop = spark.createDataFrame(rows, "vid int, cell int, v string")
+        assert ixs.append_once(
+            spark, name, fp, f"tag{n}", lambda d=drop: d, partition_col="cell"
+        )
+        want += rows
+        assert ixs._max_fragments(base, "cell") <= 3
+        ixs.clear_index_store_cache()
+        got = sorted(
+            (r["vid"], r["cell"], r["v"])
+            for r in ixs.get_or_build_index(
+                spark, name, fp, lambda: _no_rebuild(), partition_col="cell"
+            ).collect()
+        )
+        assert got == sorted(want), f"drop {n} serving"
