@@ -108,11 +108,19 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
     zero-shuffle projection.
 
     STAGED selects on purpose (the ``_word_hashes`` materialized-column
-    lesson, measured here as 3.0× → see BASELINE round 12): the
-    one-expression form re-inlines ``rest``/``host``/``qs`` at every
-    use site, so each row paid ~25 regex evaluations; named
-    intermediate columns evaluate each regex once (CollapseProject
-    keeps non-cheap expressions staged)."""
+    lesson, measured here as 3.0× → see BASELINE round 12): named
+    intermediate columns evaluate each parse step once.
+
+    ZERO regex in the hot path (r12 verdict #6: the staged plan was
+    already single-evaluation, so the remaining lever was the JVM
+    java.util.regex engine itself vs DuckDB's RE2 — 8 regex
+    executions/row across 5 M rows cost ~1.3 s at the 100× replica
+    where the whole agg costs ~0.2 s). The parse is rewritten on
+    ``substring_index`` / ``instr`` / ``startswith`` byte primitives,
+    semantically identical for ``scheme://…`` inputs (a URL with no
+    ``://`` canonicalizes to '' on both forms, pinned in tests); the
+    one ``split`` left runs on the literal '&'. The DuckDB twin keeps
+    its regex CTEs — the hash gate proves the two parses agree."""
     # r12 ADVICE: LIKE treats "_" as a single-char wildcard, so
     # 'utm_%' also matched params named utmX... — substr-prefix
     # comparison is wildcard-free and identical in both engines
@@ -123,60 +131,110 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
     d1 = documents_with_url.select(
         "doc_id",
         "url",
-        F.expr(
-            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\\\-]*)://', 1))"
-        ).alias("scheme"),
-        F.expr(
-            "regexp_extract(regexp_replace(url, '#.*$', ''), "
-            "'^[A-Za-z0-9+.\\\\-]+://(.*)$', 1)"
-        ).alias("rest"),
+        # fragment strip = everything before the first '#'
+        F.expr("substring_index(url, '#', 1)").alias("u2"),
     )
     d2 = d1.select(
         "doc_id",
         "url",
-        "scheme",
-        F.expr("lower(regexp_extract(rest, '^([^/?]*)', 1))").alias("hostport"),
         F.expr(
-            "regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/$', '')"
-        ).alias("path"),
-        F.expr("regexp_extract(rest, '\\\\?(.*)$', 1)").alias("query"),
+            "CASE WHEN instr(u2, '://') > 0 "
+            "THEN lower(substring_index(u2, '://', 1)) ELSE '' END"
+        ).alias("scheme"),
+        F.expr(
+            "CASE WHEN instr(u2, '://') > 0 "
+            "THEN substring(u2, instr(u2, '://') + 3) ELSE '' END"
+        ).alias("rest"),
     )
     d3 = d2.select(
         "doc_id",
         "url",
         "scheme",
+        "rest",
+        # authority = rest up to the first '/' or '?', whichever first
+        F.expr(
+            "lower(substring_index(substring_index(rest, '/', 1), '?', 1))"
+        ).alias("hostport"),
+    )
+    d4 = d3.select(
+        "doc_id",
+        "url",
+        "scheme",
+        "hostport",
+        # pathq = rest after the authority (same length lowercased)
+        F.expr("substring(rest, length(hostport) + 1)").alias("pathq"),
+    )
+    d5 = d4.select(
+        "doc_id",
+        "url",
+        "scheme",
+        "hostport",
+        F.expr(
+            "CASE WHEN endswith(substring_index(pathq, '?', 1), '/') "
+            "THEN left(substring_index(pathq, '?', 1), "
+            "length(substring_index(pathq, '?', 1)) - 1) "
+            "ELSE substring_index(pathq, '?', 1) END"
+        ).alias("path"),
+        F.expr(
+            "CASE WHEN instr(pathq, '?') > 0 "
+            "THEN substring(pathq, instr(pathq, '?') + 1) ELSE '' END"
+        ).alias("query"),
+    )
+    d6 = d5.select(
+        "doc_id",
+        "url",
+        "scheme",
+        "path",
+        "query",
+        # default-port strip, staged so the www-strip evaluates it once
+        F.expr(
+            "CASE WHEN scheme = 'https' AND endswith(hostport, ':443') "
+            "THEN left(hostport, length(hostport) - 4) "
+            "WHEN scheme = 'http' AND endswith(hostport, ':80') "
+            "THEN left(hostport, length(hostport) - 3) ELSE hostport END"
+        ).alias("hp1"),
+    )
+    d6b = d6.select(
+        "doc_id",
+        "url",
+        "scheme",
         "path",
         F.expr(
-            "regexp_replace(CASE WHEN scheme = 'https' "
-            "THEN regexp_replace(hostport, ':443$', '') "
-            "WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
-            "ELSE hostport END, '^www\\\\.', '')"
+            "CASE WHEN startswith(hp1, 'www.') THEN substring(hp1, 5) "
+            "ELSE hp1 END"
         ).alias("host"),
         F.expr(
             f"array_join(array_sort(filter(split(query, '&'), "
             f"p -> p != '' AND NOT ({drop}))), '&')"
         ).alias("qs"),
     )
-    d4 = d3.select(
+    d7 = d6b.select(
         "doc_id",
         "url",
         F.expr(
             "concat(scheme, '://', host, path, "
             "CASE WHEN qs != '' THEN concat('?', qs) ELSE '' END)"
         ).alias("canonical_url"),
+        # registered domain needs the NUMERIC-port-free host (the
+        # oracle's ':[0-9]+$'): strip after ':' only when the suffix is
+        # non-empty all-digits; suffix labels then come from
+        # negative-count substring_index (no split, no regex)
         F.expr(
-            "split(regexp_replace(host, ':[0-9]+$', ''), '\\\\.')"
-        ).alias("labels"),
+            "CASE WHEN instr(host, ':') > 0 "
+            "AND substring_index(host, ':', -1) != '' "
+            "AND translate(substring_index(host, ':', -1), '0123456789', '') = '' "
+            "THEN substring_index(host, ':', 1) ELSE host END"
+        ).alias("hnp"),
     )
-    return d4.select(
+    return d7.select(
         "doc_id",
         "url",
         "canonical_url",
         F.expr(
-            f"CASE WHEN size(labels) >= 3 "
-            f"AND array_join(slice(labels, -2, 2), '.') IN ({suf}) "
-            f"THEN array_join(slice(labels, -3, 3), '.') "
-            f"ELSE array_join(slice(labels, -2, 2), '.') END"
+            f"CASE WHEN length(hnp) - length(replace(hnp, '.', '')) >= 2 "
+            f"AND substring_index(hnp, '.', -2) IN ({suf}) "
+            f"THEN substring_index(hnp, '.', -3) "
+            f"ELSE substring_index(hnp, '.', -2) END"
         ).alias("registered_domain"),
     )
 
