@@ -99,6 +99,7 @@ from mmw_geoprocessing_spark.operators import curation as cu
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import expectations as ex
 from mmw_geoprocessing_spark.operators import graph as gr
+from mmw_geoprocessing_spark.operators import image_dedup as imd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
 from mmw_geoprocessing_spark.operators import profile as prof
@@ -177,6 +178,13 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": lambda s, d: ta.lang_id(_t(s, d)["documents"]),
     "text_fingerprints": lambda s, d: ta.fingerprints(_t(s, d)["documents"]),
     "multimodal_decode_stub": lambda s, d: mm.decode_stub(mm.attach_binary(_t(s, d)["documents"])),
+    # round 13 (r12 verdict #5): perceptual image dedup — deterministic
+    # grey PNGs synthesized per document, REAL encode->decode through
+    # the pure-Python codec inside Arrow batches, dHash/aHash packed as
+    # four 16-bit chunks, Hamming-banded near-dup (never all-pairs);
+    # the oracle replays the closed-form pixels (PNG is lossless)
+    "image_phash_fingerprints": lambda s, d: imd.image_phash_fingerprints(_t(s, d)["documents"]),
+    "dedup_image_phash": lambda s, d: imd.dedup_image_phash(_t(s, d)["documents"]),
     "multimodal_frame_sample": lambda s, d: mm.frame_sample(mm.attach_binary(_t(s, d)["documents"])),
 }
 
@@ -200,6 +208,8 @@ _LLM_ORACLES: dict[str, str] = {
     "text_lang_id": ta.lang_id_sql(),
     "text_fingerprints": ta.fingerprints_sql(),
     "multimodal_decode_stub": mm.decode_stub_sql(),
+    "image_phash_fingerprints": imd.image_phash_fingerprints_sql(),
+    "dedup_image_phash": imd.dedup_image_phash_sql(),
     "multimodal_frame_sample": mm.frame_sample_sql(),
 }
 

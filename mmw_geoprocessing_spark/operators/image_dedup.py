@@ -1,0 +1,335 @@
+"""Perceptual image dedup — dHash/aHash fingerprints + Hamming-banded
+near-dup (r12 verdict #5: the LAION-style crawl pre-stage this repo's
+real PNG codec enables).
+
+A crawl's image corpus repeats the same picture re-encoded, recropped
+or lightly edited; byte-level dedup misses all of it. The standard
+pre-stage (LAION-5B's pipeline, Chum et al.'s min-hash work's image
+cousin) fingerprints every image with a tiny perceptual hash and
+near-dups by Hamming distance:
+
+- **dHash** (difference hash): sample the decoded image to a 9x8 grey
+  grid, one bit per horizontal neighbor comparison ``px[y][x] >
+  px[y][x+1]`` — 64 bits that survive re-encoding, brightness shifts
+  and mild noise.
+- **aHash** (average hash): 8x8 grid, one bit per ``px > mean`` —
+  integer-exact here as ``px*64 > sum`` (the repo's integer-BM25
+  lesson: never compare floats the oracle must reproduce).
+- **banding**: the 64 bits split into FOUR 16-bit chunks; candidate
+  pairs share (chunk_idx, chunk_value) — the simhash chunk-banding
+  scheme (operators/dedup.py simhash_neardup), pigeonhole-complete for
+  Hamming distance <= 3 (4 chunks, <= 3 flipped bits leave >= 1 chunk
+  identical). NEVER all-pairs: candidate generation is one
+  exchange on the chunk key, verification is exact Hamming via
+  ``bit_count(xor)`` over the four chunk ints.
+
+Pipeline shape (the multimodal contract, operators/multimodal.py):
+the fixture corpus carries no images, so ``attach_image`` synthesizes
+a deterministic 8x9 grey PNG per document — REAL bytes through the
+pure-Python encoder — and the fingerprint stage decodes those bytes
+back with the real decoder inside ONE Arrow-batched ``mapInPandas``
+(payloads never leave the executors, one Python crossing per batch).
+PNG is lossless and the pixels are a closed form of ``doc_id``, so
+the DuckDB oracle replays the pixel arithmetic and the bit packing
+EXACTLY — the hash gate covers codec, sampling grid and bit order.
+
+Injected near-dup structure (the ``text_pii_redact`` deterministic-
+injection convention): documents come in groups of 8 consecutive
+doc_ids sharing a base image; within a group the variant
+``doc_id % 4`` is 0 = base, 1 = base with ONE pixel bumped (flips at
+most 2 dHash bits -> guaranteed-recall near-dup of variant 0),
+2 / 3 = two heavy re-texturings (far from base and from each other).
+Groups of 8 keep the pair count LINEAR in corpus size at every scale
+(the 100x replica's doc_id offsets create fresh groups, never
+cross-copy collisions).
+
+100 TB shape: fingerprinting is per-image CPU inside Arrow batches
+(embarrassingly parallel, no shuffle); banding shuffles 4 rows per
+image on a 65k-value key; verification touches only candidate pairs.
+
+Reference parity note: the reference has no image surface; this
+family belongs to the training-data-pipeline tier (SURVEY §2.3's
+multimodal row is the plumbing it rides on).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: image geometry: dHash needs W+1 columns for W comparisons per row
+IMG_H, IMG_W = 8, 9
+
+#: consecutive doc_ids sharing one base image (pair count stays linear)
+GROUP_SIZE = 8
+
+#: verified near-dup threshold; 4 chunks make recall COMPLETE for
+#: Hamming <= 3 (pigeonhole), probabilistic above
+HAMMING_T = 3
+
+_PX_MOD = 251  # pixels in 0..250 (< 256, PNG-byte-safe)
+
+
+_HASH_MOD = 1_000_000_007  # group period before base images can repeat
+_HASH_MUL = 2_654_435_761  # Knuth multiplicative constant
+_HASH_CAP = 2_147_483_648  # keeps every SQL intermediate far under int64
+
+
+def _px(g: int, v: int, y: int, x: int) -> int:
+    """The closed-form pixel the oracle replays (g = doc group, v =
+    variant). Kept in ONE place; `_px_sql` is its SQL twin. The
+    multiplicative-hash term varies per (group, pixel) so neighbor
+    comparisons (the dHash bits) DECORRELATE across groups — a plain
+    linear texture cancels g in ``px[y][x+1]-px[y][x]`` and makes
+    every base image a near-dup of every other (quadratic pair count;
+    caught at fixture scale by the Hamming histogram). Heavy variants
+    scale the hash term (x2 / x3) so they decorrelate from the base
+    the same way. All arithmetic stays below 2^62 for DuckDB's
+    checked int64."""
+    h = (g % _HASH_MOD) * _HASH_MUL % _HASH_CAP
+    k = 1 + y * IMG_W + x
+    if v == 2:
+        return (h * k * 2 + y * 37 + x * 41 + 13) % _PX_MOD
+    if v == 3:
+        return (h * k * 3 + y * 53 + x * 11 + 101) % _PX_MOD
+    base = (h * k + y * 17 + x * 29 + (y * x) % 7) % _PX_MOD
+    if v == 1 and y == g % IMG_H and x == 1 + g % (IMG_W - 2):
+        return (base + 100) % _PX_MOD
+    return base
+
+
+def _px_sql(y: int, x: int) -> str:
+    """DuckDB expression for pixel (y, x) of document ``doc_id`` —
+    y and x are LITERALS, so everything folds to doc_id arithmetic.
+    ``h`` peaks at ~2^31 and the largest product (h * 3k) stays under
+    2^39 — safe for DuckDB's overflow-checked int64."""
+    h = f"(((doc_id // {GROUP_SIZE}) % {_HASH_MOD}) * {_HASH_MUL} % {_HASH_CAP})"
+    k = 1 + y * IMG_W + x
+    base = f"({h} * {k} + {y * 17 + x * 29 + (y * x) % 7}) % {_PX_MOD}"
+    bump = (
+        f"CASE WHEN doc_id % 4 = 1 AND (doc_id // {GROUP_SIZE}) % {IMG_H} = {y} "
+        f"AND 1 + (doc_id // {GROUP_SIZE}) % {IMG_W - 2} = {x} THEN 100 ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN doc_id % 4 = 2 "
+        f"THEN ({h} * {k * 2} + {y * 37 + x * 41 + 13}) % {_PX_MOD} "
+        f"WHEN doc_id % 4 = 3 "
+        f"THEN ({h} * {k * 3} + {y * 53 + x * 11 + 101}) % {_PX_MOD} "
+        f"ELSE ({base} + {bump}) % {_PX_MOD} END"
+    )
+
+
+def attach_image(documents: DataFrame) -> DataFrame:
+    """Synthesize the deterministic grey PNG payload per document —
+    REAL bytes via ``functions.png_codec.encode_png`` inside an
+    Arrow-batched ``mapInPandas`` (the multimodal contract). Output:
+    ``(doc_id, payload binary)``."""
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from mmw_geoprocessing_spark.functions import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, v = d // GROUP_SIZE, d % 4
+                scanlines = [
+                    [_px(g, v, y, x) for x in range(IMG_W)] for y in range(IMG_H)
+                ]
+                rows.append(
+                    {"doc_id": d, "payload": png_codec.encode_png(scanlines, "L")}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+PHASH_SCHEMA = (
+    "doc_id long, dhash_hex string, d0 int, d1 int, d2 int, d3 int, "
+    "ahash_hex string, a0 int, a1 int, a2 int, a3 int"
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Decode each PNG payload with the REAL pure-Python decoder and
+    compute dHash + aHash, packed as four 16-bit chunk ints each
+    (sign-safe in every engine; the hex string is presentation). One
+    Arrow-batched ``mapInPandas`` — decode and hash never leave the
+    executor, one Python crossing per batch."""
+
+    def hash_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from mmw_geoprocessing_spark.functions import png_codec
+
+        def chunks(bits: "np.ndarray") -> list[int]:
+            # bits: flat 0/1 array of 64, bit b -> chunk b//16, weight
+            # 2^(b%16) — the simhash chunk packing
+            out = []
+            for c in range(4):
+                seg = bits[c * 16 : (c + 1) * 16]
+                out.append(int((seg << np.arange(16)).sum()))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, mode, lines = png_codec.decode_png(bytes(payload))
+                if mode != "L" or (h, w) != (IMG_H, IMG_W):
+                    raise NotImplementedError(
+                        f"image_phash expects the {IMG_H}x{IMG_W} grey "
+                        f"fingerprint grid; got {mode} {h}x{w} (resize "
+                        "via multimodal.image_resize first)"
+                    )
+                px = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(
+                    h, w
+                ).astype(np.int64)
+                dbits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+                sq = px[:, : IMG_W - 1]  # the 8x8 aHash grid
+                abits = (sq * 64 > sq.sum()).astype(np.int64).ravel()
+                d = chunks(dbits)
+                a = chunks(abits)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "dhash_hex": "%04x%04x%04x%04x" % tuple(d),
+                        "d0": d[0], "d1": d[1], "d2": d[2], "d3": d[3],
+                        "ahash_hex": "%04x%04x%04x%04x" % tuple(a),
+                        "a0": a[0], "a1": a[1], "a2": a[2], "a3": a[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dhash_hex", "d0", "d1", "d2", "d3",
+                    "ahash_hex", "a0", "a1", "a2", "a3",
+                ],
+            )
+
+    return media.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def image_phash_fingerprints(documents: DataFrame) -> DataFrame:
+    """Registry row: synthesize -> encode PNG -> decode -> fingerprint,
+    the full binary-column round trip."""
+    return image_phash(attach_image(documents))
+
+
+def _chunk_sql(bit_exprs: list[str]) -> list[str]:
+    """Pack 64 bit expressions into four 16-bit chunk SQL sums."""
+    out = []
+    for c in range(4):
+        terms = [
+            f"(CASE WHEN {bit_exprs[c * 16 + i]} THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        ]
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
+def _phash_cte() -> str:
+    """The fingerprint table as a DuckDB CTE body (closed-form pixel
+    replay; PNG is lossless so this EQUALS the decode path)."""
+    dbits = [
+        f"({_px_sql(y, x)}) > ({_px_sql(y, x + 1)})"
+        for y in range(IMG_H)
+        for x in range(IMG_W - 1)
+    ]
+    total = " + ".join(
+        f"({_px_sql(y, x)})" for y in range(IMG_H) for x in range(IMG_W - 1)
+    )
+    abits = [
+        f"({_px_sql(y, x)}) * 64 > s.total"
+        for y in range(IMG_H)
+        for x in range(IMG_W - 1)
+    ]
+    d0, d1, d2, d3 = _chunk_sql(dbits)
+    a0, a1, a2, a3 = _chunk_sql(abits)
+    return f"""
+    SELECT doc_id,
+           printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash_hex,
+           d0, d1, d2, d3,
+           printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash_hex,
+           a0, a1, a2, a3
+    FROM (
+      SELECT doc_id,
+             CAST({d0} AS INT) AS d0, CAST({d1} AS INT) AS d1,
+             CAST({d2} AS INT) AS d2, CAST({d3} AS INT) AS d3,
+             CAST({a0} AS INT) AS a0, CAST({a1} AS INT) AS a1,
+             CAST({a2} AS INT) AS a2, CAST({a3} AS INT) AS a3
+      FROM documents, LATERAL (SELECT {total} AS total) s
+    )
+    """
+
+
+def image_phash_fingerprints_sql() -> str:
+    return f"WITH phash AS ({_phash_cte()}) SELECT * FROM phash"
+
+
+def dedup_image_phash(documents: DataFrame) -> DataFrame:
+    """Hamming-banded perceptual near-dup over the dHash fingerprints:
+    candidates share one of the four 16-bit chunks (one exchange on
+    (chunk_idx, value) — never all-pairs), verified by exact Hamming
+    ``bit_count(xor)`` over all four chunks, ``<= HAMMING_T``. Output:
+    ``(a_id, b_id, hamming)`` with a_id < b_id (hamming 0 = re-encoded
+    exact dup, 1..3 = perturbed near-dup)."""
+    fp = image_phash_fingerprints(documents)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("ci"), F.col(f"d{i}").alias("cv"))
+                for i in range(4)
+            ]
+        )
+    )
+    bands = fp.select(
+        "doc_id", "d0", "d1", "d2", "d3", chunk.alias("c")
+    ).select("doc_id", "d0", "d1", "d2", "d3", "c.ci", "c.cv")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"d{i}").alias(f"x{i}") for i in range(4)],
+        "ci", "cv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"d{i}").alias(f"y{i}") for i in range(4)],
+        "ci", "cv",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def dedup_image_phash_sql() -> str:
+    return f"""
+    WITH phash AS ({_phash_cte()}),
+    bands AS (
+      SELECT doc_id, d0, d1, d2, d3, ci,
+             CASE ci WHEN 0 THEN d0 WHEN 1 THEN d1
+                     WHEN 2 THEN d2 ELSE d3 END AS cv
+      FROM phash, UNNEST([0, 1, 2, 3]) AS t(ci)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+              + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+             AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.ci = b.ci AND a.cv = b.cv
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+        <= {HAMMING_T}
+    """

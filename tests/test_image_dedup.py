@@ -1,0 +1,129 @@
+"""Perceptual image dedup (r12 verdict #5): codec round-trip pinned
+pixel-exact, dHash bit order pinned against a hand replica, injected
+near-dup structure recovered, banded plan shape asserted."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mmw_geoprocessing_spark.operators import image_dedup as im
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=64):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def test_attach_image_round_trips_the_closed_form_pixels(spark):
+    """encode_png(pixels) -> decode_png == the _px closed form: the
+    whole codec path is lossless, which is what lets the DuckDB oracle
+    replay pixels arithmetically."""
+    from mmw_geoprocessing_spark.functions import png_codec
+
+    rows = im.attach_image(_docs(spark, 16)).collect()
+    assert len(rows) == 16
+    for r in rows:
+        d = r["doc_id"]
+        w, h, mode, lines = png_codec.decode_png(bytes(r["payload"]))
+        assert (mode, h, w) == ("L", im.IMG_H, im.IMG_W)
+        px = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(h, w)
+        g, v = d // im.GROUP_SIZE, d % 4
+        want = np.array(
+            [[im._px(g, v, y, x) for x in range(w)] for y in range(h)]
+        )
+        assert (px == want).all(), f"doc {d}: codec round-trip drifted"
+
+
+def test_dhash_bit_order_matches_hand_replica(spark):
+    """Chunk packing: bit b = (y*8+x), chunk b//16, weight 2^(b%16) —
+    the exact packing the SQL twin emits."""
+    fp = {
+        r["doc_id"]: r
+        for r in im.image_phash_fingerprints(_docs(spark, 8)).collect()
+    }
+    for d in range(8):
+        g, v = d // im.GROUP_SIZE, d % 4
+        px = np.array(
+            [[im._px(g, v, y, x) for x in range(im.IMG_W)] for y in range(im.IMG_H)]
+        )
+        dbits = (px[:, :-1] > px[:, 1:]).ravel()
+        sq = px[:, : im.IMG_W - 1]
+        abits = (sq * 64 > sq.sum()).ravel()
+        for pre, bits in (("d", dbits), ("a", abits)):
+            for c in range(4):
+                want = int(
+                    sum(1 << i for i in range(16) if bits[c * 16 + i])
+                )
+                assert fp[d][f"{pre}{c}"] == want, (d, pre, c)
+        assert fp[d]["dhash_hex"] == "%04x%04x%04x%04x" % tuple(
+            fp[d][f"d{c}"] for c in range(4)
+        )
+
+
+def test_injected_near_dup_structure_is_recovered(spark):
+    """Within each 8-doc group: same-variant docs are exact dups
+    (hamming 0), variant 1 is a guaranteed-recall near-dup of variant 0
+    (<= 2 dHash bits — one bumped pixel flips at most two horizontal
+    comparisons)."""
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in im.dedup_image_phash(_docs(spark, 64)).collect()
+    }
+    for g in range(8):
+        base = g * im.GROUP_SIZE
+        for v in range(4):
+            a, b = base + v, base + v + 4
+            assert pairs.get((a, b)) == 0, f"exact dup missed: {(a, b)}"
+        for a in (base, base + 4):
+            for b in (base + 1, base + 5):
+                key = (min(a, b), max(a, b))
+                assert key in pairs and 0 < pairs[key] <= 2, (
+                    f"v0-v1 near-dup missed: {key} -> {pairs.get(key)}"
+                )
+
+
+def test_banding_plan_has_no_cartesian_and_joins_on_chunks(spark):
+    plan = (
+        im.dedup_image_phash(_docs(spark, 64))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ci" in plan and "cv" in plan
+
+
+def test_phash_rejects_non_grid_images(spark):
+    """The fingerprint stage names its contract: decode errors on
+    anything but the 8x9 grey grid instead of silently hashing."""
+    from mmw_geoprocessing_spark.functions import png_codec
+
+    payload = png_codec.encode_png([[(1, 2, 3), (4, 5, 6)]], "RGB")
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="fingerprint grid"):
+        im.image_phash(df).collect()
+
+
+def test_fingerprints_match_oracle_at_fixture(spark, tables):
+    """Value-level gate at sf0.001 scale via DuckDB (the selfcheck runs
+    the same comparison at sf0.01; this keeps it in pytest)."""
+    import duckdb
+
+    from mmw_geoprocessing_spark.sources.tables import TABLE_NAMES, load_table
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    docs = load_table(spark, SF_DIR, "documents")
+    sdf = im.dedup_image_phash(docs).toPandas()
+    ddf = con.execute(im.dedup_image_phash_sql()).df()
+    cols = sorted(sdf.columns)
+    s2 = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d2 = ddf[cols].sort_values(cols).reset_index(drop=True)
+    assert s2.equals(d2.astype(s2.dtypes.to_dict()))
+    con.close()
