@@ -28,3 +28,11 @@ def test_registry_counts_are_consistent():
     found both documents a round behind the code."""
     problems = claims_check.check_registry_counts()
     assert not problems, "registry-count drift:\n" + "\n".join(problems)
+
+
+def test_golden_and_artifact_counts_are_consistent():
+    """r12 verdict #7: SURVEY's latest golden count and README's
+    golden/SELFCHECK row counts must match disk (the '707 vs 709
+    goldens' and '129 vs 131 SF10 rows' drift class)."""
+    problems = claims_check.check_golden_and_artifact_counts()
+    assert not problems, "count drift:\n" + "\n".join(problems)

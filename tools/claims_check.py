@@ -238,6 +238,54 @@ def check_registry_counts() -> list[str]:
     return problems
 
 
+def check_golden_and_artifact_counts() -> list[str]:
+    """r12 verdict #7: the same drift class the registry-count checker
+    kills, for two more counters — (a) the golden-file corpus (SURVEY
+    §8.17 said "707 goldens" while tests/golden/ held 709) and (b) the
+    README's SELFCHECK row counts (README said 129 while
+    SELFCHECK_SF10.json held 131). The LATEST golden-count claim in
+    SURVEY.md and every golden/SELFCHECK count in README must equal
+    the on-disk truth; earlier SURVEY mentions are historical
+    per-round records and stay frozen."""
+    problems: list[str] = []
+    golden_dir = os.path.join(REPO, "tests", "golden")
+    n_golden = len(os.listdir(golden_dir)) if os.path.isdir(golden_dir) else 0
+
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    golden_claims = re.findall(
+        r"(\d+)[ -](?:file )?golden(?:s| files| tests| corpus)", survey
+    )
+    if golden_claims and int(golden_claims[-1]) != n_golden:
+        problems.append(
+            f"SURVEY.md's latest golden count says {golden_claims[-1]} but "
+            f"tests/golden/ holds {n_golden}"
+        )
+
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    for m in re.findall(
+        r"(\d+)[ -](?:file )?golden(?:s| files| tests| corpus)", readme
+    ):
+        if int(m) != n_golden:
+            problems.append(
+                f"README golden count says {m} but tests/golden/ holds "
+                f"{n_golden}"
+            )
+    for art_name in _ARTIFACTS:
+        art = _load(art_name)
+        if art is None:
+            continue
+        actual = len(art.get("queries", {}))
+        for m in re.findall(rf"{art_name}\.json`?:?\s*(\d+)\s+rows", readme):
+            if int(m) != actual:
+                problems.append(
+                    f"README says {art_name}.json has {m} rows; the artifact "
+                    f"holds {actual}"
+                )
+    return problems
+
+
 def check_artifact_schema(arts: dict | None = None) -> list[str]:
     """Validate the SELFCHECK artifact shape: schema_version >= 2 means
     EVERY row carries {verdict, reason, rows} with verdict in
@@ -274,7 +322,11 @@ def check_artifact_schema(arts: dict | None = None) -> list[str]:
 
 
 def main() -> int:
-    problems = check_claims() + check_registry_counts()
+    problems = (
+        check_claims()
+        + check_registry_counts()
+        + check_golden_and_artifact_counts()
+    )
     for p in problems:
         print(f"CLAIM DRIFT: {p}")
     if not problems:
