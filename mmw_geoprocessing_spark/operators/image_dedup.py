@@ -75,26 +75,29 @@ _PX_MOD = 251  # pixels in 0..250 (< 256, PNG-byte-safe)
 _HASH_MOD = 1_000_000_007  # group period before base images can repeat
 _HASH_MUL = 2_654_435_761  # Knuth multiplicative constant
 _HASH_CAP = 2_147_483_648  # keeps every SQL intermediate far under int64
+_MIX_P = 2_147_483_647  # Mersenne prime: h -> h*K % P permutes per pixel
 
 
 def _px(g: int, v: int, y: int, x: int) -> int:
     """The closed-form pixel the oracle replays (g = doc group, v =
-    variant). Kept in ONE place; `_px_sql` is its SQL twin. The
-    multiplicative-hash term varies per (group, pixel) so neighbor
-    comparisons (the dHash bits) DECORRELATE across groups — a plain
-    linear texture cancels g in ``px[y][x+1]-px[y][x]`` and makes
-    every base image a near-dup of every other (quadratic pair count;
-    caught at fixture scale by the Hamming histogram). Heavy variants
-    scale the hash term (x2 / x3) so they decorrelate from the base
-    the same way. All arithmetic stays below 2^62 for DuckDB's
-    checked int64."""
+    variant). Kept in ONE place; `_px_sql` is its SQL twin. Each pixel
+    mixes the group hash with a DISTINCT multiplier modulo the large
+    prime ``_MIX_P`` BEFORE the mod-251 quantization — two earlier
+    textures failed at scale and are pinned in tests: a linear texture
+    cancels g in ``px[y][x+1]-px[y][x]`` (every base image a near-dup
+    of every other), and ``(h*k) % 251`` collapses the hash to
+    ``h % 251`` — only 251 distinct base images, quadratic exact-dup
+    pairs the moment groups outnumber 251 (caught at the 10x replica:
+    3.9 M pairs from 50 k docs). Heavy variants use disjoint
+    multiplier ranges so they decorrelate from the base the same way.
+    All arithmetic stays below 2^45 for DuckDB's checked int64."""
     h = (g % _HASH_MOD) * _HASH_MUL % _HASH_CAP
-    k = 1 + y * IMG_W + x
+    k = 1 + y * IMG_W + x  # 1..72; variants shift into disjoint ranges
     if v == 2:
-        return (h * k * 2 + y * 37 + x * 41 + 13) % _PX_MOD
+        return (h * (k + 97) % _MIX_P + y * 37 + x * 41 + 13) % _PX_MOD
     if v == 3:
-        return (h * k * 3 + y * 53 + x * 11 + 101) % _PX_MOD
-    base = (h * k + y * 17 + x * 29 + (y * x) % 7) % _PX_MOD
+        return (h * (k + 211) % _MIX_P + y * 53 + x * 11 + 101) % _PX_MOD
+    base = (h * k % _MIX_P + y * 17 + x * 29 + (y * x) % 7) % _PX_MOD
     if v == 1 and y == g % IMG_H and x == 1 + g % (IMG_W - 2):
         return (base + 100) % _PX_MOD
     return base
@@ -107,16 +110,18 @@ def _px_sql(y: int, x: int) -> str:
     2^39 — safe for DuckDB's overflow-checked int64."""
     h = f"(((doc_id // {GROUP_SIZE}) % {_HASH_MOD}) * {_HASH_MUL} % {_HASH_CAP})"
     k = 1 + y * IMG_W + x
-    base = f"({h} * {k} + {y * 17 + x * 29 + (y * x) % 7}) % {_PX_MOD}"
+    base = (
+        f"({h} * {k} % {_MIX_P} + {y * 17 + x * 29 + (y * x) % 7}) % {_PX_MOD}"
+    )
     bump = (
         f"CASE WHEN doc_id % 4 = 1 AND (doc_id // {GROUP_SIZE}) % {IMG_H} = {y} "
         f"AND 1 + (doc_id // {GROUP_SIZE}) % {IMG_W - 2} = {x} THEN 100 ELSE 0 END"
     )
     return (
         f"CASE WHEN doc_id % 4 = 2 "
-        f"THEN ({h} * {k * 2} + {y * 37 + x * 41 + 13}) % {_PX_MOD} "
+        f"THEN ({h} * {k + 97} % {_MIX_P} + {y * 37 + x * 41 + 13}) % {_PX_MOD} "
         f"WHEN doc_id % 4 = 3 "
-        f"THEN ({h} * {k * 3} + {y * 53 + x * 11 + 101}) % {_PX_MOD} "
+        f"THEN ({h} * {k + 211} % {_MIX_P} + {y * 53 + x * 11 + 101}) % {_PX_MOD} "
         f"ELSE ({base} + {bump}) % {_PX_MOD} END"
     )
 

@@ -79,9 +79,15 @@ def test_injected_near_dup_structure_is_recovered(spark):
         for a in (base, base + 4):
             for b in (base + 1, base + 5):
                 key = (min(a, b), max(a, b))
-                assert key in pairs and 0 < pairs[key] <= 2, (
+                # the bump flips AT MOST two comparisons; for some
+                # groups the +100 wrap leaves both signs unchanged, so
+                # 0 is legal — recovery is what's guaranteed
+                assert key in pairs and pairs[key] <= 2, (
                     f"v0-v1 near-dup missed: {key} -> {pairs.get(key)}"
                 )
+    # ... and the near band (1-2 bits) is actually populated: the
+    # family must exercise non-exact recall, not just re-encoded dups
+    assert any(0 < h <= 2 for h in pairs.values())
 
 
 def test_banding_plan_has_no_cartesian_and_joins_on_chunks(spark):
@@ -127,3 +133,20 @@ def test_fingerprints_match_oracle_at_fixture(spark, tables):
     d2 = ddf[cols].sort_values(cols).reset_index(drop=True)
     assert s2.equals(d2.astype(s2.dtypes.to_dict()))
     con.close()
+
+
+def test_pair_count_stays_linear_when_groups_outnumber_251(spark):
+    """The failure the 10x replica caught: a pixel texture of the form
+    (h*k) % 251 collapses the group hash to h % 251 — only 251
+    distinct base images, so the moment groups outnumber 251 the
+    exact-dup pairs go quadratic (3.9 M pairs from 50 k docs). The
+    mod-P mix must keep pairs ~linear: 16k docs = 2000 groups (8x the
+    251 classes) must produce ~8 in-group pairs per group plus at most
+    a small accidental tail."""
+    n = 16_384
+    pairs = im.dedup_image_phash(_docs(spark, n)).count()
+    groups = n // im.GROUP_SIZE
+    # design: 4 exact + 4 v0-v1 near pairs per group; allow 2x slack
+    # for accidental near-collisions, nothing like the 77x blow-up
+    assert pairs <= 16 * groups, f"{pairs} pairs for {groups} groups"
+    assert pairs >= 8 * groups * 0.9
