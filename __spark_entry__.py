@@ -185,6 +185,10 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the oracle replays the closed-form pixels (PNG is lossless)
     "image_phash_fingerprints": lambda s, d: imd.image_phash_fingerprints(_t(s, d)["documents"]),
     "dedup_image_phash": lambda s, d: imd.dedup_image_phash(_t(s, d)["documents"]),
+    # the family's durable-index lifecycle face: base ingest ->
+    # exactly-once drop append -> batch probe (fingerprints are 8
+    # bytes, so the band index IS the verification index)
+    "dedup_image_phash_append": imd.image_phash_incremental_append,
     "multimodal_frame_sample": lambda s, d: mm.frame_sample(mm.attach_binary(_t(s, d)["documents"])),
 }
 
@@ -210,6 +214,7 @@ _LLM_ORACLES: dict[str, str] = {
     "multimodal_decode_stub": mm.decode_stub_sql(),
     "image_phash_fingerprints": imd.image_phash_fingerprints_sql(),
     "dedup_image_phash": imd.dedup_image_phash_sql(),
+    "dedup_image_phash_append": imd.image_phash_incremental_append_sql(),
     "multimodal_frame_sample": mm.frame_sample_sql(),
 }
 

@@ -133,6 +133,16 @@ LLM_SECTION = [
     # round 12 (late): the URL-dedup crawl pre-stage
     "curation_url_canonicalize",
     "dedup_url_canonical",
+    # round 13: the streaming ingest faces (drain lands in warm-up,
+    # timed runs pay the idempotent re-drain check + the served probe;
+    # DuckDB runs the full pipeline both ways) + perceptual image dedup
+    # (PNG encode+decode+hash in Arrow batches vs DuckDB's closed-form
+    # pixel replay — the honest codec-vs-arithmetic comparison)
+    "stream_ivf_index_append",
+    "stream_minhash_index_append",
+    "image_phash_fingerprints",
+    "dedup_image_phash",
+    "dedup_image_phash_append",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

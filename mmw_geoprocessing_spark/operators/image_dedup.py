@@ -338,3 +338,132 @@ def dedup_image_phash_sql() -> str:
         + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
         <= {HAMMING_T}
     """
+
+
+# ---------------------------------------------------------------------------
+# The durable-index lifecycle face (round 13): every dedup family in
+# this repo carries an incremental ingest/serve shape (minhash:
+# dedup.incremental_batch_dedup_append; URLs: dedup_url_canonical is
+# stateless). Perceptual fingerprints are 8 bytes, so — unlike minhash
+# — the band index IS the verification index: each band row carries
+# the full four-chunk fingerprint and candidates verify in-expression,
+# no second index, no array join.
+# ---------------------------------------------------------------------------
+
+IMG_INC_MOD, IMG_INC_BATCH_REM, IMG_INC_DROP_REM = 10, 7, 3
+
+
+def _fp_bands(fp: DataFrame) -> DataFrame:
+    """Band rows ``(doc_id, d0..d3, bkey)`` — one per chunk, with the
+    single-column bucket key ``bkey = ci * 2^16 + cv`` so the durable
+    index buckets on one int and probes bucket-prune."""
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("ci"), F.col(f"d{i}").alias("cv"))
+                for i in range(4)
+            ]
+        )
+    )
+    return (
+        fp.select("doc_id", "d0", "d1", "d2", "d3", chunk.alias("c"))
+        .select(
+            "doc_id", "d0", "d1", "d2", "d3",
+            (F.col("c.ci") * 65536 + F.col("c.cv")).alias("bkey"),
+        )
+    )
+
+
+def image_phash_incremental_append(spark, sf_dir: str) -> DataFrame:
+    """Registry row ``dedup_image_phash_append``: the full lifecycle —
+    the standing reference corpus (``doc_id % 10 ∉ {3, 7}``) was
+    fingerprinted and indexed at ITS ingest (bkey-bucketed band index,
+    one journaled build); yesterday's image drop (``doc_id % 10 = 3``)
+    appends its band rows exactly-once (marker commit, one extra file
+    per touched bucket); today's incoming batch (``doc_id % 10 = 7``)
+    fingerprints only ITSELF and probes the combined index. Ingest
+    cost ∝ the drop; probe cost ∝ the batch. base ∪ drop = the full
+    reference corpus, so the oracle replays a full-reference probe.
+    Output: ``(doc_id, n_ref_matches)`` per incoming document."""
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fpr = corpus_fingerprint(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    rem = F.col("doc_id") % IMG_INC_MOD
+    is_batch = rem == IMG_INC_BATCH_REM
+    is_drop = rem == IMG_INC_DROP_REM
+
+    def _bands_of(side) -> DataFrame:
+        return _fp_bands(image_phash_fingerprints(docs.filter(side)))
+
+    get_or_build_index(
+        spark, "img_phash_bands_inc", fpr,
+        lambda: _bands_of(~is_batch & ~is_drop), bucket_col="bkey",
+    )
+    append_once(
+        spark, "img_phash_bands_inc", fpr, "drop1",
+        lambda: _bands_of(is_drop), bucket_col="bkey",
+    )
+    ref = get_or_build_index(
+        spark, "img_phash_bands_inc", fpr,
+        lambda: (_ for _ in ()).throw(AssertionError("built above")),
+        bucket_col="bkey",
+    )
+    probe = _fp_bands(image_phash_fingerprints(docs.filter(is_batch))).select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"d{i}").alias(f"x{i}") for i in range(4)],
+        "bkey",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"d{i}"))) for i in range(4)
+    )
+    matches = (
+        probe.join(ref.select("doc_id", "d0", "d1", "d2", "d3", "bkey"), "bkey")
+        .filter(ham <= HAMMING_T)
+        .select("b_id", F.col("doc_id").alias("ref_id"))
+        .dropDuplicates(["b_id", "ref_id"])
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_matches"))
+    )
+    incoming = docs.filter(is_batch).select("doc_id")
+    return incoming.join(
+        matches.withColumnRenamed("b_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("bigint").alias(
+            "n_ref_matches"
+        ),
+    )
+
+
+def image_phash_incremental_append_sql() -> str:
+    """Full-reference probe replay (base ∪ appended drop = the whole
+    reference corpus under the frozen pixel form)."""
+    return f"""
+    WITH phash AS ({_phash_cte()}),
+    bands AS (
+      SELECT doc_id, d0, d1, d2, d3,
+             ci * 65536 + CASE ci WHEN 0 THEN d0 WHEN 1 THEN d1
+                                  WHEN 2 THEN d2 ELSE d3 END AS bkey
+      FROM phash, UNNEST([0, 1, 2, 3]) AS t(ci)
+    ),
+    matches AS (
+      SELECT b.doc_id AS b_id, CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n
+      FROM (SELECT * FROM bands WHERE doc_id % {IMG_INC_MOD} = {IMG_INC_BATCH_REM}) b
+      JOIN (SELECT * FROM bands WHERE doc_id % {IMG_INC_MOD} != {IMG_INC_BATCH_REM}) r
+        USING (bkey)
+      WHERE bit_count(xor(b.d0, r.d0)) + bit_count(xor(b.d1, r.d1))
+          + bit_count(xor(b.d2, r.d2)) + bit_count(xor(b.d3, r.d3))
+          <= {HAMMING_T}
+      GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(m.n, 0) AS n_ref_matches
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {IMG_INC_MOD} = {IMG_INC_BATCH_REM}) d
+    LEFT JOIN matches m ON d.doc_id = m.b_id
+    """

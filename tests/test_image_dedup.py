@@ -150,3 +150,35 @@ def test_pair_count_stays_linear_when_groups_outnumber_251(spark):
     # for accidental near-collisions, nothing like the 77x blow-up
     assert pairs <= 16 * groups, f"{pairs} pairs for {groups} groups"
     assert pairs >= 8 * groups * 0.9
+
+
+def test_incremental_append_matches_full_and_is_exactly_once(spark, tables):
+    """The lifecycle face: base-ingest + drop-append must serve the
+    same probe results as a full-reference rebuild, the drop's marker
+    must no-op a replay, and the probe must bucket-prune."""
+    import duckdb
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+    from mmw_geoprocessing_spark.sources.tables import TABLE_NAMES
+
+    got = im.image_phash_incremental_append(spark, SF_DIR)
+    rows = sorted((r["doc_id"], r["n_ref_matches"]) for r in got.collect())
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = sorted(
+        map(tuple, con.execute(im.image_phash_incremental_append_sql()).fetchall())
+    )
+    assert rows == want
+    con.close()
+    # the drop's marker no-ops a replayed append (build must not run)
+    fpr = ixs.corpus_fingerprint(SF_DIR, "documents")
+    assert not ixs.append_once(
+        spark, "img_phash_bands_inc", fpr, "drop1",
+        lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
+        bucket_col="bkey",
+    )
+    # some incoming docs DO match the reference (the structure bites)
+    assert any(n > 0 for _, n in rows)
