@@ -4,7 +4,18 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-129 queries are registered: round 12 adds the index LIFECYCLE faces
+134 queries are registered: round 13 adds the STREAMING ingest faces
+for the other two durable index families —
+``stream_ivf_index_append`` (embedding drops against the frozen
+quantizer into the cell-partitioned inverted file, exactly-once
+under checkpoint loss) and ``stream_minhash_index_append`` (two
+journaled commits per drop into the band + array indexes,
+crash-window-safe) — plus the perceptual image-dedup family
+``image_phash_fingerprints`` / ``dedup_image_phash`` /
+``dedup_image_phash_append`` (real PNG encode->decode in Arrow
+batches, dHash/aHash 16-bit chunk packing, Hamming-banded near-dup,
+band-bucketed durable index with exactly-once drop appends). Round
+12 added the index LIFECYCLE faces
 — ``search_bm25_index_compact`` (appended fragments rewritten to one
 file per bucket; generation pointer swap, markers/pruning survive),
 ``similarity_ann_ivf_append`` (exactly-once drop append into the

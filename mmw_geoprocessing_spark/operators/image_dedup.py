@@ -78,26 +78,42 @@ _HASH_CAP = 2_147_483_648  # keeps every SQL intermediate far under int64
 _MIX_P = 2_147_483_647  # Mersenne prime: h -> h*K % P permutes per pixel
 
 
+def _pixel_const(salt: int, y: int, x: int) -> int:
+    """Deterministic per-(variant, pixel) multiplier: an md5-derived
+    odd 30-bit constant, embedded as a LITERAL in both the Python
+    kernel and the SQL twin. Independent multipliers per pixel are
+    what make cross-group fingerprints uncorrelated (see _px)."""
+    import hashlib
+
+    digest = hashlib.md5(f"imgtex:{salt}:{y}:{x}".encode()).hexdigest()
+    return (int(digest[:8], 16) % (1 << 30)) | 1
+
+
 def _px(g: int, v: int, y: int, x: int) -> int:
     """The closed-form pixel the oracle replays (g = doc group, v =
     variant). Kept in ONE place; `_px_sql` is its SQL twin. Each pixel
-    mixes the group hash with a DISTINCT multiplier modulo the large
-    prime ``_MIX_P`` BEFORE the mod-251 quantization — two earlier
-    textures failed at scale and are pinned in tests: a linear texture
-    cancels g in ``px[y][x+1]-px[y][x]`` (every base image a near-dup
-    of every other), and ``(h*k) % 251`` collapses the hash to
-    ``h % 251`` — only 251 distinct base images, quadratic exact-dup
-    pairs the moment groups outnumber 251 (caught at the 10x replica:
-    3.9 M pairs from 50 k docs). Heavy variants use disjoint
-    multiplier ranges so they decorrelate from the base the same way.
-    All arithmetic stays below 2^45 for DuckDB's checked int64."""
+    mixes the group hash with an INDEPENDENT md5-derived multiplier
+    modulo the large prime ``_MIX_P`` before the mod-251 quantization.
+    THREE earlier textures failed at scale and are pinned in tests:
+    (1) a linear texture cancels g in ``px[y][x+1]-px[y][x]`` — every
+    base image a near-dup of every other; (2) ``(h*k) % 251``
+    collapses the hash to ``h % 251`` — 251 distinct base images,
+    quadratic exact dups past 251 groups (3.9 M pairs from 50 k docs
+    at the 10x replica); (3) sequential multipliers ``h*k % P`` give
+    consecutive pixels a CONSTANT step ``h mod P``, so groups with
+    nearby steps have correlated dHash bits — pair rate grew
+    16/group at 6 k groups -> 105/group at 62 k groups (the 100x
+    replica). Independent per-pixel multipliers leave cross-group
+    near-collisions at the random-64-bit rate (~2e-15). Heavy
+    variants (2/3) use their own multiplier tables (salted), base and
+    v1 share one. h < 2^31 and K < 2^30 keep h*K < 2^61 for DuckDB's
+    checked int64."""
     h = (g % _HASH_MOD) * _HASH_MUL % _HASH_CAP
-    k = 1 + y * IMG_W + x  # 1..72; variants shift into disjoint ranges
     if v == 2:
-        return (h * (k + 97) % _MIX_P + y * 37 + x * 41 + 13) % _PX_MOD
+        return (h * _pixel_const(2, y, x) % _MIX_P + 13) % _PX_MOD
     if v == 3:
-        return (h * (k + 211) % _MIX_P + y * 53 + x * 11 + 101) % _PX_MOD
-    base = (h * k % _MIX_P + y * 17 + x * 29 + (y * x) % 7) % _PX_MOD
+        return (h * _pixel_const(3, y, x) % _MIX_P + 101) % _PX_MOD
+    base = (h * _pixel_const(0, y, x) % _MIX_P) % _PX_MOD
     if v == 1 and y == g % IMG_H and x == 1 + g % (IMG_W - 2):
         return (base + 100) % _PX_MOD
     return base
@@ -105,23 +121,20 @@ def _px(g: int, v: int, y: int, x: int) -> int:
 
 def _px_sql(y: int, x: int) -> str:
     """DuckDB expression for pixel (y, x) of document ``doc_id`` —
-    y and x are LITERALS, so everything folds to doc_id arithmetic.
-    ``h`` peaks at ~2^31 and the largest product (h * 3k) stays under
-    2^39 — safe for DuckDB's overflow-checked int64."""
+    y, x and the per-pixel multipliers are LITERALS, so everything
+    folds to doc_id arithmetic. h < 2^31 and K < 2^30 keep every
+    intermediate under 2^61 for DuckDB's overflow-checked int64."""
     h = f"(((doc_id // {GROUP_SIZE}) % {_HASH_MOD}) * {_HASH_MUL} % {_HASH_CAP})"
-    k = 1 + y * IMG_W + x
-    base = (
-        f"({h} * {k} % {_MIX_P} + {y * 17 + x * 29 + (y * x) % 7}) % {_PX_MOD}"
-    )
+    base = f"({h} * {_pixel_const(0, y, x)} % {_MIX_P}) % {_PX_MOD}"
     bump = (
         f"CASE WHEN doc_id % 4 = 1 AND (doc_id // {GROUP_SIZE}) % {IMG_H} = {y} "
         f"AND 1 + (doc_id // {GROUP_SIZE}) % {IMG_W - 2} = {x} THEN 100 ELSE 0 END"
     )
     return (
         f"CASE WHEN doc_id % 4 = 2 "
-        f"THEN ({h} * {k + 97} % {_MIX_P} + {y * 37 + x * 41 + 13}) % {_PX_MOD} "
+        f"THEN ({h} * {_pixel_const(2, y, x)} % {_MIX_P} + 13) % {_PX_MOD} "
         f"WHEN doc_id % 4 = 3 "
-        f"THEN ({h} * {k + 211} % {_MIX_P} + {y * 53 + x * 11 + 101}) % {_PX_MOD} "
+        f"THEN ({h} * {_pixel_const(3, y, x)} % {_MIX_P} + 101) % {_PX_MOD} "
         f"ELSE ({base} + {bump}) % {_PX_MOD} END"
     )
 
@@ -401,18 +414,24 @@ def image_phash_incremental_append(spark, sf_dir: str) -> DataFrame:
     def _bands_of(side) -> DataFrame:
         return _fp_bands(image_phash_fingerprints(docs.filter(side)))
 
+    # spec_version pins the PIXEL-TEXTURE version: the corpus
+    # fingerprint keys the input data, which is unchanged when the
+    # deterministic texture evolves — a texture change must build a
+    # fresh index, not serve stale fingerprints
+    spec = "tex3"
     get_or_build_index(
         spark, "img_phash_bands_inc", fpr,
         lambda: _bands_of(~is_batch & ~is_drop), bucket_col="bkey",
+        spec_version=spec,
     )
     append_once(
         spark, "img_phash_bands_inc", fpr, "drop1",
-        lambda: _bands_of(is_drop), bucket_col="bkey",
+        lambda: _bands_of(is_drop), bucket_col="bkey", spec_version=spec,
     )
     ref = get_or_build_index(
         spark, "img_phash_bands_inc", fpr,
         lambda: (_ for _ in ()).throw(AssertionError("built above")),
-        bucket_col="bkey",
+        bucket_col="bkey", spec_version=spec,
     )
     probe = _fp_bands(image_phash_fingerprints(docs.filter(is_batch))).select(
         F.col("doc_id").alias("b_id"),
