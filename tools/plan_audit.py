@@ -130,6 +130,14 @@ AUDITED = [
     # and canonical-URL dedup (one hash aggregation)
     "curation_url_canonicalize",
     "dedup_url_canonical",
+    # round-13: perceptual image dedup — fingerprints are one
+    # mapInPandas (no shuffle); the near-dup plan's evidence is the
+    # (ci, cv) equi-join with NO cartesian; the append face probes the
+    # bkey-bucketed index (streaming drains stay gated by their oracle
+    # rows + crash tests, like the other stream entries)
+    "image_phash_fingerprints",
+    "dedup_image_phash",
+    "dedup_image_phash_append",
 ]
 
 THETA_OK = {
