@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-134 queries are registered: round 13 adds the STREAMING ingest faces
+136 queries are registered: round 13 adds the STREAMING ingest faces
 for the other two durable index families —
 ``stream_ivf_index_append`` (embedding drops against the frozen
 quantizer into the cell-partitioned inverted file, exactly-once
@@ -14,7 +14,10 @@ crash-window-safe) — plus the perceptual image-dedup family
 ``image_phash_fingerprints`` / ``dedup_image_phash`` /
 ``dedup_image_phash_append`` (real PNG encode->decode in Arrow
 batches, dHash/aHash 16-bit chunk packing, Hamming-banded near-dup,
-band-bucketed durable index with exactly-once drop appends). Round
+band-bucketed durable index with exactly-once drop appends) and its
+audio sibling ``audio_energy_fingerprints`` / ``dedup_audio_energy``
+(real stdlib WAV codec round trip, frame-energy fingerprints,
+shared-frame matching). Round
 12 added the index LIFECYCLE faces
 — ``search_bm25_index_compact`` (appended fragments rewritten to one
 file per bucket; generation pointer swap, markers/pruning survive),
@@ -110,6 +113,7 @@ from mmw_geoprocessing_spark.operators import curation as cu
 from mmw_geoprocessing_spark.operators import dedup as dd
 from mmw_geoprocessing_spark.operators import expectations as ex
 from mmw_geoprocessing_spark.operators import graph as gr
+from mmw_geoprocessing_spark.operators import audio_dedup as aud
 from mmw_geoprocessing_spark.operators import image_dedup as imd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
@@ -200,6 +204,10 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exactly-once drop append -> batch probe (fingerprints are 8
     # bytes, so the band index IS the verification index)
     "dedup_image_phash_append": imd.image_phash_incremental_append,
+    # the audio-modality sibling (round 13): frame-energy fingerprints
+    # through the REAL stdlib WAV codec, shared-frame near-dup matching
+    "audio_energy_fingerprints": lambda s, d: aud.audio_energy_fingerprints(_t(s, d)["documents"]),
+    "dedup_audio_energy": lambda s, d: aud.dedup_audio_energy(_t(s, d)["documents"]),
     "multimodal_frame_sample": lambda s, d: mm.frame_sample(mm.attach_binary(_t(s, d)["documents"])),
 }
 
@@ -226,6 +234,8 @@ _LLM_ORACLES: dict[str, str] = {
     "image_phash_fingerprints": imd.image_phash_fingerprints_sql(),
     "dedup_image_phash": imd.dedup_image_phash_sql(),
     "dedup_image_phash_append": imd.image_phash_incremental_append_sql(),
+    "audio_energy_fingerprints": aud.audio_energy_fingerprints_sql(),
+    "dedup_audio_energy": aud.dedup_audio_energy_sql(),
     "multimodal_frame_sample": mm.frame_sample_sql(),
 }
 

@@ -143,6 +143,8 @@ LLM_SECTION = [
     "image_phash_fingerprints",
     "dedup_image_phash",
     "dedup_image_phash_append",
+    "audio_energy_fingerprints",
+    "dedup_audio_energy",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

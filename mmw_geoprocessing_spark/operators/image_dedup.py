@@ -86,7 +86,11 @@ HAMMING_T = 3
 _PX_MOD = 251  # pixels in 0..250 (< 256, PNG-byte-safe)
 
 
-_HASH_MOD = 1_000_000_007  # group period before base images can repeat
+_HASH_MOD = 2_147_483_647  # group period: no repeat below ~17e9 docs
+# (1e9+7 was SMALLER than max group id at the 100x replica — copies >= 81
+# wrapped onto copies 1..19's group ranges and produced ~250k cross-copy
+# dup pairs; deterministic and oracle-agreed, but the clean period is free:
+# (2^31-1) * _HASH_MUL stays under 2^63 in both engines)
 _HASH_MUL = 2_654_435_761  # Knuth multiplicative constant
 _HASH_CAP = 2_147_483_648  # keeps every SQL intermediate far under int64
 _MIX_P = 2_147_483_647  # Mersenne prime: h -> h*K % P permutes per pixel
@@ -436,7 +440,7 @@ def image_phash_incremental_append(spark, sf_dir: str) -> DataFrame:
     # fingerprint keys the input data, which is unchanged when the
     # deterministic texture evolves — a texture change must build a
     # fresh index, not serve stale fingerprints
-    spec = "tex3"
+    spec = "tex4"
     get_or_build_index(
         spark, "img_phash_bands_inc", fpr,
         lambda: _bands_of(~is_batch & ~is_drop), bucket_col="bkey",

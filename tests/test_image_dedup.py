@@ -178,7 +178,7 @@ def test_incremental_append_matches_full_and_is_exactly_once(spark, tables):
     assert not ixs.append_once(
         spark, "img_phash_bands_inc", fpr, "drop1",
         lambda: (_ for _ in ()).throw(AssertionError("replay re-ran build")),
-        bucket_col="bkey", spec_version="tex3",
+        bucket_col="bkey", spec_version="tex4",
     )
     # some incoming docs DO match the reference (the structure bites)
     assert any(n > 0 for _, n in rows)

@@ -138,6 +138,10 @@ AUDITED = [
     "image_phash_fingerprints",
     "dedup_image_phash",
     "dedup_image_phash_append",
+    # the audio sibling: fingerprints one mapInPandas, matcher a
+    # (fi, ev) equi-join with no cartesian
+    "audio_energy_fingerprints",
+    "dedup_audio_energy",
 ]
 
 THETA_OK = {
