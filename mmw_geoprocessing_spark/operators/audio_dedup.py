@@ -223,10 +223,21 @@ def audio_energy_fingerprints_sql() -> str:
 
 def dedup_audio_energy(documents: DataFrame) -> DataFrame:
     """Shared-frame audio near-dup: candidates share (frame_idx,
-    energy) for >= 1 frame (one exchange on the band key), verified by
-    the exact shared-frame count ``>= MATCH_FRAMES_T``. Output:
-    ``(a_id, b_id, n_shared)`` with a_id < b_id (n_shared = 16 is the
-    re-encoded exact dup, 15 the one-frame edit)."""
+    energy) for >= 1 frame, verified by the exact shared-frame count
+    ``>= MATCH_FRAMES_T``. Output: ``(a_id, b_id, n_shared)`` with
+    a_id < b_id (n_shared = 16 is the re-encoded exact dup, 15 the
+    one-frame edit).
+
+    Plan shape: ONE shuffle — group the band rows by the packed key
+    ``fi * 2^16 + ev``, then enumerate each bucket's doc pairs
+    JVM-side (``transform``/``slice`` over the sorted doc list). The
+    standard LSH-bucket pair enumeration; measured at the 100×
+    replica it replaced the band self-join's two 8 M-row exchanges
+    and ran 17.9 s → 5.9 s. A bucket with k docs expands k²/2 pairs
+    in one task — bounded by the fixture's design (~4 docs/bucket)
+    and by 16-bit feature width in general; a deployment facing an
+    adversarial hot feature value (e.g. digital silence) pre-filters
+    it like a stopword — the same hot-band answer as minhash LSH."""
     fp = audio_energy_fingerprints(documents)
     band = F.explode(
         F.array(
@@ -237,14 +248,24 @@ def dedup_audio_energy(documents: DataFrame) -> DataFrame:
         )
     )
     bands = fp.select("doc_id", band.alias("b")).select(
-        "doc_id", "b.fi", "b.ev"
+        "doc_id", (F.col("b.fi") * 65536 + F.col("b.ev")).alias("bk")
     )
-    a = bands.select(F.col("doc_id").alias("a_id"), "fi", "ev")
-    b = bands.select(F.col("doc_id").alias("b_id"), "fi", "ev")
+    buckets = (
+        bands.groupBy("bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS a_id, y AS b_id))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id")
     return (
-        a.join(b, ["fi", "ev"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        pairs.groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= MATCH_FRAMES_T)
     )
