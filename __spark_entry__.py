@@ -4,7 +4,7 @@
 ``queries()`` — one callable per implemented query/operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key.
 
-136 queries are registered: round 13 adds the STREAMING ingest faces
+137 queries are registered: round 13 adds the STREAMING ingest faces
 for the other two durable index families —
 ``stream_ivf_index_append`` (embedding drops against the frozen
 quantizer into the cell-partitioned inverted file, exactly-once
@@ -1017,6 +1017,9 @@ def lib_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per drop, crash-window-safe)
         "stream_ivf_index_append": si.stream_ivf_serve,
         "stream_minhash_index_append": si.stream_minhash_serve,
+    # round 13 (late): the image band index's streaming face — every
+    # durable index family (bm25 / ivf / minhash / phash) now has one
+    "stream_phash_index_append": si.stream_phash_serve,
         # Spark-4 custom Python DataSource (pyspark.sql.datasource):
         # deterministic synthetic ledger read in parallel partitions;
         # md5-derived content gives it a full value-hash oracle. The
@@ -1150,6 +1153,7 @@ def lib_oracle_sql() -> dict[str, str]:
         "stream_index_append": si.stream_index_serve_sql(),
         "stream_ivf_index_append": si.stream_ivf_serve_sql(),
         "stream_minhash_index_append": si.stream_minhash_serve_sql(),
+    "stream_phash_index_append": si.stream_phash_serve_sql(),
         "source_python_ledger": psrc.ledger_account_rollup_sql(),
         "source_python_stream": psrc.ledger_stream_rollup_sql(),
         "maintenance_compact": maint.compact_orders_roundtrip_sql(),

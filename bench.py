@@ -145,6 +145,7 @@ LLM_SECTION = [
     "dedup_image_phash_append",
     "audio_energy_fingerprints",
     "dedup_audio_energy",
+    "stream_phash_index_append",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest

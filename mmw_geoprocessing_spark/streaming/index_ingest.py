@@ -554,3 +554,99 @@ def stream_minhash_serve_sql(threshold: float = 0.5) -> str:
     from mmw_geoprocessing_spark.operators.dedup import incremental_batch_dedup_sql
 
     return incremental_batch_dedup_sql(threshold=threshold)
+
+
+def stream_phash_ingest(
+    spark: SparkSession, sf_dir: str, appended_log: list[str] | None = None
+) -> str:
+    """Round 13 (late): the streaming face for the FOURTH durable
+    index family — perceptual-image fingerprint bands. Image drops are
+    drained availableNow into the bkey-bucketed band index with the
+    same recipe as the other three faces: file-identity idempotence
+    tags, journaled marker commits, durable checkpoint. Each
+    micro-batch fingerprints ONLY its own documents (synthesize → PNG
+    encode → decode → dHash, Arrow-batched) and appends the band rows
+    exactly-once. Day zero starts from an EMPTY bucketed index."""
+    from mmw_geoprocessing_spark.operators import image_dedup as imd
+    from mmw_geoprocessing_spark.sources.index_store import (
+        append_once,
+        corpus_fingerprint,
+        get_or_build_index,
+    )
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spec = "tex4s"
+
+    def _bands(rows: DataFrame) -> DataFrame:
+        return imd._fp_bands(imd.image_phash(imd.attach_image(rows)))
+
+    get_or_build_index(
+        spark, "img_phash_bands_stream", fp, lambda: _bands(docs.limit(0)),
+        bucket_col="bkey", spec_version=spec,
+    )
+    replay = _chunked_replay_dir(spark, sf_dir, "documents_phash", docs, "doc_id")
+    ident = os.path.basename(replay)
+
+    def _body(batch: DataFrame, _eid: int) -> None:
+        for tag, fname in _batch_file_tags(batch):
+            rows = batch.filter(F.input_file_name() == fname)
+            did = append_once(
+                spark, "img_phash_bands_stream", fp, tag,
+                lambda r=rows: _bands(r), bucket_col="bkey",
+                spec_version=spec,
+            )
+            if did and appended_log is not None:
+                appended_log.append(tag)
+
+    _drain_files(
+        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+    )
+    return fp
+
+
+def stream_phash_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry row ``stream_phash_index_append``: drain the image
+    stream into the durable band index, then serve the banded near-dup
+    from it — candidates from the streamed index joined per chunk,
+    verified by exact Hamming (the fingerprint IS in the band row).
+    The streamed index holds exactly the full corpus -> the
+    ``dedup_image_phash`` oracle hash-gates the pipeline end-to-end."""
+    from mmw_geoprocessing_spark.operators import image_dedup as imd
+    from mmw_geoprocessing_spark.sources.index_store import get_or_build_index
+
+    fp = stream_phash_ingest(spark, sf_dir)
+    bands = get_or_build_index(
+        spark, "img_phash_bands_stream", fp,
+        lambda: (_ for _ in ()).throw(AssertionError("built by the drain")),
+        bucket_col="bkey", spec_version="tex4s",
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"d{i}").alias(f"x{i}") for i in range(4)],
+        "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"d{i}").alias(f"y{i}") for i in range(4)],
+        "bkey",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= imd.HAMMING_T)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def stream_phash_serve_sql() -> str:
+    from mmw_geoprocessing_spark.operators.image_dedup import (
+        dedup_image_phash_sql,
+    )
+
+    return dedup_image_phash_sql()

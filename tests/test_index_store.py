@@ -1052,3 +1052,30 @@ def test_auto_compaction_partitioned_layout(spark, monkeypatch):
             ).collect()
         )
         assert got == sorted(want), f"drop {n} serving"
+
+
+def test_stream_phash_ingest_exactly_once_under_checkpoint_loss(spark, tables):
+    """Round-13 late: the image band index's streaming face. Drain the
+    image drops, DESTROY the checkpoint, re-drain — zero appends — and
+    the served near-dup must equal the session dedup_image_phash plan
+    throughout (the streamed index holds the full corpus)."""
+    import tempfile
+
+    from mmw_geoprocessing_spark.operators import image_dedup as imd
+    from mmw_geoprocessing_spark.sources.tables import load_table
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: (r["a_id"], r["b_id"])
+    docs = load_table(spark, SF_DIR, "documents")
+    full = sorted(imd.dedup_image_phash(docs).collect(), key=key)
+    rows = sorted(ii.stream_phash_serve(spark, SF_DIR).collect(), key=key)
+    assert rows == full
+    replay = ii._chunked_replay_dir(
+        spark, SF_DIR, "documents_phash", docs.select("doc_id"), "doc_id"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    shutil.rmtree(ckpt)
+    log: list[str] = []
+    ii.stream_phash_ingest(spark, SF_DIR, appended_log=log)
+    assert log == [], f"checkpoint-loss replay re-appended drops: {log}"
+    assert sorted(ii.stream_phash_serve(spark, SF_DIR).collect(), key=key) == full
