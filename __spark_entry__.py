@@ -88,14 +88,15 @@ anti-filter, manifest swap for the rest — cost ∝ keys-hit-files) and
 commit, broadcast anti-join at read — same oracle, because readers
 must not be able to tell the strategies apart)), all
 with full
-oracle twins. ROUND-13 GATE ROTATION (r12 verdict #1): the driver's
+oracle twins. ROUND-14 GATE ROTATION (r13 verdict #1): the driver's
 correctness gate reads the FIRST 50 entries of ``queries()``.
-``_GATE_WINDOW`` below leads with the 42 entries last driver-checked
-in round 10 (two rounds of freshness decay is where drift hides —
-the exact list computed from the union of CORRECTNESS_r01..r12), then
-the 8 zonal public-operator rows O1-O8 (the reference's whole public
-surface, re-verified every round they fit). Displaced entries
-keep full selfcheck coverage (SELFCHECK_SF1/SF10 run ALL entries).
+``_GATE_WINDOW`` below leads with the 8 never-driver-verified
+round-13 entries, the 4 entries new in round 14, the rewritten
+dedup_url_canonical, then the 37 entries last driver-checked in
+round 11 (the staleness frontier, computed from the union of
+CORRECTNESS_r01..r13). Displaced entries keep full selfcheck
+coverage (SELFCHECK_SF1/SF10 run ALL entries), and
+tests/test_claims.py machine-checks the staleness budget.
 
 Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing).
@@ -117,6 +118,7 @@ from mmw_geoprocessing_spark.operators import audio_dedup as aud
 from mmw_geoprocessing_spark.operators import image_dedup as imd
 from mmw_geoprocessing_spark.operators import multimodal as mm
 from mmw_geoprocessing_spark.operators import pipelines as pl
+from mmw_geoprocessing_spark.operators import video_dedup as vid
 from mmw_geoprocessing_spark.operators import profile as prof
 from mmw_geoprocessing_spark.operators import relational as rel
 from mmw_geoprocessing_spark.operators import relational_ext as rex
@@ -209,6 +211,13 @@ _LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_energy_fingerprints": lambda s, d: aud.audio_energy_fingerprints(_t(s, d)["documents"]),
     "dedup_audio_energy": lambda s, d: aud.dedup_audio_energy(_t(s, d)["documents"]),
     "multimodal_frame_sample": lambda s, d: mm.frame_sample(mm.attach_binary(_t(s, d)["documents"])),
+    # the video-modality sibling (round 14, r13 verdict #7):
+    # length-prefixed clip containers of REAL PNG keyframes, per-frame
+    # dHash through the real codec, doc-level shared-fingerprint match
+    # (the audio matcher's one-shuffle bucket enumeration + the image
+    # family's hot-bucket cap; 10x linearity test shipped first)
+    "video_keyframe_fingerprints": lambda s, d: vid.video_keyframe_fingerprints(_t(s, d)["documents"]),
+    "dedup_video_keyframe": lambda s, d: vid.dedup_video_keyframe(_t(s, d)["documents"]),
 }
 
 _LLM_ORACLES: dict[str, str] = {
@@ -237,6 +246,8 @@ _LLM_ORACLES: dict[str, str] = {
     "audio_energy_fingerprints": aud.audio_energy_fingerprints_sql(),
     "dedup_audio_energy": aud.dedup_audio_energy_sql(),
     "multimodal_frame_sample": mm.frame_sample_sql(),
+    "video_keyframe_fingerprints": vid.video_keyframe_fingerprints_sql(),
+    "dedup_video_keyframe": vid.dedup_video_keyframe_sql(),
 }
 
 
@@ -502,6 +513,18 @@ def _tpch_q10(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _tpch_q3_preagg(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    return tpch.q3_shipping_priority_preagg(s, d)
+
+
+def _tpch_q10_preagg(s: SparkSession, d: str) -> DataFrame:
+    from mmw_geoprocessing_spark.operators import tpch
+
+    return tpch.q10_returned_items_preagg(s, d)
+
+
 def _tpch_q14(s: SparkSession, d: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import tpch
 
@@ -546,6 +569,11 @@ _REL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": _tpch_q6,
     "tpch_q6_clustered": _tpch_q6_clustered,
     "tpch_q10": _tpch_q10,
+    # r13 verdict #3: the ingest-time revenue-MV serving paths for the
+    # two queries whose bucketed-layout residual stayed ~2.2x at sf10
+    # (the per-row money kernel). Same oracles — layout is invisible.
+    "tpch_q3_preagg": _tpch_q3_preagg,
+    "tpch_q10_preagg": _tpch_q10_preagg,
     # Q14 — promo share: broadcast dim + exact-cents ratio; Q18 —
     # large-volume customers: the aggregate-then-semi-join shape
     "tpch_q14": _tpch_q14,
@@ -570,6 +598,8 @@ def _tpch_oracles() -> dict[str, str]:
         "tpch_q6": tpch.q6_sql(),
         "tpch_q6_clustered": tpch.q6_clustered_sql(),
         "tpch_q10": tpch.q10_sql(),
+        "tpch_q3_preagg": tpch.q3_preagg_sql(),
+        "tpch_q10_preagg": tpch.q10_preagg_sql(),
         "tpch_q14": tpch.q14_sql(),
         "tpch_q18": tpch.q18_sql(),
         "udtf_word_positions": word_positions_sql(),
@@ -623,70 +653,73 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate reads the FIRST 50 entries of
-# queries(). Round-13 rotation (r12 verdict #1): lead with the 42
-# entries last driver-checked in round 10 — two rounds of freshness
-# decay is where drift hides (the same discipline that rotated the r9
-# cohort in round 12) — then the 8 zonal public-operator rows (O1-O8),
-# the reference's whole public surface, re-verified every round they
-# fit. Everything displaced (incl. mapshed_suite and the NODATA-key
-# zonal row, both r12-driver-green) keeps SF1/SF10 selfcheck coverage.
+# queries(). Round-14 rotation (r13 verdict #1): lead with the 8
+# round-13 entries that have NEVER had a driver CORRECTNESS row (they
+# landed after the r13 window was pinned), then the 4 entries NEW in
+# round 14 (video keyframe family + the TPC-H revenue-MV serving
+# paths — new entries now enter the window the round they register),
+# then dedup_url_canonical (its byte-primitive parse was rewritten
+# this round: anchored scheme grammar + last-colon port strip), then
+# the 37 entries last driver-checked in round 11 — the staleness
+# frontier. Displaced entries (incl. the zonal O1-O8 rows, all
+# r13-driver-green) keep SF1/SF10 selfcheck coverage, and
+# tests/test_claims.py now FAILS if any registered entry's latest
+# driver row falls more than 2 rounds behind without a window slot.
 _GATE_WINDOW: list[str] = [
-    # -- 42 entries last driver-checked in round 10 (r12 verdict #1),
-    #    the exact list computed from the union of CORRECTNESS_r01..r12
-    "basket_pair_affinities",
-    "cdc_changelog_merge",
-    "cdc_scd2_history",
-    "curation_domain_rate_cap",
-    "dedup_bloom_probe",
-    "dedup_incremental_batch",
-    "dedup_neardup_components",
-    "embedding_quantize_int8",
-    "funnel_conversion",
-    "graph_pagerank",
-    "lib_contamination_check",
-    "lib_cosine_neardup_wide",
-    "lib_repetition_scores",
-    "lib_semantic_dedup_pairs",
-    "maintenance_zorder",
-    "pipeline_curate_corpus",
-    "retention_cohorts",
-    "sampling_corpus_mix",
-    "sampling_deterministic_split",
-    "sampling_epoch_shuffle",
-    "sampling_pack_token_batches",
-    "sampling_stratified_sample",
-    "search_bm25_indexed_topk",
-    "search_bm25_topk",
-    "search_hybrid_rrf_ivf_topk",
-    "search_hybrid_rrf_topk",
-    "semantic_dedup_components",
-    "sessionize_events",
-    "similarity_ann_ivf_q8_topk",
-    "similarity_cosine_topk_pandas",
-    "skew_join_salted",
-    "source_zonemap_prune",
-    "table_profile",
-    "text_bigram_surprisal",
-    "text_chunk_documents",
-    "text_classifier_score",
-    "text_duplicate_spans",
-    "text_normalize",
-    "text_pii_redact",
-    "text_quality_percentile_filter",
-    "text_unigram_surprisal",
-    "udtf_word_positions",
-    # -- 8 zonal public-operator rows (O1-O8): the reference's public
-    #    surface, re-verified every round they fit. mapshed_suite and
-    #    raster_grouped_count_nodata are displaced this round (both
-    #    r12-driver-green, both SF1/SF10-covered).
-    "raster_grouped_count",
-    "raster_grouped_count_many",
-    "raster_average",
-    "raster_grouped_average",
-    "raster_grouped_sum",
-    "raster_lines_join",
-    "raster_summary",
-    "multi_operation",
+    # -- 8 never-driver-verified round-13 entries (r13 verdict #1)
+    "image_phash_fingerprints",
+    "dedup_image_phash",
+    "dedup_image_phash_append",
+    "audio_energy_fingerprints",
+    "dedup_audio_energy",
+    "stream_ivf_index_append",
+    "stream_minhash_index_append",
+    "stream_phash_index_append",
+    # -- 4 entries new in round 14
+    "video_keyframe_fingerprints",
+    "dedup_video_keyframe",
+    "tpch_q3_preagg",
+    "tpch_q10_preagg",
+    # -- rewritten this round (r13 ADVICE: URL parse edge semantics)
+    "dedup_url_canonical",
+    # -- the 37 entries last driver-checked in round 11
+    "asof_join_cogroup",
+    "cdc_incremental_rollup",
+    "cdc_merge_into",
+    "dedup_exact",
+    "dedup_incremental_disk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_windows_showcase",
+    "maintenance_compact",
+    "maintenance_delete_mor",
+    "maintenance_delete_rows",
+    "maintenance_time_travel",
+    "pricing_summary",
+    "quality_expectations",
+    "sampling_decontaminated_mix",
+    "sampling_nucleus_topp",
+    "similarity_ann_ivf_disk_topk",
+    "similarity_ann_ivf_topk",
+    "similarity_ann_lsh_topk",
+    "similarity_cosine_topk",
+    "source_python_ledger",
+    "source_python_stream",
+    "stream_cdc_merge",
+    "stream_cdc_merge_bucketed",
+    "stream_content_dedup",
+    "stream_exact_dedup",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_stateful_counts",
+    "stream_static_enrich",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q6_clustered",
 ]
 
 

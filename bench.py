@@ -146,6 +146,15 @@ LLM_SECTION = [
     "audio_energy_fingerprints",
     "dedup_audio_energy",
     "stream_phash_index_append",
+    # round 14: the video-modality sibling (container parse + per-frame
+    # PNG decode + dHash vs DuckDB's closed-form replay) and the TPC-H
+    # revenue-MV serving paths (MV build lands in warm-up; DuckDB runs
+    # the full 3-way join both ways -> serving-path-only basis, like
+    # tpch_q6_clustered)
+    "video_keyframe_fingerprints",
+    "dedup_video_keyframe",
+    "tpch_q3_preagg",
+    "tpch_q10_preagg",
 ]
 
 # Rows whose Spark side serves a pre-materialized layout/manifest
@@ -159,6 +168,21 @@ SERVING_PATH_ONLY = {
     "maintenance_delete_mor",
     "maintenance_zorder",
     "source_zonemap_prune",
+    "tpch_q3_preagg",
+    "tpch_q10_preagg",
+}
+
+# Family headline representatives (r13 verdict #5): where a family
+# carries both an exact/fresh-plan baseline leg and a registered scale
+# path, the row a reader should grade the family by is the SERVED
+# path — the fresh leg is kept for trend-tracking of the baseline.
+# Recorded in the sidecar so the mapping ships with every bench run.
+FAMILY_REPRESENTATIVE = {
+    "search_bm25": "search_bm25_indexed_topk",
+    "similarity_cosine": "similarity_ann_ivf_topk",
+    "sampling_decontaminated": "sampling_decontaminated_mix_disk",
+    "tpch_q3": "tpch_q3_preagg",
+    "tpch_q10": "tpch_q10_preagg",
 }
 
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))
@@ -383,6 +407,7 @@ def main() -> None:
         "spark_run_series": spark_series,
         "duck_run_series": duck_series,
         "duck_threads": int(os.environ.get("BENCH_DUCK_THREADS", "16")),
+        "family_representative": FAMILY_REPRESENTATIVE,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"), "w") as f:

@@ -313,14 +313,22 @@ def image_phash_fingerprints_sql() -> str:
     return f"WITH phash AS ({_phash_cte()}) SELECT * FROM phash"
 
 
-def dedup_image_phash(documents: DataFrame) -> DataFrame:
-    """Hamming-banded perceptual near-dup over the dHash fingerprints:
-    candidates share one of the four 16-bit chunks (one exchange on
-    (chunk_idx, value) — never all-pairs), verified by exact Hamming
-    ``bit_count(xor)`` over all four chunks, ``<= HAMMING_T``. Output:
-    ``(a_id, b_id, hamming)`` with a_id < b_id (hamming 0 = re-encoded
-    exact dup, 1..3 = perturbed near-dup)."""
-    fp = image_phash_fingerprints(documents)
+#: per-(chunk_idx, chunk_value) candidate cap (r13 verdict #2 — the
+#: NEARDUP_BUCKET_CAP pattern ported from similarity.cosine_neardup_lsh):
+#: a real crawl's constant-color images all pack all-zero dHash chunks
+#: into ONE hot 16-bit bucket, turning the band self-join quadratic.
+#: Capping each bucket at its first CAP members by doc_id (the same
+#: deterministic ROW_NUMBER the oracle replays) bounds candidates at
+#: 4 x 65536 x C(cap, 2) regardless of corpus size. 256 exceeds every
+#: bucket the fixture texture produces at the tested scales (max well
+#: under 100 at sf0.1), so results are identical to the uncapped join
+#: there; truncation is NOT silent — image_band_truncation_stats
+#: reports affected buckets (SCALE.md "no silent caps").
+IMG_BAND_CAP = 256
+
+
+def _chunk_bands(fp: DataFrame) -> DataFrame:
+    """Band rows ``(doc_id, d0..d3, ci, cv)`` — one per 16-bit chunk."""
     chunk = F.explode(
         F.array(
             *[
@@ -329,9 +337,24 @@ def dedup_image_phash(documents: DataFrame) -> DataFrame:
             ]
         )
     )
-    bands = fp.select(
+    return fp.select(
         "doc_id", "d0", "d1", "d2", "d3", chunk.alias("c")
     ).select("doc_id", "d0", "d1", "d2", "d3", "c.ci", "c.cv")
+
+
+def _banded_pairs(fp: DataFrame) -> DataFrame:
+    """The capped Hamming-banded self-join over ANY fingerprint table
+    ``(doc_id, d0..d3)`` — factored out so the adversarial
+    constant-image test can drive it without the fixture texture."""
+    from pyspark.sql import Window
+
+    bands = _chunk_bands(fp)
+    cap_w = Window.partitionBy("ci", "cv").orderBy("doc_id")
+    bands = (
+        bands.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= IMG_BAND_CAP)
+        .drop("rn")
+    )
     a = bands.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"d{i}").alias(f"x{i}") for i in range(4)],
@@ -354,6 +377,36 @@ def dedup_image_phash(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_image_phash(documents: DataFrame) -> DataFrame:
+    """Hamming-banded perceptual near-dup over the dHash fingerprints:
+    candidates share one of the four 16-bit chunks (one exchange on
+    (chunk_idx, value) — never all-pairs, and each bucket capped at
+    ``IMG_BAND_CAP`` members so hot buckets stay bounded), verified by
+    exact Hamming ``bit_count(xor)`` over all four chunks,
+    ``<= HAMMING_T``. Output: ``(a_id, b_id, hamming)`` with
+    a_id < b_id (hamming 0 = re-encoded exact dup, 1..3 = perturbed
+    near-dup)."""
+    return _banded_pairs(image_phash_fingerprints(documents))
+
+
+def image_band_truncation_stats(documents: DataFrame) -> DataFrame:
+    """The cap's visibility hook (the "no silent caps" rule, mirroring
+    similarity.neardup_truncation_stats): one row per (ci, cv) band
+    bucket whose population exceeds ``IMG_BAND_CAP``. Empty means
+    ``dedup_image_phash`` ran with NO truncation — identical to the
+    uncapped join. Check once at ingest for a new corpus; a hot bucket
+    here usually means a constant-color or letterbox-border image
+    cohort that should be routed to exact byte dedup first."""
+    bands = _chunk_bands(image_phash_fingerprints(documents))
+    return (
+        bands.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("population"))
+        .filter(F.col("population") > IMG_BAND_CAP)
+        .withColumn("kept", F.lit(IMG_BAND_CAP))
+        .withColumn("discarded", F.col("population") - IMG_BAND_CAP)
+    )
+
+
 def dedup_image_phash_sql() -> str:
     return f"""
     WITH phash AS ({_phash_cte()}),
@@ -362,13 +415,19 @@ def dedup_image_phash_sql() -> str:
              CASE ci WHEN 0 THEN d0 WHEN 1 THEN d1
                      WHEN 2 THEN d2 ELSE d3 END AS cv
       FROM phash, UNNEST([0, 1, 2, 3]) AS t(ci)
+    ),
+    capped AS (
+      SELECT doc_id, d0, d1, d2, d3, ci, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {IMG_BAND_CAP}
     )
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
               + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
              AS INT) AS hamming
-    FROM bands a JOIN bands b ON a.ci = b.ci AND a.cv = b.cv
-                             AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
+                               AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
         + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
         <= {HAMMING_T}

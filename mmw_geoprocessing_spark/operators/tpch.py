@@ -236,6 +236,92 @@ def q10_sql() -> str:
     """
 
 
+def q3_shipping_priority_preagg(
+    spark, sf_dir: str, segment: str = "BUILDING"
+) -> DataFrame:
+    """Q3 served from the ingest-time revenue MV (r13 verdict #3): the
+    per-orderkey unshipped-revenue cents are already aggregated
+    (``tpch_layout.revenue_mv``), so the query-time plan joins
+    date-filtered orders to the MV 1:1 on the co-bucketed orderkey —
+    no lineitem scan, no money aggregation, no fact shuffle — and
+    tops-k. ``n_unshipped > 0`` preserves inner-join semantics (an
+    order with no qualifying lineitems must not appear, even at
+    revenue 0). The partial cents are the identical integers the
+    direct plan sums, so ``q3_sql()`` hash-gates the path unchanged."""
+    from mmw_geoprocessing_spark.sources.tpch_layout import (
+        fact_tables,
+        revenue_mv,
+    )
+
+    t = fact_tables(spark, sf_dir)
+    mv = revenue_mv(spark, sf_dir).filter(F.col("n_unshipped") > 0)
+    cust = F.broadcast(
+        t["customer"].filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
+    return (
+        t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(mv, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("unshipped_cents").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q3_preagg_sql(segment: str = "BUILDING") -> str:
+    """Layout must be invisible in the result -> Q3's own oracle."""
+    return q3_sql(segment)
+
+
+def q10_returned_items_preagg(spark, sf_dir: str) -> DataFrame:
+    """Q10 served from the ingest-time revenue MV: quarter-filtered
+    orders join the per-orderkey returned-revenue partials 1:1 on the
+    co-bucketed orderkey, then the per-customer rollup sums BIGINT
+    partial cents (sums of the identical per-row integers the direct
+    plan sums — associativity makes the total, and the final double,
+    bit-identical). The lineitem scan and its money kernel are gone
+    from the query; ``q10_sql()`` hash-gates the path unchanged."""
+    from mmw_geoprocessing_spark.sources.tpch_layout import (
+        fact_tables,
+        revenue_mv,
+    )
+
+    t = fact_tables(spark, sf_dir)
+    mv = revenue_mv(spark, sf_dir).filter(F.col("n_returned") > 0)
+    return (
+        t["orders"].filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(mv, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (
+                F.sum("returned_cents").cast("double") / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q10_preagg_sql() -> str:
+    """Layout must be invisible in the result -> Q10's own oracle."""
+    return q10_sql()
+
+
 def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14: promo revenue share for one month — fact × broadcast
     part dim, two exact-cents sums, one ratio. The fixture's p_type

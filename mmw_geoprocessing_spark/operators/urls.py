@@ -117,10 +117,15 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
     executions/row across 5 M rows cost ~1.3 s at the 100× replica
     where the whole agg costs ~0.2 s). The parse is rewritten on
     ``substring_index`` / ``instr`` / ``startswith`` byte primitives,
-    semantically identical for ``scheme://…`` inputs (a URL with no
-    ``://`` canonicalizes to '' on both forms, pinned in tests); the
-    one ``split`` left runs on the literal '&'. The DuckDB twin keeps
-    its regex CTEs — the hash gate proves the two parses agree."""
+    semantically identical to the oracle's regex CTEs INCLUDING
+    malformed inputs (r13 ADVICE): the scheme grammar is anchored
+    ``[A-Za-z][A-Za-z0-9+.-]*`` via translate() charset checks, every
+    offset is computed on pre-lowercase strings (lower() is not
+    length-preserving for e.g. 'İ'), and the registered-domain port
+    strip is last-colon. The one ``split`` left runs on the literal
+    '&'. The adversarial-corpus parity test
+    (tests/test_urls.py::test_adversarial_parity_with_oracle) pins the
+    agreement on inputs the fixture injection never produces."""
     # r12 ADVICE: LIKE treats "_" as a single-char wildcard, so
     # 'utm_%' also matched params named utmX... — substr-prefix
     # comparison is wildcard-free and identical in both engines
@@ -134,35 +139,64 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
         # fragment strip = everything before the first '#'
         F.expr("substring_index(url, '#', 1)").alias("u2"),
     )
-    d2 = d1.select(
+    # r13 ADVICE: the scheme grammar is ANCHORED —
+    # [A-Za-z][A-Za-z0-9+.-]* — on the RAW (pre-lowercase) prefix, so
+    # '1http://x' and 'foo bar://x' canonicalize to '' exactly like the
+    # oracle's anchored regex. translate() emptiness is the
+    # wildcard-free charset check (same trick as the port-digits guard).
+    _ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    d1b = d1.select(
+        "doc_id",
+        "url",
+        "u2",
+        F.expr(
+            "CASE WHEN instr(u2, '://') > 0 "
+            "THEN substring_index(u2, '://', 1) ELSE '' END"
+        ).alias("rawscheme"),
+    )
+    d2 = d1b.select(
+        "doc_id",
+        "url",
+        "u2",
+        "rawscheme",
+        F.expr(
+            f"rawscheme != '' "
+            f"AND translate(substr(rawscheme, 1, 1), '{_ALPHA}', '') = '' "
+            f"AND translate(rawscheme, '{_ALPHA}0123456789+.-', '') = ''"
+        ).alias("scheme_ok"),
+    )
+    d2b = d2.select(
         "doc_id",
         "url",
         F.expr(
-            "CASE WHEN instr(u2, '://') > 0 "
-            "THEN lower(substring_index(u2, '://', 1)) ELSE '' END"
+            "CASE WHEN scheme_ok THEN lower(rawscheme) ELSE '' END"
         ).alias("scheme"),
+        # rest via RAW length arithmetic (not instr on a lowered copy):
+        # lower() does not preserve length for some Unicode ('İ'), so
+        # every offset below is computed on the un-lowered string
         F.expr(
-            "CASE WHEN instr(u2, '://') > 0 "
-            "THEN substring(u2, instr(u2, '://') + 3) ELSE '' END"
+            "CASE WHEN scheme_ok "
+            "THEN substring(u2, length(rawscheme) + 4) ELSE '' END"
         ).alias("rest"),
     )
-    d3 = d2.select(
+    d3 = d2b.select(
         "doc_id",
         "url",
         "scheme",
         "rest",
         # authority = rest up to the first '/' or '?', whichever first
+        # — kept UN-lowered so pathq's offset is length-exact
         F.expr(
-            "lower(substring_index(substring_index(rest, '/', 1), '?', 1))"
-        ).alias("hostport"),
+            "substring_index(substring_index(rest, '/', 1), '?', 1)"
+        ).alias("rawhostport"),
     )
     d4 = d3.select(
         "doc_id",
         "url",
         "scheme",
-        "hostport",
-        # pathq = rest after the authority (same length lowercased)
-        F.expr("substring(rest, length(hostport) + 1)").alias("pathq"),
+        F.expr("lower(rawhostport)").alias("hostport"),
+        # pathq = rest after the authority (offset from the RAW length)
+        F.expr("substring(rest, length(rawhostport) + 1)").alias("pathq"),
     )
     d5 = d4.select(
         "doc_id",
@@ -216,14 +250,17 @@ def url_canonicalize(documents_with_url: DataFrame) -> DataFrame:
             "CASE WHEN qs != '' THEN concat('?', qs) ELSE '' END)"
         ).alias("canonical_url"),
         # registered domain needs the NUMERIC-port-free host (the
-        # oracle's ':[0-9]+$'): strip after ':' only when the suffix is
-        # non-empty all-digits; suffix labels then come from
-        # negative-count substring_index (no split, no regex)
+        # oracle's ':[0-9]+$'): strip after the LAST ':' only when the
+        # suffix is non-empty all-digits — r13 ADVICE: first-colon
+        # truncation broke multi-colon authorities ('[::1]:8080' must
+        # keep '[::1]', not '['); left(len - portlen - 1) is the
+        # last-colon twin of the oracle's anchored regex
         F.expr(
             "CASE WHEN instr(host, ':') > 0 "
             "AND substring_index(host, ':', -1) != '' "
             "AND translate(substring_index(host, ':', -1), '0123456789', '') = '' "
-            "THEN substring_index(host, ':', 1) ELSE host END"
+            "THEN left(host, length(host) - length(substring_index(host, ':', -1)) - 1) "
+            "ELSE host END"
         ).alias("hnp"),
     )
     return d7.select(
@@ -250,10 +287,14 @@ def dedup_url_canonical(documents_with_url: DataFrame) -> DataFrame:
     )
 
 
-def _canonical_sql_ctes() -> str:
+def _canonical_sql_ctes(raw_select: str | None = None) -> str:
     """DuckDB twin of the parse + canonicalization, as chained CTEs
     (readable and single-evaluation; list_filter is depth-1 with
-    literal prefixes — the shape DuckDB 1.0's lambda engine handles)."""
+    literal prefixes — the shape DuckDB 1.0's lambda engine handles).
+
+    ``raw_select`` overrides the source rows (default: the synthetic
+    injection over ``documents``) so parity tests can feed an
+    adversarial (doc_id, url) corpus through the SAME oracle."""
     # r12 ADVICE: LIKE treats "_" as a single-char wildcard, so
     # 'utm_%' also matched params named utmX... — substr-prefix
     # comparison is wildcard-free and identical in both engines
@@ -261,15 +302,21 @@ def _canonical_sql_ctes() -> str:
         f"substr(p, 1, {len(pre)}) = '{pre}'" for pre in TRACKING_PREFIXES
     )
     suf = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
+    raw = raw_select or f"SELECT doc_id, ({raw_url_sql()}) AS url FROM documents"
+    # r13 ADVICE: the rest-extraction regex is anchored on the SAME
+    # scheme grammar as the scheme extraction ([A-Za-z][A-Za-z0-9+.-]*)
+    # — previously it accepted digit-led schemes ('1http://x') that the
+    # scheme regex rejected, so the two CTE columns disagreed with each
+    # other (and with the Spark byte-primitive parse) on malformed URLs
     return f"""
     raw AS (
-      SELECT doc_id, ({raw_url_sql()}) AS url FROM documents
+      {raw}
     ),
     parts AS (
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
         regexp_extract(regexp_replace(url, '#.*$', ''),
-                       '^[A-Za-z0-9+.\\-]+://(.*)$', 1) AS rest
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$', 1) AS rest
       FROM raw
     ),
     hostpath AS (

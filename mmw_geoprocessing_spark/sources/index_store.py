@@ -538,7 +538,14 @@ def _max_fragments(path: str, partition_col: str | None) -> int:
             counts[head if _tail else "."] += 1
         else:
             m = _BUCKET_ID_RE.search(os.path.basename(fn))
-            counts[m.group(1) if m else fn] += 1
+            if m is None:
+                # r13 ADVICE: an unparseable name counted as its own
+                # singleton bucket could never trip the trigger, while
+                # _bucket_fragmented treats the same name as
+                # fragmentation — keep the two heuristics agreeing by
+                # forcing compaction (conservative, same as there)
+                return AUTO_COMPACT_MAX_FRAGMENTS + 1
+            counts[m.group(1)] += 1
     return max(counts.values(), default=0)
 
 

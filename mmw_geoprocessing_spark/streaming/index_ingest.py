@@ -36,6 +36,37 @@ N_CHUNKS = 4
 
 _POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, dl int"
 
+#: spec tokens shared between each face's replay cache AND its durable
+#: index identity (r13 ADVICE): the chunk contents depend on the
+#: constants these tokens name, so changing them must invalidate BOTH
+#: the replay directory and the index the drained drops landed in —
+#: renaming only one side re-appends fresh-named drops onto an index
+#: built from the old spec's files (duplicate rows, stale serving).
+_IVF_STREAM_SPEC = "all"
+
+
+def _lsh_stream_spec() -> str:
+    from mmw_geoprocessing_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+    )
+
+    return f"refm{INCREMENTAL_BATCH_MOD}r{INCREMENTAL_BATCH_REM}"
+
+
+def _face_ckpt(ident: str, index_name: str, spec: str, fp: str) -> str:
+    """Checkpoint dir keyed by BOTH the replay identity and the target
+    index identity (name + spec + corpus fingerprint). A checkpoint
+    that outlives its index is poison: availableNow finds the source
+    caught up, re-delivers nothing, the markers never fire, and the
+    face serves an EMPTY index (the r14 IVF-face regression when the
+    spec token moved the index name but not the checkpoint). Tying the
+    checkpoint to the index identity makes any index-identity change
+    drain from scratch — the markers make the re-delivery exactly-once."""
+    return os.path.join(
+        tempfile.gettempdir(), f"{ident}_{index_name}_{spec}_{fp}_ckpt"
+    )
+
 
 def replay_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic chunked document-drop replay: the corpus split
@@ -49,8 +80,12 @@ def replay_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         st = os.stat(src_file)
         ident = f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        ident = "nostat"
+    except OSError as e:
+        # r13 ADVICE (same hazard as _chunked_replay_dir): a shared
+        # 'nostat' fallback name would collide distinct corpora
+        raise FileNotFoundError(
+            f"replay_docs_dir: source {src_file} is not statable"
+        ) from e
     tag = sf_dir.strip("/").replace("/", "_")
     final = os.path.join(
         tempfile.gettempdir(), f"stream_docs_v2_{tag}_{ident}_c{N_CHUNKS}"
@@ -180,7 +215,7 @@ def stream_index_ingest(
     replay = replay_docs_dir(spark, sf_dir)
     ident = os.path.basename(replay)
     totals_dir = os.path.join(tempfile.gettempdir(), f"{ident}_totals")
-    ckpt = os.path.join(tempfile.gettempdir(), f"{ident}_ckpt")
+    ckpt = _face_ckpt(ident, "bm25_postings_stream_v2", "v1", fp)
 
     # the index starts EMPTY — every posting arrives by stream
     get_or_build_index(
@@ -273,21 +308,35 @@ def stream_index_serve_sql() -> str:
 
 
 def _chunked_replay_dir(
-    spark: SparkSession, sf_dir: str, variant: str, df: DataFrame, key: str
+    spark: SparkSession, sf_dir: str, variant: str, df: DataFrame, key: str,
+    spec: str = "",
 ) -> str:
     """Deterministic chunked drop replay (``replay_docs_dir``'s shape,
     generalized): ``df`` split into ``N_CHUNKS`` one-file drops by
-    ``key % N_CHUNKS``, built once per (sf_dir, source mtime) with an
-    atomic rename."""
+    ``key % N_CHUNKS``, built once per (sf_dir, source size+mtime,
+    spec) with an atomic rename.
+
+    r13 ADVICE: the chunk CONTENTS also depend on the df the caller
+    passes (e.g. the minhash face's reference-slice filter constants),
+    so every caller folds a ``spec`` token naming those constants into
+    the cache key — changing them can no longer silently serve a stale
+    replay from the shared tempdir. A missing source file raises
+    instead of colliding every corpus onto one 'nostat' directory."""
     src_file = os.path.join(sf_dir, f"{variant.split('_')[0]}.parquet")
     try:
         st = os.stat(src_file)
         ident = f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        ident = "nostat"
+    except OSError as e:
+        raise FileNotFoundError(
+            f"_chunked_replay_dir: source {src_file} is not statable — the "
+            "replay cache is keyed on its identity, so a shared fallback "
+            "name would collide distinct corpora"
+        ) from e
     tag = sf_dir.strip("/").replace("/", "_")
+    spec_tok = f"_{spec}" if spec else ""
     final = os.path.join(
-        tempfile.gettempdir(), f"stream_{variant}_{tag}_{ident}_c{N_CHUNKS}"
+        tempfile.gettempdir(),
+        f"stream_{variant}_{tag}_{ident}{spec_tok}_c{N_CHUNKS}",
     )
     if os.path.isdir(final):
         return final
@@ -385,13 +434,17 @@ def stream_ivf_ingest(
             .withColumn("nv", _norm(F.col("v")))
         )
 
-    # day-zero bootstrap: schema from the assigner over zero rows
+    # day-zero bootstrap: schema from the assigner over zero rows.
+    # spec_version ties the INDEX identity to the same spec token as
+    # the replay cache (r13 ADVICE): a changed drop spec must start a
+    # fresh index generation, not re-append new-named drops onto one
+    # built from the old spec's files.
     get_or_build_index(
         spark, "ivf_lists_stream", fp, lambda: _assign(emb.limit(0)),
-        partition_col="cell",
+        partition_col="cell", spec_version=_IVF_STREAM_SPEC,
     )
     replay = _chunked_replay_dir(
-        spark, sf_dir, "embeddings_ivf", emb, "vec_id"
+        spark, sf_dir, "embeddings_ivf", emb, "vec_id", spec=_IVF_STREAM_SPEC
     )
     ident = os.path.basename(replay)
 
@@ -401,12 +454,14 @@ def stream_ivf_ingest(
             did = append_once(
                 spark, "ivf_lists_stream", fp, tag,
                 lambda r=rows: _assign(r), partition_col="cell",
+                spec_version=_IVF_STREAM_SPEC,
             )
             if did and appended_log is not None:
                 appended_log.append(tag)
 
     _drain_files(
-        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+        spark, replay,
+        _face_ckpt(ident, "ivf_lists_stream", _IVF_STREAM_SPEC, fp), _body,
     )
     return fp
 
@@ -431,7 +486,7 @@ def stream_ivf_serve(
     idx = get_or_build_index(
         spark, "ivf_lists_stream", fp,
         lambda: (_ for _ in ()).throw(AssertionError("built by the drain")),
-        partition_col="cell",
+        partition_col="cell", spec_version=_IVF_STREAM_SPEC,
     ).select("vec_id", "v", "nv", "cell")
     return probe_ivf_index(
         spark, sf_dir, idx, n_queries, k, NPROBE if nprobe is None else nprobe
@@ -486,15 +541,20 @@ def stream_minhash_ingest(
             )
         )
 
+    spec = _lsh_stream_spec()
     get_or_build_index(
         spark, "lsh_ref_bands_stream", fp, lambda: _bands(ref.limit(0)),
-        bucket_col="bkey",
+        bucket_col="bkey", spec_version=spec,
     )
     get_or_build_index(
         spark, "lsh_ref_arrays_stream", fp, lambda: _arrays(ref.limit(0)),
-        bucket_col="doc_id",
+        bucket_col="doc_id", spec_version=spec,
     )
-    replay = _chunked_replay_dir(spark, sf_dir, "documents_lsh", ref, "doc_id")
+    # the ref slice depends on the incremental-batch constants — fold
+    # them into the replay cache key AND the index identity (r13 ADVICE)
+    replay = _chunked_replay_dir(
+        spark, sf_dir, "documents_lsh", ref, "doc_id", spec=spec
+    )
     ident = os.path.basename(replay)
 
     def _body(batch: DataFrame, _eid: int) -> None:
@@ -502,17 +562,18 @@ def stream_minhash_ingest(
             rows = batch.filter(F.input_file_name() == fname)
             did = append_once(
                 spark, "lsh_ref_bands_stream", fp, tag,
-                lambda r=rows: _bands(r), bucket_col="bkey",
+                lambda r=rows: _bands(r), bucket_col="bkey", spec_version=spec,
             )
             append_once(
                 spark, "lsh_ref_arrays_stream", fp, tag,
                 lambda r=rows: _arrays(r), bucket_col="doc_id",
+                spec_version=spec,
             )
             if did and appended_log is not None:
                 appended_log.append(tag)
 
     _drain_files(
-        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+        spark, replay, _face_ckpt(ident, "lsh_ref_stream", spec, fp), _body
     )
     return fp
 
@@ -539,11 +600,14 @@ def stream_minhash_serve(
     def _absent() -> DataFrame:
         raise AssertionError("built by the drain")
 
+    spec = _lsh_stream_spec()
     ref_bands = get_or_build_index(
-        spark, "lsh_ref_bands_stream", fp, _absent, bucket_col="bkey"
+        spark, "lsh_ref_bands_stream", fp, _absent, bucket_col="bkey",
+        spec_version=spec,
     )
     ref_arrays = get_or_build_index(
-        spark, "lsh_ref_arrays_stream", fp, _absent, bucket_col="doc_id"
+        spark, "lsh_ref_arrays_stream", fp, _absent, bucket_col="doc_id",
+        spec_version=spec,
     )
     documents = load_table(spark, sf_dir, "documents")
     is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
@@ -586,7 +650,9 @@ def stream_phash_ingest(
         spark, "img_phash_bands_stream", fp, lambda: _bands(docs.limit(0)),
         bucket_col="bkey", spec_version=spec,
     )
-    replay = _chunked_replay_dir(spark, sf_dir, "documents_phash", docs, "doc_id")
+    replay = _chunked_replay_dir(
+        spark, sf_dir, "documents_phash", docs, "doc_id", spec=spec
+    )
     ident = os.path.basename(replay)
 
     def _body(batch: DataFrame, _eid: int) -> None:
@@ -601,7 +667,8 @@ def stream_phash_ingest(
                 appended_log.append(tag)
 
     _drain_files(
-        spark, replay, os.path.join(tempfile.gettempdir(), f"{ident}_ckpt"), _body
+        spark, replay,
+        _face_ckpt(ident, "img_phash_bands_stream", spec, fp), _body,
     )
     return fp
 
@@ -616,11 +683,21 @@ def stream_phash_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mmw_geoprocessing_spark.operators import image_dedup as imd
     from mmw_geoprocessing_spark.sources.index_store import get_or_build_index
 
+    from pyspark.sql import Window
+
     fp = stream_phash_ingest(spark, sf_dir)
     bands = get_or_build_index(
         spark, "img_phash_bands_stream", fp,
         lambda: (_ for _ in ()).throw(AssertionError("built by the drain")),
         bucket_col="bkey", spec_version="tex4s",
+    )
+    # the same hot-band cap as the batch matcher (r13 verdict #2) —
+    # bkey = ci * 2^16 + cv, so capping per bkey IS capping per (ci, cv)
+    cap_w = Window.partitionBy("bkey").orderBy("doc_id")
+    bands = (
+        bands.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= imd.IMG_BAND_CAP)
+        .drop("rn")
     )
     a = bands.select(
         F.col("doc_id").alias("a_id"),

@@ -36,3 +36,22 @@ def test_golden_and_artifact_counts_are_consistent():
     goldens' and '129 vs 131 SF10 rows' drift class)."""
     problems = claims_check.check_golden_and_artifact_counts()
     assert not problems, "count drift:\n" + "\n".join(problems)
+
+
+def test_gate_window_covers_stale_and_new_entries():
+    """r13 verdict #1: a registered entry with no driver CORRECTNESS
+    row in the last 2 rounds must hold a _GATE_WINDOW slot — the 8
+    round-13 media/stream entries shipped driver-unverified because the
+    window was pinned before they landed; this test makes that a
+    failure."""
+    problems = claims_check.check_gate_staleness()
+    assert not problems, "gate staleness:\n" + "\n".join(problems)
+
+
+def test_every_registered_entry_is_benched_or_exempt():
+    """r13 verdict #9: registering an operator requires a bench row the
+    same round (HEADLINE/LLM_SECTION), except the frozen pre-r14
+    snapshot of showcase rows whose family is represented by a benched
+    sibling."""
+    problems = claims_check.check_bench_extended_coverage()
+    assert not problems, "bench coverage:\n" + "\n".join(problems)

@@ -102,6 +102,101 @@ def test_banding_plan_has_no_cartesian_and_joins_on_chunks(spark):
     assert "ci" in plan and "cv" in plan
 
 
+def test_hot_band_cap_bounds_constant_image_cohort(spark, monkeypatch):
+    """r13 verdict #2: a crawl's constant-color images all share the
+    all-zero dHash — ONE hot (ci, cv) bucket whose self-join was
+    quadratic. With the cap, candidates are C(cap, 2), not C(n, 2),
+    and the pairs are the deterministic doc_id-ordered prefix (the
+    same ROW_NUMBER the oracle replays)."""
+    monkeypatch.setattr(im, "IMG_BAND_CAP", 4)
+    n = 40
+    fp = spark.createDataFrame(
+        [(i, 0, 0, 0, 0) for i in range(n)],
+        "doc_id long, d0 int, d1 int, d2 int, d3 int",
+    )
+    pairs = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in im._banded_pairs(fp).collect()
+    )
+    # first 4 doc_ids per bucket survive; all 4 chunks hold the same
+    # members, so the union is still C(4, 2)
+    assert pairs == [
+        (a, b, 0) for a in range(4) for b in range(a + 1, 4)
+    ], pairs
+
+
+def test_truncation_stats_report_hot_buckets_and_fixture_is_clean(
+    spark, monkeypatch
+):
+    """No silent caps: the stats hook reports every bucket over the
+    cap; at the production cap the fixture texture truncates NOTHING
+    (so the oracle gate sees the identical uncapped result)."""
+    docs = _docs(spark, 64)
+    assert im.image_band_truncation_stats(docs).count() == 0
+    im.clear_image_phash_cache()
+    monkeypatch.setattr(im, "IMG_BAND_CAP", 1)
+    rows = im.image_band_truncation_stats(docs).collect()
+    assert rows, "cap=1 must flag the exact-dup buckets"
+    for r in rows:
+        assert r["kept"] == 1
+        assert r["discarded"] == r["population"] - 1
+        assert r["population"] >= 2
+    im.clear_image_phash_cache()
+
+
+def test_capped_join_matches_duckdb_replay_under_truncation(spark):
+    """Spark vs DuckDB on a corpus that actually truncates: 300 docs
+    where doc_id % 3 == 0 is a constant-image cohort (one hot bucket,
+    population 100 > IMG_BAND_CAP is false at 256 — so drive the cap
+    down via a 300-identical corpus ... kept simple: all 300 share the
+    fingerprint, population 300 > 256 truncates for real at the
+    PRODUCTION cap). Both engines must agree pair-for-pair."""
+    import duckdb
+    import pandas as pd
+
+    n = 300
+    fp_rows = [(i, 7, 0, 0, 0) for i in range(n)]
+    fp = spark.createDataFrame(
+        fp_rows, "doc_id long, d0 int, d1 int, d2 int, d3 int"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in im._banded_pairs(fp).collect()
+    )
+    cap = im.IMG_BAND_CAP
+    assert len(got) == cap * (cap - 1) // 2, "cap must bound the pairs"
+    con = duckdb.connect()
+    con.register(
+        "fp", pd.DataFrame(fp_rows, columns=["doc_id", "d0", "d1", "d2", "d3"])
+    )
+    want = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in con.execute(f"""
+        WITH bands AS (
+          SELECT doc_id, d0, d1, d2, d3, ci,
+                 CASE ci WHEN 0 THEN d0 WHEN 1 THEN d1
+                         WHEN 2 THEN d2 ELSE d3 END AS cv
+          FROM fp, UNNEST([0, 1, 2, 3]) AS t(ci)
+        ),
+        capped AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS rn
+            FROM bands
+          ) WHERE rn <= {cap}
+        )
+        SELECT DISTINCT a.doc_id, b.doc_id,
+               bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+             + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+        FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
+                                   AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+            + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+            <= {im.HAMMING_T}
+        """).fetchall()
+    )
+    assert got == want
+
+
 def test_phash_rejects_non_grid_images(spark):
     """The fingerprint stage names its contract: decode errors on
     anything but the 8x9 grey grid instead of silently hashing."""

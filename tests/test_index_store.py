@@ -176,8 +176,13 @@ def test_stream_ingest_exactly_once_under_checkpoint_loss(spark, tables):
     )
     rows = sorted(ii.stream_index_serve(spark, SF_DIR).collect(), key=key)
     assert rows == full
+    from mmw_geoprocessing_spark.sources.index_store import corpus_fingerprint
+
     replay = ii.replay_docs_dir(spark, SF_DIR)
-    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    ckpt = ii._face_ckpt(
+        os.path.basename(replay), "bm25_postings_stream_v2", "v1",
+        corpus_fingerprint(SF_DIR, "documents"),
+    )
     shutil.rmtree(ckpt)
     log: list[str] = []
     ii.stream_index_ingest(spark, SF_DIR, appended_log=log)
@@ -903,19 +908,42 @@ def test_stream_ivf_ingest_exactly_once_under_checkpoint_loss(spark, tables):
     )
     rows = sorted(ii.stream_ivf_serve(spark, SF_DIR).collect(), key=key)
     assert rows == full
+    from mmw_geoprocessing_spark.sources.index_store import corpus_fingerprint
+    from mmw_geoprocessing_spark.sources.tables import load_table
+
     replay = ii._chunked_replay_dir(
         spark, SF_DIR, "embeddings_ivf",
-        __import__(
-            "mmw_geoprocessing_spark.sources.tables", fromlist=["load_table"]
-        ).load_table(spark, SF_DIR, "embeddings"),
-        "vec_id",
+        load_table(spark, SF_DIR, "embeddings"),
+        "vec_id", spec=ii._IVF_STREAM_SPEC,
     )
-    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    ckpt = ii._face_ckpt(
+        os.path.basename(replay), "ivf_lists_stream", ii._IVF_STREAM_SPEC,
+        corpus_fingerprint(SF_DIR, "embeddings"),
+    )
     shutil.rmtree(ckpt)
     log: list[str] = []
     ii.stream_ivf_ingest(spark, SF_DIR, appended_log=log)
     assert log == [], f"checkpoint-loss replay re-appended drops: {log}"
     assert sorted(ii.stream_ivf_serve(spark, SF_DIR).collect(), key=key) == full
+
+
+def test_stream_ivf_spec_bump_forces_fresh_drain(spark, tables, monkeypatch):
+    """r14 regression: an index-identity change (spec bump) must NOT
+    reuse the old checkpoint — a caught-up checkpoint over a fresh
+    index drains nothing and serves an EMPTY index. With the
+    checkpoint keyed by the index identity (_face_ckpt), the bumped
+    face re-drains from scratch and serves the full corpus."""
+    from mmw_geoprocessing_spark.operators import similarity as sim
+    from mmw_geoprocessing_spark.sources.tables import load_table as _lt
+    from mmw_geoprocessing_spark.streaming import index_ingest as ii
+
+    key = lambda r: (r["q_id"], r["rank"])
+    full = sorted(
+        sim.ann_ivf_topk(_lt(spark, SF_DIR, "embeddings")).collect(), key=key
+    )
+    monkeypatch.setattr(ii, "_IVF_STREAM_SPEC", "specbumptest")
+    rows = sorted(ii.stream_ivf_serve(spark, SF_DIR).collect(), key=key)
+    assert rows == full, "spec bump must re-drain, not serve empty"
 
 
 def test_stream_minhash_ingest_exactly_once_and_crash_window(spark, tables, monkeypatch):
@@ -946,8 +974,14 @@ def test_stream_minhash_ingest_exactly_once_and_crash_window(spark, tables, monk
     ref = load_table(spark, SF_DIR, "documents").filter(
         (F.col("doc_id") % dd.INCREMENTAL_BATCH_MOD) != dd.INCREMENTAL_BATCH_REM
     )
-    replay = ii._chunked_replay_dir(spark, SF_DIR, "documents_lsh", ref, "doc_id")
-    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    spec = ii._lsh_stream_spec()
+    replay = ii._chunked_replay_dir(
+        spark, SF_DIR, "documents_lsh", ref, "doc_id", spec=spec
+    )
+    ckpt = ii._face_ckpt(
+        os.path.basename(replay), "lsh_ref_stream", spec,
+        ixs.corpus_fingerprint(SF_DIR, "documents"),
+    )
     shutil.rmtree(ckpt)
     log: list[str] = []
     ii.stream_minhash_ingest(spark, SF_DIR, appended_log=log)
@@ -959,7 +993,7 @@ def test_stream_minhash_ingest_exactly_once_and_crash_window(spark, tables, monk
     import glob as _g
 
     for nm in ("lsh_ref_bands_stream", "lsh_ref_arrays_stream"):
-        for p in _g.glob(f"{ixs._STORE_DIR}/sgi_{nm}_v1_{fp}*"):
+        for p in _g.glob(f"{ixs._STORE_DIR}/sgi_{nm}_{spec}_{fp}*"):
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
     ixs.clear_index_store_cache()
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -1019,6 +1053,28 @@ def test_auto_compaction_bounds_fragments_across_many_appends(spark, monkeypatch
     assert _served_rows(spark, name, fp) == sorted(want)
 
 
+def test_unparseable_file_names_trigger_auto_compaction(tmp_path):
+    """r13 ADVICE: _max_fragments used to count a file whose name does
+    not match _BUCKET_ID_RE as its own singleton bucket — so a layout
+    with non-standard names could fragment unboundedly without ever
+    auto-compacting, while _bucket_fragmented treated the SAME names as
+    fragmented. The two heuristics must agree: unparseable ⇒ compact."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "part-00000-abc_00001.c000.snappy.parquet").write_bytes(b"x")
+    (d / "weird-name.parquet").write_bytes(b"x")
+    files = ixs._data_files(str(d))
+    assert ixs._bucket_fragmented(files)
+    assert ixs._max_fragments(str(d), None) > ixs.AUTO_COMPACT_MAX_FRAGMENTS
+    # standard names alone: both heuristics stay calm
+    (d / "weird-name.parquet").unlink()
+    files = ixs._data_files(str(d))
+    assert not ixs._bucket_fragmented(files)
+    assert ixs._max_fragments(str(d), None) == 1
+
+
 def test_auto_compaction_partitioned_layout(spark, monkeypatch):
     """The partitioned (IVF cell) layout auto-compacts per directory."""
     from mmw_geoprocessing_spark.sources import index_store as ixs
@@ -1070,10 +1126,16 @@ def test_stream_phash_ingest_exactly_once_under_checkpoint_loss(spark, tables):
     full = sorted(imd.dedup_image_phash(docs).collect(), key=key)
     rows = sorted(ii.stream_phash_serve(spark, SF_DIR).collect(), key=key)
     assert rows == full
+    from mmw_geoprocessing_spark.sources.index_store import corpus_fingerprint
+
     replay = ii._chunked_replay_dir(
-        spark, SF_DIR, "documents_phash", docs.select("doc_id"), "doc_id"
+        spark, SF_DIR, "documents_phash", docs.select("doc_id"), "doc_id",
+        spec="tex4s",
     )
-    ckpt = os.path.join(tempfile.gettempdir(), os.path.basename(replay) + "_ckpt")
+    ckpt = ii._face_ckpt(
+        os.path.basename(replay), "img_phash_bands_stream", "tex4s",
+        corpus_fingerprint(SF_DIR, "documents"),
+    )
     shutil.rmtree(ckpt)
     log: list[str] = []
     ii.stream_phash_ingest(spark, SF_DIR, appended_log=log)

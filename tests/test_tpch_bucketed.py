@@ -74,6 +74,33 @@ def test_bucketed_serving_results_match_plain(
     assert sorted(bucketed, key=key) == sorted(plain, key=key)
 
 
+@pytest.mark.parametrize("name", ["tpch_q3_preagg", "tpch_q10_preagg"])
+def test_preagg_serving_skips_lineitem_and_rides_buckets(
+    spark, tables, entry, bucket_mode, name
+):
+    """r13 verdict #3: the revenue-MV serving path must contain NO
+    lineitem scan and NO money kernel at query time — the plan reads
+    the pre-aggregated MV, joins it to orders on the co-bucketed
+    orderkey without an exchange, and tops-k. Results equal the direct
+    plan's (same oracle hash-gates both)."""
+    qs = entry.queries(prepared=False)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lineitem" not in plan, f"{name} still scans lineitem"
+        assert "revmv" in plan, f"{name} does not read the revenue MV"
+        bad = [ln for ln in _exchange_lines(df) if "orderkey" in ln]
+        assert not bad, f"{name} still shuffles on orderkey:\n" + "\n".join(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    direct = qs[name.replace("_preagg", "")](spark, SF_DIR).collect()
+    served = qs[name](spark, SF_DIR).collect()
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(served, key=key) == sorted(direct, key=key)
+
+
 def test_q18_having_aggregation_rides_buckets(spark, tables, entry, bucket_mode):
     """q18's groupBy(l_orderkey) HAVING aggregation — the 15 M-group
     shuffle that was its sf10 floor — must aggregate in place on the

@@ -59,12 +59,74 @@ class TestCanonicalRules:
                 "https://x.example.com/p?utmX=1&utma=2",
                 "example.com",
             ),
+            # r13 ADVICE: multi-colon authority — the port strip is
+            # LAST-colon ([::1]:8080 keeps [::1], not '[')
+            (
+                "https://[::1]:8080/a?b=2&a=1",
+                "https://[::1]:8080/a?a=1&b=2",
+                "[::1]",
+            ),
+            # r13 ADVICE: scheme grammar is anchored [A-Za-z][A-Za-z0-9+.-]*
+            # — a digit-led or space-bearing prefix is NOT a scheme
+            ("1http://x.example.com/a", "://", ""),
+            ("foo bar://x.example.com/a", "://", ""),
+            # valid multi-char scheme charset survives
+            (
+                "svn+ssh://Host.Example.com/repo",
+                "svn+ssh://host.example.com/repo",
+                "example.com",
+            ),
         ],
     )
     def test_hand_urls(self, spark, raw, canonical, domain):
         got_c, got_d = _canon(spark, raw)
         assert got_c == canonical
         assert got_d == domain
+
+    def test_adversarial_parity_with_oracle(self, spark):
+        """Spark parse vs the DuckDB oracle CTEs on a corpus the
+        fixture injection never produces: multi-colon authorities,
+        malformed schemes, Unicode paths (lower() is not
+        length-preserving for 'İ'), fragments before the scheme. The
+        hash gate can't see these — this test is the pin (r13 ADVICE)."""
+        import duckdb
+        import pandas as pd
+
+        from mmw_geoprocessing_spark.operators.urls import _canonical_sql_ctes
+
+        corpus = [
+            "https://[::1]:8080/a?b=2&a=1",
+            "1http://x.example.com/a",
+            "foo bar://x.example.com/a",
+            "not-a-url",
+            "http://EXAMPLE.com:80/Path/?utm_x=1",
+            "https://x.example.com/İstanbul?a=1",
+            "svn+ssh://Host.Example.com/repo",
+            "https://shop.acme.co.uk:8443/a",
+            "http://a#b://c",
+            "https://WWW.x.example.com:443/p/?ref=tw&z=1",
+            "HTTP://h:1:2:3/p",
+        ]
+        rows = [(i, u) for i, u in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id bigint, url string")
+        got = {
+            r["doc_id"]: (r["canonical_url"], r["registered_domain"])
+            for r in urls.url_canonicalize(df).collect()
+        }
+        con = duckdb.connect()
+        adversarial = pd.DataFrame(rows, columns=["doc_id", "url"])
+        con.register("adversarial", adversarial)
+        ctes = _canonical_sql_ctes(
+            raw_select="SELECT doc_id, url FROM adversarial"
+        )
+        want = {
+            int(doc_id): (c, d)
+            for doc_id, c, d in con.execute(
+                f"WITH {ctes} SELECT doc_id, canonical_url,"
+                " registered_domain FROM canon"
+            ).fetchall()
+        }
+        assert got == want
 
     def test_plan_is_projection(self, spark, tables):
         df = urls.url_canonicalize(urls.with_raw_url(tables["documents"]))

@@ -321,11 +321,118 @@ def check_artifact_schema(arts: dict | None = None) -> list[str]:
     return problems
 
 
+#: max rounds a registered entry may go without a driver CORRECTNESS
+#: row before it must hold a _GATE_WINDOW slot (r13 verdict #1: 8
+#: round-13 entries shipped with no driver row in ANY round because
+#: the window was pinned before they landed)
+GATE_MAX_STALE_ROUNDS = 2
+
+
+def check_gate_staleness() -> list[str]:
+    """Every registered entry must have a driver CORRECTNESS row within
+    the last GATE_MAX_STALE_ROUNDS completed rounds, OR occupy a slot
+    in the CURRENT _GATE_WINDOW (so the next driver run refreshes it).
+    Makes gate-rotation a test failure instead of a judge finding."""
+    import glob
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    latest: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        rounds.append(r)
+        try:
+            with open(f) as fh:
+                for k in json.load(fh):
+                    latest[k] = max(latest.get(k, 0), r)
+        except Exception:
+            continue
+    if not rounds:
+        return []
+    current = max(rounds) + 1  # the round being built
+    window = set(entrymod._GATE_WINDOW)
+    problems = []
+    for name in entrymod.queries(prepared=False):
+        last = latest.get(name)
+        fresh = last is not None and last >= current - GATE_MAX_STALE_ROUNDS
+        if not fresh and name not in window:
+            problems.append(
+                f"gate staleness: `{name}` last driver-checked "
+                f"{'never' if last is None else f'round {last}'} and not in "
+                f"_GATE_WINDOW (budget: {GATE_MAX_STALE_ROUNDS} rounds)"
+            )
+    return problems
+
+
+#: registry entries that predate the bench-coverage rule (r13 verdict
+#: #9), frozen as of round 14: mostly sub-second scalar/window/set-op
+#: showcases and operators whose FAMILY is represented by a benched
+#: sibling. NEW entries may not join this list — registering an
+#: operator now requires a bench row the same round.
+BENCH_EXEMPT_PRE_R14 = {
+    "aggregate_variants", "approx_distinct", "array_functions_showcase",
+    "asof_join_cogroup", "asof_join_events_orders", "basket_pair_affinities",
+    "correlated_subquery", "cross_join_dims", "cube_order_counts",
+    "datetime_functions_showcase", "dedup_exact", "dedup_neardup_components",
+    "dedup_simhash_neardup", "embedding_quantize_int8", "funnel_conversion",
+    "graph_pagerank", "grouping_sets_revenue", "interval_join_events",
+    "json_extract_events", "lib_contamination_check", "lib_cosine_neardup_wide",
+    "lib_repetition_scores", "lib_semantic_dedup_pairs", "maintenance_compact",
+    "maintenance_time_travel", "multimodal_decode_stub",
+    "multimodal_frame_sample", "pandas_udf_showcase", "pipeline_curate_corpus",
+    "pivot_event_counts", "raster_average", "raster_grouped_count_nodata",
+    "raster_grouped_sum", "retention_cohorts", "rollup_revenue",
+    "sampling_deterministic_split", "sampling_epoch_shuffle",
+    "sampling_pack_token_batches", "sampling_stratified_sample",
+    "scalar_functions_showcase", "semantic_dedup_components",
+    "semi_anti_customers", "set_ops_customers", "similarity_ann_lsh_topk",
+    "similarity_cosine_neardup", "similarity_cosine_topk_pandas",
+    "source_python_ledger", "source_python_stream", "stream_cdc_merge",
+    "stream_cdc_merge_bucketed", "stream_content_dedup", "stream_exact_dedup",
+    "stream_index_append", "stream_interval_join", "stream_sessionize",
+    "stream_stateful_counts", "stream_static_enrich", "string_agg_ordered",
+    "table_profile", "text_fingerprints", "text_lang_id", "text_normalize",
+    "text_pii_redact", "text_quality_scores", "text_token_counts",
+    "text_unigram_surprisal", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q3",
+    "tpch_q5", "tpch_q6", "udtf_word_positions", "windows_showcase",
+}
+
+
+def check_bench_extended_coverage() -> list[str]:
+    """r13 verdict #9: every registry entry must be benched (HEADLINE
+    or LLM_SECTION in bench.py) or sit in the frozen pre-r14 exempt
+    snapshot — a NEW entry without a bench row the round it registers
+    is a failure, machine-checked like the registry counts."""
+    sys.path.insert(0, REPO)
+    import bench
+    import __spark_entry__ as entrymod
+
+    benched = set(bench.HEADLINE) | set(bench.LLM_SECTION)
+    problems = []
+    for name in entrymod.queries(prepared=False):
+        if name not in benched and name not in BENCH_EXEMPT_PRE_R14:
+            problems.append(
+                f"bench coverage: `{name}` is registered but has no bench "
+                "row (HEADLINE/LLM_SECTION) and is not in the frozen "
+                "pre-r14 exempt snapshot"
+            )
+    stale_exempt = BENCH_EXEMPT_PRE_R14 - set(entrymod.queries(prepared=False))
+    for name in sorted(stale_exempt):
+        problems.append(
+            f"bench coverage: exempt snapshot names unknown entry `{name}`"
+        )
+    return problems
+
+
 def main() -> int:
     problems = (
         check_claims()
         + check_registry_counts()
         + check_golden_and_artifact_counts()
+        + check_gate_staleness()
+        + check_bench_extended_coverage()
     )
     for p in problems:
         print(f"CLAIM DRIFT: {p}")
