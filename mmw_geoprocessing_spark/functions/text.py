@@ -53,6 +53,22 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingles_from_words(words_col: Column, k: int = 3) -> Column:
+    """``shingles`` over a PRE-MATERIALIZED word-array column.
+
+    Higher-order-function lambdas get no common-subexpression
+    elimination, so ``shingles(text)`` re-evaluates ``split(text)`` for
+    EVERY window — O(len²) characters per document. Materializing the
+    word list as its own projection first (the sampling._word_hashes
+    rule) and slicing the attribute keeps it O(len·k)."""
+    l = _n(words_col)
+    n = f"size({l})"
+    return F.expr(
+        f"transform(slice(sequence(1, {n}), 1, greatest({n} - {k - 1}, 0)), "
+        f"i -> array_join(slice({l}, i, {k}), ' '))"
+    )
+
+
 def _n(col: Column) -> str:
     """Column -> SQL name for use inside expr() (works for simple refs)."""
     return col._jc.toString()  # noqa: SLF001

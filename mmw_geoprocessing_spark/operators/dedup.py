@@ -31,7 +31,8 @@ from mmw_geoprocessing_spark.functions.text import (
     h28,
     h60,
     minhash_params,
-    shingles,
+    shingles_from_words,
+    words,
 )
 
 N_BANDS = 16
@@ -62,9 +63,15 @@ def exact_dedup_sql() -> str:
 
 
 def _doc_shingles(documents: DataFrame) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
+    """Distinct (doc_id, shingle) pairs — the inverted-index input.
+
+    The word list is materialized as its own projection before the
+    shingle lambda references it: the inlined ``shingles(text)`` form
+    re-evaluates ``split(text)`` per window (O(len²) characters per
+    doc; the sampling._word_hashes rule)."""
     return (
-        documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        documents.select("doc_id", words(F.col("text")).alias("_l"))
+        .select("doc_id", F.explode(shingles_from_words(F.col("_l"))).alias("s"))
         .dropDuplicates(["doc_id", "s"])
     )
 

@@ -171,14 +171,101 @@ def template_df(
     )
 
 
+def _fused_suite(spark: SparkSession, masks: DataFrame) -> DataFrame:
+    """The suite as ONE pass (optimization round 14, guide §2.4): every
+    raster is LEFT-joined onto the mask rows once (all bucketed on the
+    pixel key -> zero-exchange sort-merge joins), a per-layer presence
+    flag preserves each template's key-set semantics (a template's row
+    participates iff >=1 of ITS layers has the pixel — exactly the
+    mask ∩ layer-universe row set of the per-template join), and the 10
+    template aggregates ride ONE shuffle via a manual expand: per mask
+    row an ``inline()`` of 10 (op_label, list_key, count-contrib,
+    avg-contrib) structs, then a single partial+final hash aggregate.
+    Replaces the 10-branch union (42 Exchanges, 13 raster + 10 mask
+    scans at sf0.1) with 1 Exchange over pre-aggregated rows.
+
+    Correctness contract (hash-gated by the unchanged oracle):
+    - count templates: SUM(1.0 per participating row) == CAST(COUNT(*)
+      AS DOUBLE) over the per-template join (exact doubles far below
+      2^53);
+    - average templates: AVG over participating rows only (CASE yields
+      NULL otherwise; AVG ignores NULLs) == AVG(COALESCE(t, 0.0)) over
+      the per-template inner/union join;
+    - groups that exist only via non-participating rows aggregate to
+      NULL and are filtered — they have no row in the per-template
+      plan;
+    - lines_join participation = line-touched AND layer-present, with
+      the line-pixel dedup a zero-exchange partial distinct on the
+      bucketed line_pixels fixture.
+    """
+    from mmw_geoprocessing_spark.functions.nodata import NODATA_INT
+
+    # value/presence columns per distinct raster used by any template
+    rasters: list[str] = []
+    for _label, (_kind, rs, target) in TEMPLATES.items():
+        for r in [*rs, *([target] if target else [])]:
+            if r not in rasters:
+                rasters.append(r)
+
+    base = masks
+    for r in rasters:
+        layer = fx.raster_df(spark, r).selectExpr(
+            *PIXEL_KEY, f"value AS v_{r}", f"true AS p_{r}"
+        )
+        base = base.join(layer, on=PIXEL_KEY, how="left")
+    line_flag = (
+        fx.line_pixels_df(spark)
+        .select(*PIXEL_KEY)
+        .dropDuplicates(PIXEL_KEY)
+        .selectExpr(*PIXEL_KEY, "true AS line_t")
+    )
+    base = base.join(line_flag, on=PIXEL_KEY, how="left")
+
+    def _key(rs: list[str]) -> str:
+        casts = ", ".join(
+            f"cast(coalesce(v_{r}, {NODATA_INT}) as string)" for r in rs
+        )
+        return f"concat('List(', concat_ws(', ', {casts}), ')')"
+
+    entries: list[str] = []
+    for label, (kind, rs, target) in TEMPLATES.items():
+        if kind in ("grouped_count", "lines_join"):
+            part = " OR ".join(f"p_{r} IS TRUE" for r in rs)
+            if kind == "lines_join":
+                part = f"({part}) AND line_t IS TRUE"
+            entries.append(
+                f"named_struct('op_label', '{label}', 'list_key', {_key(rs)}, "
+                f"'c', CASE WHEN {part} THEN cast(1.0 as double) END, "
+                f"'a', cast(NULL as double))"
+            )
+        elif kind == "average":
+            entries.append(
+                f"named_struct('op_label', '{label}', 'list_key', 'List(0)', "
+                f"'c', cast(NULL as double), "
+                f"'a', CASE WHEN p_{target} IS TRUE "
+                f"THEN coalesce(v_{target}, cast(0.0 as double)) END)"
+            )
+        else:  # grouped_average: union key set (layers OR target present)
+            part = " OR ".join(f"p_{r} IS TRUE" for r in [*rs, target])
+            entries.append(
+                f"named_struct('op_label', '{label}', 'list_key', {_key(rs)}, "
+                f"'c', cast(NULL as double), "
+                f"'a', CASE WHEN {part} "
+                f"THEN coalesce(v_{target}, cast(0.0 as double)) END)"
+            )
+
+    exploded = base.selectExpr("aoi_id", f"inline(array({', '.join(entries)}))")
+    return (
+        exploded.groupBy("op_label", "aoi_id", "list_key")
+        .agg(F.sum("c").alias("_c"), F.avg("a").alias("_a"))
+        .selectExpr(
+            "op_label", "aoi_id", "list_key", "coalesce(_c, _a) AS value"
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+
 def mapshed_suite(spark: SparkSession, aoi_ids: list[str] | None = None) -> DataFrame:
     aoi_ids = aoi_ids or MAPSHED_AOIS
     masks = _masks(spark, aoi_ids)
-    parts = [
-        template_df(spark, label, kind, rasters, target, masks)
-        for label, (kind, rasters, target) in TEMPLATES.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return _fused_suite(spark, masks)

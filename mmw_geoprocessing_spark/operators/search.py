@@ -113,13 +113,17 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(totals))
+    # per-term document frequency as a WINDOW over the (already
+    # term-restricted, tiny) postings instead of a second aggregate
+    # branch: the broadcast-subplan form re-executed the whole corpus
+    # scan + explode + agg lineage to build df (guide §2.4 — the df
+    # exchange moves |query-term postings| rows, the removed branch
+    # re-read the corpus)
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+
+    scored = tf.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(totals))
     idf_bits = F.length(
         F.bin(2 * F.col("n_docs") - 2 * F.col("df") + 1)
     ) - F.length(F.bin(2 * F.col("df") + 1))

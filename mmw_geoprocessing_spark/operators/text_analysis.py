@@ -360,16 +360,22 @@ def contamination_check(
     hits, and ONE hash aggregation back to doc_id. No shuffle touches
     the corpus until the final partial+final agg on doc_id keys.
     """
+    # The word list is materialized as its OWN projection before the
+    # n-gram lambda references it (the sampling._word_hashes rule:
+    # higher-order-function lambdas get no common-subexpression
+    # elimination, so an inlined split(text) re-evaluates for EVERY
+    # gram — O(len²) splits per document).
     bench_grams = (
-        benchmark.select(
-            F.explode(_ngram_strings(_wordlist(F.col("text")), n)).alias("ng")
-        )
+        benchmark.select(_wordlist(F.col("text")).alias("w"))
+        .select(F.explode(_ngram_strings(F.col("w"), n)).alias("ng"))
         .distinct()
         .withColumn("is_hit", F.lit(1))
     )
     exploded = documents.select(
+        "doc_id", _wordlist(F.col("text")).alias("w")
+    ).select(
         "doc_id",
-        F.array_distinct(_ngram_strings(_wordlist(F.col("text")), n)).alias("grams"),
+        F.array_distinct(_ngram_strings(F.col("w"), n)).alias("grams"),
     ).select(
         "doc_id",
         F.size("grams").alias("doc_ngrams"),
@@ -488,9 +494,14 @@ def duplicate_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     duplicated run shorter than ``n`` words is invisible), the standard
     trade recorded in the paper's n=50-token operating point.
     """
+    # word list materialized as its own projection first — an inlined
+    # split(text) inside the n-gram lambda re-evaluates per gram
+    # (O(len²) splits per doc; see contamination_check note)
     exploded = documents.select(
+        "doc_id", _wordlist(F.col("text")).alias("w")
+    ).select(
         "doc_id",
-        F.array_distinct(_ngram_strings(_wordlist(F.col("text")), n)).alias("grams"),
+        F.array_distinct(_ngram_strings(F.col("w"), n)).alias("grams"),
     ).select(
         "doc_id",
         F.size("grams").alias("doc_spans"),
@@ -585,7 +596,10 @@ def repetition_scores(documents: DataFrame, ns: tuple[int, ...] = (2, 3)) -> Dat
     gets a verdict" costs no re-join against the corpus (one scan,
     three doc_id-prefixed exchanges, no broadcast of a per-doc table).
     """
-    wl = _wordlist(F.lower(F.col("text")))
+    # word list materialized as its own projection first — an inlined
+    # split() inside the n-gram lambdas re-evaluates per gram
+    # (O(len²) splits per doc; see contamination_check note)
+    wl = F.col("w")
 
     def _tag(n: int):
         # one-arg lambda via closure: a default-arg lambda would make
@@ -596,7 +610,9 @@ def repetition_scores(documents: DataFrame, ns: tuple[int, ...] = (2, 3)) -> Dat
         )
 
     tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
-    grams = documents.select("doc_id", F.explode_outer(tagged).alias("t")).select(
+    grams = documents.select(
+        "doc_id", _wordlist(F.lower(F.col("text"))).alias("w")
+    ).select("doc_id", F.explode_outer(tagged).alias("t")).select(
         "doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
     )
     counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
@@ -852,7 +868,8 @@ def chunk_documents(
     ).cast("int")
     starts = F.sequence(F.lit(0), (n_win - 1) * stride, F.lit(stride))
     return (
-        documents.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+        documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n"))
         .select(
             "doc_id",
             "n",

@@ -212,26 +212,38 @@ def raster_summary(targets: Sequence[DataFrame], mask: DataFrame) -> DataFrame:
     (Utils.scala:266-284 combiners' evident intent); avg = sum/count over
     *all* rasterized pixels with NODATA as 0 (:385-393,427).
 
-    One pass: layers are unioned with a ``raster_idx`` literal and grouped
-    by it, so N rasters cost one aggregate, not N jobs.
+    One pass (optimization round 14, guide §2.4): instead of a UNION of
+    N mask-join branches (N mask scans, N+1 Exchanges), every target is
+    LEFT-joined onto the mask rows once (bucketed pixel key -> zero-
+    exchange sort-merge joins; each target has at most one row per
+    pixel, so mask row count is preserved) and all 3N statistics land
+    in ONE global aggregate; ``inline()`` unpivots the single stat row
+    back into the per-raster shape. The per-branch COUNT(*) equals the
+    shared mask row count, so ``sum(coalesce(v,0))/n`` is the identical
+    avg; an empty mask yields zero rows via the ``n > 0`` guard (the
+    union shape's empty-aggregate contract).
 
     Output: ``(raster_idx INT, min_value, avg_value, max_value DOUBLE)``.
     """
-    tagged = None
+    joined = mask.select(*PIXEL_KEY)
     for i, t in enumerate(targets):
-        part = (
-            mask.select(*PIXEL_KEY)
-            .join(t, on=PIXEL_KEY, how="left")
-            .select(F.lit(i).alias("raster_idx"), F.col("value"))
+        joined = joined.join(
+            t.selectExpr(*PIXEL_KEY, f"value AS _t{i}"), on=PIXEL_KEY, how="left"
         )
-        tagged = part if tagged is None else tagged.unionAll(part)
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for i in range(len(targets)):
+        aggs.append(F.min(f"_t{i}").alias(f"_mn{i}"))  # min/max skip NULLs
+        aggs.append(F.sum(F.coalesce(F.col(f"_t{i}"), F.lit(0.0))).alias(f"_sm{i}"))
+        aggs.append(F.max(f"_t{i}").alias(f"_mx{i}"))
+    structs = ", ".join(
+        f"named_struct('raster_idx', {i}, 'min_value', _mn{i}, "
+        f"'avg_value', _sm{i} / _n, 'max_value', _mx{i})"
+        for i in range(len(targets))
+    )
     return (
-        tagged.groupBy("raster_idx")
-        .agg(
-            F.min("value").alias("min_value"),  # min/max skip NULLs natively
-            (F.sum(F.coalesce(F.col("value"), F.lit(0.0))) / F.count(F.lit(1))).alias("avg_value"),
-            F.max("value").alias("max_value"),
-        )
+        joined.agg(*aggs)
+        .where(F.col("_n") > 0)
+        .selectExpr(f"inline(array({structs}))")
         .orderBy("raster_idx")
     )
 
