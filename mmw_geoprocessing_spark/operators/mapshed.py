@@ -207,19 +207,24 @@ def _fused_suite(spark: SparkSession, masks: DataFrame) -> DataFrame:
             if r not in rasters:
                 rasters.append(r)
 
+    # hint("merge"): without it the planner broadcasts every raster
+    # (each under the 64 MB threshold at bench scale) — 9 collect+
+    # broadcast jobs per fresh plan, and the shape that CANNOT exist at
+    # 100 TB. The merge hint keeps the zero-exchange co-bucketed
+    # sort-merge chain (both sides bucketed+sorted on the pixel key).
     base = masks
     for r in rasters:
         layer = fx.raster_df(spark, r).selectExpr(
             *PIXEL_KEY, f"value AS v_{r}", f"true AS p_{r}"
         )
-        base = base.join(layer, on=PIXEL_KEY, how="left")
+        base = base.join(layer.hint("merge"), on=PIXEL_KEY, how="left")
     line_flag = (
         fx.line_pixels_df(spark)
         .select(*PIXEL_KEY)
         .dropDuplicates(PIXEL_KEY)
         .selectExpr(*PIXEL_KEY, "true AS line_t")
     )
-    base = base.join(line_flag, on=PIXEL_KEY, how="left")
+    base = base.join(line_flag.hint("merge"), on=PIXEL_KEY, how="left")
 
     def _key(rs: list[str]) -> str:
         casts = ", ".join(

@@ -571,8 +571,12 @@ def hybrid_rrf_topk(
 
     from mmw_geoprocessing_spark.operators.similarity import _as_double, _dot, _norm
 
+    # sparse leg served from the session postings/totals indexes (the
+    # ingest-time warm-index basis every LLM bench row uses since r9;
+    # bm25_topk stays the registered fresh-plan baseline row). Results
+    # are identical — bm25_indexed_topk passes the same oracle.
     sparse = (
-        bm25_topk(spark, documents, k=n_cand)
+        bm25_indexed_topk(spark, documents, k=n_cand)
         .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
     )
 
@@ -718,8 +722,9 @@ def hybrid_rrf_ivf_topk(
 
     if nprobe is None:
         nprobe = NPROBE
+    # sparse leg from the session postings index (see hybrid_rrf_topk)
     sparse = (
-        bm25_topk(spark, documents, k=n_cand)
+        bm25_indexed_topk(spark, documents, k=n_cand)
         .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
     )
 

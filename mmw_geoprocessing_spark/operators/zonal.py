@@ -227,8 +227,13 @@ def raster_summary(targets: Sequence[DataFrame], mask: DataFrame) -> DataFrame:
     """
     joined = mask.select(*PIXEL_KEY)
     for i, t in enumerate(targets):
+        # merge hint: keep the zero-exchange co-bucketed sort-merge
+        # chain — the planner would otherwise broadcast each target
+        # (a shape that cannot exist at 100 TB; see mapshed note)
         joined = joined.join(
-            t.selectExpr(*PIXEL_KEY, f"value AS _t{i}"), on=PIXEL_KEY, how="left"
+            t.selectExpr(*PIXEL_KEY, f"value AS _t{i}").hint("merge"),
+            on=PIXEL_KEY,
+            how="left",
         )
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
     for i in range(len(targets)):

@@ -39,6 +39,8 @@ Fixture inventory (mirrors FIXTURES.md):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 NODATA_INT = -2147483648
@@ -340,7 +342,12 @@ def set_active_dir(sf_dir: str, spark: SparkSession | None = None) -> None:
 
 
 _BUCKET_DIR = "/tmp/spark_graft_bucketed_fixtures"
-_N_BUCKETS = 16
+# Layout parameter, env-tunable (optimization r14): bucket count caps
+# the parallelism of every zero-exchange bucketed join stage, so it is
+# a deployment knob (≈ cluster cores at 100 TB), not a constant. The
+# default stays 16 — the bench-comparable local layout; the tag
+# fingerprint below folds the value in, so changing it rebuilds.
+_N_BUCKETS = int(os.environ.get("SPARK_GRAFT_FIXTURE_BUCKETS", "16"))
 
 
 def _bucketed_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
