@@ -54,39 +54,39 @@ PAYLOAD = [
 
 def synth_changelog(orders: DataFrame) -> DataFrame:
     """Deterministic changelog derived from the orders table (see module
-    docstring). Output: ``(o_orderkey, seq, op, <payload cols>)``."""
+    docstring). Output: ``(o_orderkey, seq, op, <payload cols>)``.
+
+    One corpus pass (optimization r14, guide §2.4): each order row
+    emits its 0-3 applicable changelog entries via
+    ``inline(array_compact(...))`` instead of four filtered re-scans of
+    the table unioned together (the union form re-read the orders
+    parquet four times per consumer — and the rollup's delta branches
+    made that eight). Row multiset is identical to the union form, so
+    every downstream oracle is unchanged."""
     k = F.col("o_orderkey")
-    u1 = (
-        orders.filter(k % 7 == 3)
-        .withColumn("seq", F.lit(1).cast("bigint"))
-        .withColumn("op", F.lit("U"))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+
+    def _entry(cond, key, seq: int, op: str, price):
+        return F.when(
+            cond,
+            F.struct(
+                key.cast("bigint").alias("o_orderkey"),
+                F.lit(seq).cast("bigint").alias("seq"),
+                F.lit(op).alias("op"),
+                F.col("o_custkey").alias("o_custkey"),
+                F.col("o_orderstatus").alias("o_orderstatus"),
+                price.alias("o_totalprice"),
+                F.col("o_orderdate").alias("o_orderdate"),
+                F.col("o_orderpriority").alias("o_orderpriority"),
+            ),
+        )
+
+    entries = F.array(
+        _entry(k % 7 == 3, k, 1, "U", F.col("o_totalprice") + F.lit(100.0)),
+        _entry(k % 21 == 3, k, 2, "U", F.col("o_totalprice") + F.lit(200.0)),
+        _entry(k % 13 == 4, k, 3, "D", F.col("o_totalprice")),
+        _entry(k % 17 == 5, -k, 1, "I", F.col("o_totalprice") * F.lit(2.0)),
     )
-    u2 = (
-        orders.filter(k % 21 == 3)
-        .withColumn("seq", F.lit(2).cast("bigint"))
-        .withColumn("op", F.lit("U"))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(200.0))
-    )
-    d3 = (
-        orders.filter(k % 13 == 4)
-        .withColumn("seq", F.lit(3).cast("bigint"))
-        .withColumn("op", F.lit("D"))
-    )
-    i1 = (
-        orders.filter(k % 17 == 5)
-        .withColumn("o_orderkey", (-k).cast("bigint"))
-        .withColumn("seq", F.lit(1).cast("bigint"))
-        .withColumn("op", F.lit("I"))
-        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
-    )
-    cols = ["o_orderkey", "seq", "op", *PAYLOAD]
-    return (
-        u1.select(cols)
-        .unionByName(u2.select(cols))
-        .unionByName(d3.select(cols))
-        .unionByName(i1.select(cols))
-    )
+    return orders.select(F.inline(F.array_compact(entries)))
 
 
 def changelog_merge(base: DataFrame, changelog: DataFrame) -> DataFrame:
@@ -280,19 +280,31 @@ def incremental_rollup(base: DataFrame, changelog: DataFrame) -> DataFrame:
         F.col("o_totalprice").alias("old_price"),
     )
     d = winner.join(old, "o_orderkey", "left")
-    negate = d.filter(F.col("old_date").isNotNull()).select(
-        F.col("old_date").alias("o_orderdate"),
-        F.lit(-1).cast("bigint").alias("n"),
-        (-F.round(F.col("old_price") * 100).cast("bigint")).alias("cents"),
+    # Both delta legs (negate-old, add-new) ride ONE evaluation of the
+    # joined changelog via inline(array_compact(...)) — the two-branch
+    # union form re-executed the whole winner-window + join lineage
+    # twice (optimization r14, guide §2.4; the before plan carried 22
+    # parquet scans, two windows and two broadcast joins for one
+    # delta).
+    negate_leg = F.when(
+        F.col("old_date").isNotNull(),
+        F.struct(
+            F.col("old_date").alias("o_orderdate"),
+            F.lit(-1).cast("bigint").alias("n"),
+            (-F.round(F.col("old_price") * 100).cast("bigint")).alias("cents"),
+        ),
     )
-    add = d.filter(F.col("op") != "D").select(
-        "o_orderdate",
-        F.lit(1).cast("bigint").alias("n"),
-        cents("o_totalprice").alias("cents"),
+    add_leg = F.when(
+        F.col("op") != "D",
+        F.struct(
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.lit(1).cast("bigint").alias("n"),
+            cents("o_totalprice").alias("cents"),
+        ),
     )
+    delta = d.select(F.inline(F.array_compact(F.array(negate_leg, add_leg))))
     return (
-        base_rollup.unionByName(negate)
-        .unionByName(add)
+        base_rollup.unionByName(delta)
         .groupBy("o_orderdate")
         .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("revenue_cents"))
         .filter(F.col("n_orders") > 0)

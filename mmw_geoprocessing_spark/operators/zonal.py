@@ -70,9 +70,13 @@ def raster_grouped_count(layers: Sequence[DataFrame], mask: DataFrame) -> DataFr
     Output: ``(list_key STRING, cnt BIGINT)``.
     """
     vals = _value_cols(len(layers))
+    # merge hint (optimization r14): the mask fixture is bucketed on
+    # the pixel key, so the hinted join is a zero-exchange sort-merge;
+    # the planner's broadcast pick pays a per-fresh-plan collect+build
+    # of the mask (measured 0.95 s -> 0.64 s median at sf0.1 bucketed)
     return (
         join_layers(layers)
-        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .join(mask.select(*PIXEL_KEY).hint("merge"), on=PIXEL_KEY, how="inner")
         .groupBy(*vals)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(list_key(*vals).alias("list_key"), "cnt")
@@ -88,9 +92,21 @@ def raster_grouped_count_many(layers: Sequence[DataFrame], mask_many: DataFrame)
     Output: ``(aoi_id STRING, list_key STRING, cnt BIGINT)``.
     """
     vals = _value_cols(len(layers))
+    # merge hint (optimization r14): the many-AOI mask is the UNION of
+    # all AOIs (~1 M rows at sf0.1) — the planner's broadcast choice
+    # collects+ships it per fresh plan (measured 2.66 s vs 1.40 s
+    # median at sf0.1) and cannot exist at 100 TB; the mask fixture is
+    # bucketed on the pixel key, so the merge join is zero-exchange.
+    # The single-AOI operators keep the broadcast: one rasterized AOI
+    # is bounded (the reference ships it to every executor the same
+    # way) and measured a wash locally.
     return (
         join_layers(layers)
-        .join(mask_many.select("aoi_id", *PIXEL_KEY), on=PIXEL_KEY, how="inner")
+        .join(
+            mask_many.select("aoi_id", *PIXEL_KEY).hint("merge"),
+            on=PIXEL_KEY,
+            how="inner",
+        )
         .groupBy(F.col("aoi_id"), *vals)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("aoi_id", list_key(*vals).alias("list_key"), "cnt")
@@ -165,10 +181,18 @@ def raster_grouped_sum(
     Output: ``(list_key STRING, sum_value DOUBLE)``.
     """
     vals = _value_cols(len(layers))
+    # merge hints (optimization r14): both the mask and the target are
+    # bucketed on the pixel key -> the whole chain is zero-exchange
+    # sort-merge (measured 1.22 s -> 0.85 s median at sf0.1 bucketed;
+    # the unhinted plan broadcast-built both sides per fresh plan)
     return (
         join_layers(layers)
-        .join(mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="inner")
-        .join(target.withColumnRenamed("value", "_target"), on=PIXEL_KEY, how="left")
+        .join(mask.select(*PIXEL_KEY).hint("merge"), on=PIXEL_KEY, how="inner")
+        .join(
+            target.withColumnRenamed("value", "_target").hint("merge"),
+            on=PIXEL_KEY,
+            how="left",
+        )
         .groupBy(*vals)
         .agg(F.sum(F.coalesce(F.col("_target"), F.lit(0.0))).alias("sum_value"))
         .select(list_key(*vals).alias("list_key"), "sum_value")
@@ -194,12 +218,19 @@ def raster_lines_join(
     Output: ``(list_key STRING, cnt BIGINT)``.
     """
     vals = _value_cols(len(layers))
+    # merge hints (optimization r14): line pixels and mask are both
+    # bucketed on the pixel key -> both semi joins are zero-exchange
+    # sort-merge (measured 1.48 s -> 0.91 s median at sf0.1 bucketed;
+    # the unhinted plan broadcast-built each semi-join build side per
+    # fresh plan)
     line_in_aoi = line_pixels.select(*PIXEL_KEY).join(
-        mask.select(*PIXEL_KEY), on=PIXEL_KEY, how="left_semi"  # clip to AOI
+        mask.select(*PIXEL_KEY).hint("merge"),
+        on=PIXEL_KEY,
+        how="left_semi",  # clip to AOI
     )
     return (
         join_layers(layers)
-        .join(line_in_aoi, on=PIXEL_KEY, how="left_semi")
+        .join(line_in_aoi.hint("merge"), on=PIXEL_KEY, how="left_semi")
         .groupBy(*vals)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(list_key(*vals).alias("list_key"), "cnt")

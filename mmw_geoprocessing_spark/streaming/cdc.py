@@ -63,9 +63,11 @@ def replay_changelog_dir(spark, sf_dir: str) -> str:
     except OSError:
         ident = "nostat"
     tag = sf_dir.strip("/").replace("/", "_")
-    # v2: changelog logic version (negated-key inserts) — bump whenever
-    # synth_changelog changes so stale cached replays are never reused
-    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_v2_{tag}_{ident}")
+    # v3: changelog logic version (v2 = negated-key inserts; v3 = the
+    # one-pass inline synthesis, identical rows but different file
+    # layout) — bump whenever synth_changelog changes so stale cached
+    # replays are never reused
+    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_v3_{tag}_{ident}")
     if os.path.isdir(final):
         return final
     work = tempfile.mkdtemp(prefix="stream_cdc_build_")
