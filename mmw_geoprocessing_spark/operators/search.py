@@ -123,37 +123,10 @@ def bm25_topk(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
 
+    # DIV in the shared tail = exact 64-bit integer division (matches
+    # DuckDB // on the non-negative operands here)
     scored = tf.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(totals))
-    idf_bits = F.length(
-        F.bin(2 * F.col("n_docs") - 2 * F.col("df") + 1)
-    ) - F.length(F.bin(2 * F.col("df") + 1))
-    num = F.lit(44 * SCALE) * F.col("tf") * F.col("t_tokens")
-    den = (
-        F.lit(20) * F.col("t_tokens") * F.col("tf")
-        + F.lit(6) * F.col("t_tokens")
-        + F.lit(18) * F.col("dl") * F.col("n_docs")
-    )
-    doc_scores = (
-        scored.withColumn("idf_bits", idf_bits.cast("bigint"))
-        .withColumn("num", num)
-        .withColumn("den", den)
-        # DIV = exact 64-bit integer division (matches DuckDB // on the
-        # non-negative operands here)
-        .withColumn("term_score", F.expr("idf_bits * (num DIV den)"))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("term_score").alias("score_scaled"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_scaled").desc(), F.col("doc_id").asc()
-    )
-    return (
-        doc_scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_matched")
-    )
+    return _score_tail(scored, k)
 
 
 def _postings_index(documents: DataFrame) -> DataFrame:
@@ -206,6 +179,42 @@ def _totals_index(documents: DataFrame) -> DataFrame:
     return _SEARCH_INDEX_CACHE.get_or_persist(documents, "bm25_totals", build)
 
 
+def _score_tail(scored: DataFrame, k: int) -> DataFrame:
+    """Exact-integer BM25 scoring + per-query top-k over a joined
+    ``(query_id, doc_id, term, tf, dl, df, n_docs, t_tokens)`` frame.
+
+    Built as SQL strings (optimization r14, the _cell_scores /
+    join_layers lesson): the Column-by-Column form cost ~0.9 s of py4j
+    round trips per fresh build on the serving path; one parsed
+    projection yields the IDENTICAL expression tree (same integer
+    arithmetic, same window), so results are bit-equal.
+    """
+    term_score = (
+        "cast(length(bin(2 * n_docs - 2 * df + 1))"
+        " - length(bin(2 * df + 1)) as bigint)"
+        f" * (({44 * SCALE} * tf * t_tokens) DIV"
+        " (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs))"
+    )
+    return (
+        scored.selectExpr("query_id", "doc_id", f"{term_score} AS term_score")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr("sum(term_score)").alias("score_scaled"),
+            F.expr("count(1)").alias("n_terms_matched"),
+        )
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "cast(row_number() over (partition by query_id"
+            " order by score_scaled desc, doc_id asc) as bigint) as rank",
+            "score_scaled",
+            "n_terms_matched",
+        )
+        .filter(f"rank <= {k}")
+        .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_matched")
+    )
+
+
 def _bm25_score_topk(
     qterms: DataFrame, tf: DataFrame, df_: DataFrame, totals: DataFrame, k: int
 ) -> DataFrame:
@@ -218,34 +227,7 @@ def _bm25_score_topk(
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(totals))
     )
-    idf_bits = F.length(
-        F.bin(2 * F.col("n_docs") - 2 * F.col("df") + 1)
-    ) - F.length(F.bin(2 * F.col("df") + 1))
-    num = F.lit(44 * SCALE) * F.col("tf") * F.col("t_tokens")
-    den = (
-        F.lit(20) * F.col("t_tokens") * F.col("tf")
-        + F.lit(6) * F.col("t_tokens")
-        + F.lit(18) * F.col("dl") * F.col("n_docs")
-    )
-    doc_scores = (
-        scored.withColumn("idf_bits", idf_bits.cast("bigint"))
-        .withColumn("num", num)
-        .withColumn("den", den)
-        .withColumn("term_score", F.expr("idf_bits * (num DIV den)"))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("term_score").alias("score_scaled"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_scaled").desc(), F.col("doc_id").asc()
-    )
-    return (
-        doc_scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_matched")
-    )
+    return _score_tail(scored, k)
 
 
 def bm25_indexed_topk(
@@ -533,6 +515,39 @@ RRF_K = 60
 N_CAND = 50
 
 
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame, rrf_k: int, k: int) -> DataFrame:
+    """Shared RRF fusion tail: full-outer join of the two candidate
+    lists, ``1/(rrf_k + rank)`` per present leg added in a fixed order,
+    per-query top-k. Parsed SQL strings (one JVM parse per projection);
+    the double arithmetic is the identical fixed-order IEEE sequence as
+    the Column form, so results are bit-equal."""
+    rrf_score = (
+        f"coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm25_rank), CAST(0.0 AS DOUBLE))"
+        f" + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + cos_rank), CAST(0.0 AS DOUBLE))"
+    )
+    return (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            f"{rrf_score} AS rrf_score",
+            "cast(coalesce(bm25_rank, 0) as bigint) as bm25_rank",
+            "cast(coalesce(cos_rank, 0) as bigint) as cos_rank",
+        )
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "cast(row_number() over (partition by query_id"
+            " order by rrf_score desc, doc_id asc) as bigint) as rrf_rank",
+            "rrf_score",
+            "bm25_rank",
+            "cos_rank",
+        )
+        .filter(f"rrf_rank <= {k}")
+        .select("query_id", "doc_id", "rrf_rank", "rrf_score", "bm25_rank", "cos_rank")
+    )
+
+
 def hybrid_rrf_topk(
     spark: SparkSession,
     documents: DataFrame,
@@ -567,9 +582,11 @@ def hybrid_rrf_topk(
     Output: ``(query_id, doc_id, rrf_rank, rrf_score, bm25_rank,
     cos_rank)``.
     """
-    from pyspark.sql import Window
-
-    from mmw_geoprocessing_spark.operators.similarity import _as_double, _dot, _norm
+    from mmw_geoprocessing_spark.operators.similarity import (
+        _as_double_expr,
+        _dot_expr,
+        _norm_expr,
+    )
 
     # sparse leg served from the session postings/totals indexes (the
     # ingest-time warm-index basis every LLM bench row uses since r9;
@@ -580,54 +597,39 @@ def hybrid_rrf_topk(
         .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
     )
 
+    # dense leg + fusion as parsed SQL strings (optimization r14): the
+    # Column/HOF-lambda form cost ~1 s of py4j round trips per fresh
+    # build; identical expression trees (same fold order), bit-equal.
     anchors = spark.createDataFrame(
         HYBRID_ANCHORS, "query_id string, anchor_id bigint"
     )
     q = (
         F.broadcast(anchors)
         .join(embeddings, F.col("anchor_id") == F.col("vec_id"))
-        .select("query_id", _as_double(F.col("embedding")).alias("qv"))
-        .withColumn("nq", _norm(F.col("qv")))
+        .selectExpr("query_id", f"{_as_double_expr('embedding')} AS qv")
+        .selectExpr("query_id", "qv", f"{_norm_expr('qv')} AS nq")
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
-    ).withColumn("nc", _norm(F.col("cv")))
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("doc_id").asc()
-    )
+    c = embeddings.selectExpr(
+        "vec_id AS doc_id", f"{_as_double_expr('embedding')} AS cv"
+    ).selectExpr("doc_id", "cv", f"{_norm_expr('cv')} AS nc")
     dense = (
         F.broadcast(q)
         .crossJoin(c)
-        .select(
+        .selectExpr(
             "query_id",
             "doc_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
-                "cosine"
-            ),
+            f"({_dot_expr('qv', 'cv')}) / (nq * nc) AS cosine",
         )
-        .withColumn("cos_rank", F.row_number().over(w_cos).cast("bigint"))
-        .filter(F.col("cos_rank") <= n_cand)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "cast(row_number() over (partition by query_id"
+            " order by cosine desc, doc_id asc) as bigint) as cos_rank",
+        )
+        .filter(f"cos_rank <= {n_cand}")
         .select("query_id", "doc_id", "cos_rank")
     )
-
-    fused = (
-        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
-        .withColumn(
-            "rrf_score",
-            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
-        )
-        .withColumn("bm25_rank", F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint"))
-        .withColumn("cos_rank", F.coalesce(F.col("cos_rank"), F.lit(0)).cast("bigint"))
-    )
-    w_rrf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("bigint"))
-        .filter(F.col("rrf_rank") <= k)
-        .select("query_id", "doc_id", "rrf_rank", "rrf_score", "bm25_rank", "cos_rank")
-    )
+    return _rrf_fuse(sparse, dense, rrf_k, k)
 
 
 def hybrid_rrf_topk_sql(
@@ -708,16 +710,14 @@ def hybrid_rrf_ivf_topk(
     Output contract is identical: ``(query_id, doc_id, rrf_rank,
     rrf_score, bm25_rank, cos_rank)`` — cos_rank now the IVF leg's rank.
     """
-    from pyspark.sql import Window
-
     from mmw_geoprocessing_spark.operators.similarity import (
         NPROBE,
-        _as_double,
+        _as_double_expr,
         _cell_topn,
         _centroids,
-        _dot,
+        _dot_expr,
         _ivf_index,
-        _norm,
+        _norm_expr,
     )
 
     if nprobe is None:
@@ -733,11 +733,12 @@ def hybrid_rrf_ivf_topk(
     anchors = spark.createDataFrame(
         HYBRID_ANCHORS, "query_id string, anchor_id bigint"
     )
+    # probe + fusion as parsed SQL strings (see hybrid_rrf_topk note)
     q = (
         F.broadcast(anchors)
         .join(embeddings, F.col("anchor_id") == F.col("vec_id"))
-        .select("query_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nq", _norm(F.col("v")))
+        .selectExpr("query_id", f"{_as_double_expr('embedding')} AS v")
+        .selectExpr("query_id", "v", f"{_norm_expr('v')} AS nq")
         .select(
             "query_id",
             F.col("v").alias("qv"),
@@ -745,42 +746,24 @@ def hybrid_rrf_ivf_topk(
             F.explode(_cell_topn("v", cents, nprobe)).alias("cell"),
         )
     )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("doc_id").asc()
-    )
     dense = (
         F.broadcast(q)
         .join(inv, "cell")  # probed cells are disjoint — no dedup needed
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("doc_id"),
-            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
-                "cosine"
-            ),
+            "vec_id AS doc_id",
+            f"({_dot_expr('qv', 'v')}) / (nq * nv) AS cosine",
         )
-        .withColumn("cos_rank", F.row_number().over(w_cos).cast("bigint"))
-        .filter(F.col("cos_rank") <= n_cand)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "cast(row_number() over (partition by query_id"
+            " order by cosine desc, doc_id asc) as bigint) as cos_rank",
+        )
+        .filter(f"cos_rank <= {n_cand}")
         .select("query_id", "doc_id", "cos_rank")
     )
-
-    fused = (
-        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
-        .withColumn(
-            "rrf_score",
-            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
-        )
-        .withColumn("bm25_rank", F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint"))
-        .withColumn("cos_rank", F.coalesce(F.col("cos_rank"), F.lit(0)).cast("bigint"))
-    )
-    w_rrf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("bigint"))
-        .filter(F.col("rrf_rank") <= k)
-        .select("query_id", "doc_id", "rrf_rank", "rrf_score", "bm25_rank", "cos_rank")
-    )
+    return _rrf_fuse(sparse, dense, rrf_k, k)
 
 
 def hybrid_rrf_ivf_topk_sql(

@@ -64,6 +64,29 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# SQL-string twins of _as_double/_dot/_norm (optimization r14, the
+# _cell_scores/_band_structs lesson): the Column versions cost one py4j
+# round trip per operator and ~27 ms per HOF lambda at BUILD time; the
+# string parses JVM-side in one call into the IDENTICAL expression tree
+# (same zip_with/aggregate fold, same literals), so results are
+# bit-equal. Per-request serving builders use these.
+
+
+def _as_double_expr(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 

@@ -63,11 +63,15 @@ def replay_changelog_dir(spark, sf_dir: str) -> str:
     except OSError:
         ident = "nostat"
     tag = sf_dir.strip("/").replace("/", "_")
-    # v3: changelog logic version (v2 = negated-key inserts; v3 = the
-    # one-pass inline synthesis, identical rows but different file
-    # layout) — bump whenever synth_changelog changes so stale cached
+    # v4: changelog logic version (v2 = negated-key inserts; v3 = the
+    # one-pass inline synthesis; v4 = seq-1 chunk split back into
+    # per-op write jobs — the inline synthesis mixed U and I entries in
+    # every part file, which made EVERY micro-batch of the bucketed
+    # state merge touch every bucket and broke its
+    # rewrite-only-touched-buckets property) — bump whenever
+    # synth_changelog or the chunk layout changes so stale cached
     # replays are never reused
-    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_v3_{tag}_{ident}")
+    final = os.path.join(tempfile.gettempdir(), f"stream_cdc_v4_{tag}_{ident}")
     if os.path.isdir(final):
         return final
     work = tempfile.mkdtemp(prefix="stream_cdc_build_")
@@ -79,7 +83,16 @@ def replay_changelog_dir(spark, sf_dir: str) -> str:
     )
     ch = synth_changelog(orders)
     base.write.mode("overwrite").parquet(os.path.join(work, "a_base"))
-    ch.filter(F.col("seq") == 1).select(_COLS).write.mode("overwrite").parquet(
+    # seq-1 entries land as per-op write jobs (U files carry only
+    # keys ≡ 3 mod 7, I files only the negated-key inserts): the
+    # bucketed state merge's "rewrite only touched buckets" behaviour
+    # is exercised by pure-U micro-batches, which the one-pass inline
+    # synthesis would otherwise mix away (test_streaming_cdc.py)
+    seq1 = ch.filter(F.col("seq") == 1).select(_COLS)
+    seq1.filter(F.col("op") == "U").write.mode("overwrite").parquet(
+        os.path.join(work, "b_seq1")
+    )
+    seq1.filter(F.col("op") != "U").write.mode("append").parquet(
         os.path.join(work, "b_seq1")
     )
     ch.filter(F.col("seq") >= 2).select(_COLS).write.mode("overwrite").parquet(
