@@ -86,21 +86,21 @@ def prune_files(zonemap: DataFrame, ranges: dict[str, tuple]) -> tuple[list[str]
     A file survives when every predicate interval overlaps its
     [min, max] envelope: ``max_c >= lo AND min_c <= hi``. NULL
     envelopes (all-NULL file for that column) survive conservatively.
-    Only survivors are collected — the index filter runs distributed,
-    and total + survivors come back in ONE aggregation job (a
-    count-then-collect pair doubles the per-query fixed cost on the
-    serving path; ``collect_list`` skips the NULLs the ``when``
-    leaves for pruned files, so the list is selectivity-bounded).
+    The index relation is one row per data file, so the whole decision
+    comes back in ONE single-stage collect of ``(file, keep)`` pairs —
+    the former global ``agg(count, collect_list(...))`` form paid a
+    partial+final aggregate and its exchange on every serving-path
+    query for the same information (optimization r14, guide §1.4/§2.4:
+    the planning-time index consult should cost one stage, not two).
+    Driver-side data is still the index size (one row per file), which
+    a manifest-plane object is by definition.
     """
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         overlap = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
         cond = cond & (overlap | F.col(f"min_{c}").isNull())
-    row = zonemap.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.collect_list(F.when(cond, F.col("file"))).alias("files"),
-    ).collect()[0]
-    return sorted(row["files"]), row["total"]
+    rows = zonemap.select(F.col("file"), cond.alias("_keep")).collect()
+    return sorted(r["file"] for r in rows if r["_keep"]), len(rows)
 
 
 def zonemap_pruned_read(
