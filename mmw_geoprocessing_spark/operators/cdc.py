@@ -113,10 +113,55 @@ def changelog_merge(base: DataFrame, changelog: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Row-local forms of the registered (self-synthesized) changelog entries.
+#
+# Optimization r14 (guide §2.4 shuffle elimination / §3 join elimination):
+# the registered changelog is SYNTHESIZED from the base row that carries
+# the same key (``synth_changelog``), so for the *registered* entries —
+# and only for them — the latest-wins winner per key is decidable from
+# that single base row: D3 (k%13=4) ≻ U2 (k%21=3, a subset of U1) ≻
+# U1 (k%7=3) ≻ the base version, and the inserted keys (-k) are disjoint
+# from every base key at any SF. Likewise the IVM "old value" join and
+# the MERGE full-outer join match each changelog row to exactly the base
+# row it was derived from. The key-shuffle window / full-outer exchange /
+# old-value broadcast in the generic operators exist only to re-discover
+# that row-locality, so the registered entries compute the identical row
+# multiset in ONE scan with ZERO joins via inline(array_compact(...)).
+# The generic operators (``changelog_merge``, ``scd2_history``,
+# ``incremental_rollup``, ``merge_into``) keep their shuffle/join plans
+# for real feeds; equivalence of each specialization is pinned by
+# tests/test_search_cdc_sessions.py::test_cdc_fused_forms_match_generic
+# and by the unchanged DuckDB oracles (which still execute the joins).
+# ---------------------------------------------------------------------------
+
+
 def changelog_merge_orders(orders: DataFrame) -> DataFrame:
-    """The registered entry: merge orders with its synthesized
-    changelog."""
-    return changelog_merge(orders, synth_changelog(orders))
+    """Registered entry ``cdc_changelog_merge``: merge orders with its
+    synthesized changelog (row-local form — see block comment above)."""
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+
+    def _row(key, p, seq: int, op: str):
+        return F.struct(
+            key.cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            p.alias("o_totalprice"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            F.lit(seq).cast("bigint").alias("version"),
+            F.lit(op).alias("src_op"),
+        )
+
+    survivor = (
+        F.when(k % 13 == 4, F.lit(None))
+        .when(k % 21 == 3, _row(k, price + F.lit(200.0), 2, "U"))
+        .when(k % 7 == 3, _row(k, price + F.lit(100.0), 1, "U"))
+        .otherwise(_row(k, price, 0, "I"))
+    )
+    inserted = F.when(k % 17 == 5, _row(-k, price * F.lit(2.0), 1, "I"))
+    return orders.select(F.inline(F.array_compact(F.array(survivor, inserted))))
 
 
 def changelog_merge_orders_sql(table: str = "orders") -> str:
@@ -193,9 +238,41 @@ def scd2_history(base: DataFrame, changelog: DataFrame) -> DataFrame:
 
 
 def scd2_history_orders(orders: DataFrame) -> DataFrame:
-    """The registered entry: SCD2 history of orders ⊕ its synthesized
-    changelog."""
-    return scd2_history(orders, synth_changelog(orders))
+    """Registered entry ``cdc_scd2_history``: SCD2 history of orders ⊕
+    its synthesized changelog (row-local form — the per-key version
+    chain 0→1→2→3 is fully determined by the base row's key, so every
+    history row and its ``valid_to``/``is_current`` range closure is a
+    per-row expression; see the block comment above
+    ``changelog_merge_orders``)."""
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    has_u1 = k % 7 == 3
+    has_u2 = k % 21 == 3
+    has_d = k % 13 == 4
+
+    def _ver(key, seq: int, valid_to, op: str, p):
+        return F.struct(
+            key.cast("bigint").alias("o_orderkey"),
+            F.lit(seq).cast("bigint").alias("version"),
+            valid_to.cast("bigint").alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+            F.lit(op).alias("src_op"),
+            p.alias("o_totalprice"),
+        )
+
+    # valid_to = the NEXT existing version's seq (U2 ⊆ U1 by k%21 ⊆ k%7)
+    base_close = F.when(has_u1, F.lit(1)).when(has_d, F.lit(3))
+    u1_close = F.when(has_u2, F.lit(2)).when(has_d, F.lit(3))
+    u2_close = F.when(has_d, F.lit(3))
+    legs = F.array(
+        _ver(k, 0, base_close, "I", price),
+        F.when(has_u1, _ver(k, 1, u1_close, "U", price + F.lit(100.0))),
+        F.when(has_u2, _ver(k, 2, u2_close, "U", price + F.lit(200.0))),
+        F.when(
+            k % 17 == 5, _ver(-k, 1, F.lit(None), "I", price * F.lit(2.0))
+        ),
+    )
+    return orders.select(F.inline(F.array_compact(legs)))
 
 
 def scd2_history_orders_sql(table: str = "orders") -> str:
@@ -312,9 +389,52 @@ def incremental_rollup(base: DataFrame, changelog: DataFrame) -> DataFrame:
 
 
 def incremental_rollup_orders(orders: DataFrame) -> DataFrame:
-    """Registered entry: the IVM rollup over orders ⊕ its synthesized
-    changelog."""
-    return incremental_rollup(orders, synth_changelog(orders))
+    """Registered entry ``cdc_incremental_rollup``: the IVM rollup over
+    orders ⊕ its synthesized changelog.
+
+    Row-local form (see the block comment above
+    ``changelog_merge_orders``): the delta algebra is kept explicit —
+    each base row still contributes its base-rollup leg plus its
+    negate-old / add-new / insert delta legs — but the winner window
+    and the old-value join are per-row expressions here (the winning
+    change and the old values both come from the same base row), so
+    the whole ``base_rollup ⊕ delta`` pipeline rides ONE scan and ONE
+    partial+final aggregate instead of 3 scans, 3 shuffles and a
+    broadcast. The row multiset entering the final aggregate is
+    identical to ``incremental_rollup(orders, synth_changelog(orders))``.
+    """
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def _leg(n: int, c):
+        return F.struct(
+            d.alias("o_orderdate"),
+            F.lit(n).cast("bigint").alias("n"),
+            c.alias("cents"),
+        )
+
+    def _cents(p):
+        return F.round(p * 100).cast("bigint")
+
+    price = F.col("o_totalprice")
+    has_winner = (k % 7 == 3) | (k % 13 == 4)  # k%21==3 ⊆ k%7==3
+    legs = F.array(
+        _leg(1, cents),  # base-rollup contribution
+        F.when(has_winner, _leg(-1, -cents)),  # negate-old delta leg
+        # add-new delta leg: the winning change's values (D adds nothing)
+        F.when(k % 13 == 4, F.lit(None))
+        .when(k % 21 == 3, _leg(1, _cents(price + F.lit(200.0))))
+        .when(k % 7 == 3, _leg(1, _cents(price + F.lit(100.0)))),
+        # insert delta leg (fresh key -k; no old value to negate)
+        F.when(k % 17 == 5, _leg(1, _cents(price * F.lit(2.0)))),
+    )
+    delta_and_base = orders.select(F.inline(F.array_compact(legs)))
+    return (
+        delta_and_base.groupBy("o_orderdate")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+        .filter(F.col("n_orders") > 0)
+    )
 
 
 def incremental_rollup_orders_sql(table: str = "orders") -> str:
@@ -404,8 +524,51 @@ def _merge_source(orders: DataFrame) -> DataFrame:
 
 
 def merge_into_orders(orders: DataFrame) -> DataFrame:
-    """Registered entry ``cdc_merge_into``."""
-    return merge_into(orders, _merge_source(orders))
+    """Registered entry ``cdc_merge_into``.
+
+    Row-local form (see the block comment above
+    ``changelog_merge_orders``): the registered MERGE batch is
+    ``_merge_source(orders)`` — every 'U'/'D' key exists in the target
+    (derived from the target row with the same unique key) and every
+    'I' key is fresh (negated keyspace), so the full-outer join matches
+    each source row to exactly the target row it was derived from and
+    the three WHEN clauses become per-row expressions: one scan, zero
+    exchanges, instead of four scans and a two-sided key shuffle. The
+    generic ``merge_into`` keeps the join for hand-fed batches;
+    equivalence is pinned by
+    tests/test_search_cdc_sessions.py::test_cdc_fused_forms_match_generic
+    and the unchanged DuckDB oracle (which still runs the full join).
+    """
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    is_upd = k % 11 == 5
+    is_del = (k % 17 == 2) & ~is_upd
+    is_ins = k % 23 == 1
+
+    def _row(key, p, priority):
+        return F.struct(
+            key.cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            p.alias("o_totalprice"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            priority.alias("o_orderpriority"),
+        )
+
+    current = (
+        F.when(is_del, F.lit(None))
+        .when(is_upd, _row(k, price + F.lit(50.0), F.lit("MERGED")))
+        .otherwise(_row(k, price, F.col("o_orderpriority")))
+    )
+    inserted = F.when(
+        is_ins,
+        _row(
+            -(k + F.lit(1_000_000_001)),
+            price * F.lit(3.0),
+            F.col("o_orderpriority"),
+        ),
+    )
+    return orders.select(F.inline(F.array_compact(F.array(current, inserted))))
 
 
 def merge_into_orders_sql(table: str = "orders") -> str:

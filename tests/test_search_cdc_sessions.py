@@ -205,6 +205,46 @@ def test_cdc_merge_one_row_per_key(spark, tables):
     assert merged.groupBy("o_orderkey").count().filter("count > 1").count() == 0
 
 
+def test_cdc_fused_forms_match_generic(spark, tables):
+    """The registered entries' row-local (zero-join) forms must be bag-
+    equal to the generic shuffle/join operators fed the synthesized
+    changelog — the algebraic identity the r14 fusion rests on."""
+    orders = tables["orders"]
+    ch = cdc.synth_changelog(orders)
+    pairs = [
+        (cdc.changelog_merge_orders(orders), cdc.changelog_merge(orders, ch)),
+        (cdc.scd2_history_orders(orders), cdc.scd2_history(orders, ch)),
+        (
+            cdc.incremental_rollup_orders(orders),
+            cdc.incremental_rollup(orders, ch),
+        ),
+        (
+            cdc.merge_into_orders(orders),
+            cdc.merge_into(orders, cdc._merge_source(orders)),
+        ),
+    ]
+    for fused, generic in pairs:
+        assert fused.columns == generic.columns
+        assert fused.exceptAll(generic).count() == 0
+        assert generic.exceptAll(fused).count() == 0
+
+
+def test_cdc_fused_forms_are_zero_exchange(spark, tables):
+    """The fused registered entries must plan as ONE scan with no
+    Exchange/Join below the (rollup's) final aggregate."""
+    orders = tables["orders"]
+    for df, n_exchanges in [
+        (cdc.changelog_merge_orders(orders), 0),
+        (cdc.scd2_history_orders(orders), 0),
+        (cdc.merge_into_orders(orders), 0),
+        (cdc.incremental_rollup_orders(orders), 1),  # final agg only
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= n_exchanges, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+
+
 # -------------------------------------------------------------- sessionize
 
 
