@@ -516,23 +516,54 @@ N_CAND = 50
 
 
 def _rrf_fuse(sparse: DataFrame, dense: DataFrame, rrf_k: int, k: int) -> DataFrame:
-    """Shared RRF fusion tail: full-outer join of the two candidate
-    lists, ``1/(rrf_k + rank)`` per present leg added in a fixed order,
-    per-query top-k. Parsed SQL strings (one JVM parse per projection);
-    the double arithmetic is the identical fixed-order IEEE sequence as
-    the Column form, so results are bit-equal."""
-    rrf_score = (
-        f"coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm25_rank), CAST(0.0 AS DOUBLE))"
-        f" + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + cos_rank), CAST(0.0 AS DOUBLE))"
+    """Shared RRF fusion tail: union the two (bounded, <= n_cand per
+    query per leg) candidate lists, aggregate ``1/(rrf_k + rank)`` per
+    (query, doc), per-query top-k.
+
+    Shape (optimization r14, guide §2.4): the previous full-outer
+    sort-merge join fused the legs with THREE shuffle exchanges — each
+    leg re-partitioned by (query_id, doc_id) + sorted, then the rank
+    window re-partitioned by query_id again. The union form needs AT
+    MOST ONE: ``repartition(query_id)`` feeds the (query_id, doc_id)
+    aggregate (hash(query_id) satisfies the subset clustering) AND the
+    rank window with no further exchange — and because both legs
+    already end hash(query_id)-partitioned by their own rank windows,
+    Spark 4's co-partitioned-union propagation elides even that
+    repartition in the executed plan (plans/r14/search_hybrid_rrf_
+    topk_after.txt: Union -> partial+final HashAggregate -> Sort ->
+    WindowGroupLimit with no Exchange; the repartition materializes
+    only when the legs' partitionings diverge, e.g. under AQE
+    coalescing, keeping the plan correct in every config). Safe at any
+    scale — fusion input is <= 2*n_cand*|queries| rows by each leg's
+    WindowGroupLimit cut.
+
+    Bit-equality with the join form: per-leg contributions are the
+    identical expression (1.0 / (rrf_k + rank) on a BIGINT rank); a
+    doc present in both legs sums two finite positive doubles (IEEE
+    addition is commutative bitwise), a one-leg doc's sum equals its
+    single contribution (x + 0.0 == x for x > 0); ranks coalesce to
+    the same 0-absent convention."""
+    contrib = f"CAST(1.0 AS DOUBLE) / ({rrf_k} + leg_rank)"
+    tagged = sparse.selectExpr(
+        "query_id", "doc_id", "bm25_rank AS leg_rank", "true AS sparse_leg"
+    ).unionAll(
+        dense.selectExpr(
+            "query_id", "doc_id", "cos_rank AS leg_rank", "false AS sparse_leg"
+        )
     )
     return (
-        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
-        .selectExpr(
-            "query_id",
-            "doc_id",
-            f"{rrf_score} AS rrf_score",
-            "cast(coalesce(bm25_rank, 0) as bigint) as bm25_rank",
-            "cast(coalesce(cos_rank, 0) as bigint) as cos_rank",
+        tagged.repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(f"sum({contrib})").alias("rrf_score"),
+            F.expr(
+                "coalesce(max(CASE WHEN sparse_leg THEN leg_rank END),"
+                " CAST(0 AS BIGINT))"
+            ).alias("bm25_rank"),
+            F.expr(
+                "coalesce(max(CASE WHEN NOT sparse_leg THEN leg_rank END),"
+                " CAST(0 AS BIGINT))"
+            ).alias("cos_rank"),
         )
         .selectExpr(
             "query_id",
