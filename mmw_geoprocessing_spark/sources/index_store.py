@@ -51,6 +51,7 @@ import json
 import os
 import re
 import shutil
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,11 +61,20 @@ _STORE_DIR = "/tmp/spark_graft_index_store"
 # (session id, table name) -> attached DataFrame (skip catalog chatter)
 _ATTACHED: dict[tuple[int, str], DataFrame] = {}
 
+# (session id, table name) -> wall-clock of the memo fill. Recorded
+# BEFORE the DataFrame is handed out (its file listing is computed
+# lazily, at first action — i.e. at or after this timestamp), so
+# ``attach time >= append-marker mtime`` proves the listing already
+# includes that append's files (markers commit strictly AFTER the
+# files are renamed in).
+_ATTACHED_AT: dict[tuple[int, str], float] = {}
+
 
 def clear_index_store_cache() -> None:
     """Forget session-level attachments (NOT the on-disk indexes —
     those are the point). Tests use this to simulate a fresh session."""
     _ATTACHED.clear()
+    _ATTACHED_AT.clear()
 
 
 def _resolve_location(path: str) -> str:
@@ -167,11 +177,41 @@ def _refresh_attached(spark: SparkSession, tbl: str) -> None:
     next probe re-lists (ADVICE r11: the marker-exists path must not
     keep serving the stale pre-append listing)."""
     _ATTACHED.pop((id(spark), tbl), None)
+    _ATTACHED_AT.pop((id(spark), tbl), None)
     try:
         if spark.catalog.tableExists(tbl):
             spark.catalog.refreshTable(tbl)
     except Exception:
         pass  # not attached in this session: nothing stale to drop
+
+
+def _refresh_attached_if_stale(spark: SparkSession, tbl: str, marker: str) -> None:
+    """``append_once``'s idempotent no-op path (marker already present)
+    only needs to drop this session's attachment when the attachment
+    could PREDATE the append — i.e. when the memo was filled before the
+    marker was committed. A memo filled after the marker's mtime
+    already lists the appended files (the commit renames files in
+    BEFORE writing the marker), and refreshing it anyway made every
+    re-entrant serving run pay catalog re-resolution + a fresh file
+    listing per probe (optimization r14: measured 11-23 ms per no-op
+    per index at sf0.1's 17-file layout — interleaved A/B in
+    OPTIMIZATION_r14.md; at a production index's file count the
+    re-list is the driver-side listing cost guide §6 warns about,
+    paid per serving request). A missing memo
+    needs no refresh either: the next ``get_or_build_index`` attach
+    refreshes the catalog entry unconditionally before re-listing."""
+    memo = (id(spark), tbl)
+    at = _ATTACHED_AT.get(memo)
+    if at is None and memo in _ATTACHED:
+        # pre-timestamp memo (defensive): age unknown -> refresh
+        _refresh_attached(spark, tbl)
+        return
+    if at is not None:
+        try:
+            if at < os.path.getmtime(marker):
+                _refresh_attached(spark, tbl)
+        except OSError:
+            _refresh_attached(spark, tbl)
 
 
 def _stage_dir_write(
@@ -320,12 +360,12 @@ def append_once(
         # any leftover stage content is garbage; safe outside the lock
         # because no writer ever re-enters a committed tag's stage.
         shutil.rmtree(stage, ignore_errors=True)
-        _refresh_attached(spark, tbl)
+        _refresh_attached_if_stale(spark, tbl, marker)
         return False
     with _build_lock(path):
         if os.path.isfile(marker):  # re-check under the lock
             shutil.rmtree(stage, ignore_errors=True)
-            _refresh_attached(spark, tbl)
+            _refresh_attached_if_stale(spark, tbl, marker)
             return False
         # publish into the CURRENT generation (resolved under the lock:
         # compaction holds the same flock, so the generation cannot
@@ -352,6 +392,7 @@ def append_once(
         shutil.rmtree(stage, ignore_errors=True)
     # drop session memos so readers see the appended files
     _ATTACHED.pop((id(spark), tbl), None)
+    _ATTACHED_AT.pop((id(spark), tbl), None)
     if spark.catalog.tableExists(tbl):
         spark.catalog.refreshTable(tbl)
     # Auto-compaction policy (r12 verdict #4): a year of daily drops
@@ -509,6 +550,7 @@ def get_or_build_index(
             out = spark.read.schema(_stored_schema(spark, path)).parquet(loc)
         else:
             out = spark.read.parquet(loc)
+    _ATTACHED_AT[memo] = time.time()
     _ATTACHED[memo] = out
     return out
 
@@ -743,6 +785,7 @@ def compact_index(
                 for fn in _data_files(path):
                     os.remove(os.path.join(path, fn))
     _ATTACHED.pop((id(spark), tbl), None)
+    _ATTACHED_AT.pop((id(spark), tbl), None)
     return {
         "compacted": True,
         "files_before": len(before),

@@ -337,6 +337,53 @@ def test_append_crash_before_marker_does_not_duplicate(spark, monkeypatch):
     assert _served_rows(spark, name, fp) == want
 
 
+def test_noop_reentry_keeps_fresh_attachment_refreshes_stale(spark):
+    """Optimization r14: ``append_once``'s marker no-op path must not
+    throw away an attachment made AFTER the append committed (the
+    serving rows re-enter the lifecycle every run, and the per-run
+    refresh + re-listing was their measured floor) — but an attachment
+    that PREDATES the marker (another process appended since) must
+    still be refreshed, exactly as before."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "noopfresh")
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _drop_df(spark), bucket_col="k", n_buckets=4
+    )
+    want = sorted(
+        [(i, "base") for i in range(20)] + [(i, "drop") for i in range(20, 30)]
+    )
+
+    # fresh attach (postdates the marker) -> the no-op must keep it
+    ixs.clear_index_store_cache()
+    df = ixs.get_or_build_index(
+        spark, name, fp, lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    tbl = ixs._table_name(name, fp, "k", 4)
+    memo = (id(spark), tbl)
+    assert memo in ixs._ATTACHED
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert ixs._ATTACHED.get(memo) is df, (
+        "marker no-op dropped an attachment that already postdates the append"
+    )
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == want
+
+    # stale attach (marker mtime bumped PAST the attach time — the
+    # cross-process-appended-since shape) -> the no-op must refresh
+    marker = f"{ixs._STORE_DIR}/{tbl}.append_d1"
+    future = ixs._ATTACHED_AT[memo] + 60.0
+    os.utime(marker, (future, future))
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert memo not in ixs._ATTACHED, (
+        "marker no-op kept an attachment older than the append marker"
+    )
+    assert _served_rows(spark, name, fp) == want
+
+
 def test_ledger_precedes_marker_and_dedups_at_read(spark, tmp_path):
     """ADVICE r11 medium #2 end-to-end: kill the ingest between the
     totals-ledger write and the postings commit — the replay re-writes
