@@ -653,73 +653,68 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate reads the FIRST 50 entries of
-# queries(). Round-14 rotation (r13 verdict #1): lead with the 8
-# round-13 entries that have NEVER had a driver CORRECTNESS row (they
-# landed after the r13 window was pinned), then the 4 entries NEW in
-# round 14 (video keyframe family + the TPC-H revenue-MV serving
-# paths — new entries now enter the window the round they register),
-# then dedup_url_canonical (its byte-primitive parse was rewritten
-# this round: anchored scheme grammar + last-colon port strip), then
-# the 37 entries last driver-checked in round 11 — the staleness
-# frontier. Displaced entries (incl. the zonal O1-O8 rows, all
-# r13-driver-green) keep SF1/SF10 selfcheck coverage, and
-# tests/test_claims.py now FAILS if any registered entry's latest
-# driver row falls more than 2 rounds behind without a window slot.
+# queries(). Round-15 rotation (same rule as r14; tests/test_claims.py
+# fails if any registered entry's latest driver CORRECTNESS row falls
+# more than 2 rounds behind without a window slot): lead with the 41
+# entries last driver-checked in round 12 — the full staleness
+# frontier — then fill the 9 remaining slots from the round-13
+# frontier with the rows this optimization round touches (the zonal
+# family rides the fixture-bucket layout change, the q8 IVF probe and
+# the hybrid-RRF pair are r15 verdict items #7/#9). Displaced entries
+# (all r13/r14-driver-green) keep SF1/SF10 selfcheck coverage.
 _GATE_WINDOW: list[str] = [
-    # -- 8 never-driver-verified round-13 entries (r13 verdict #1)
-    "image_phash_fingerprints",
-    "dedup_image_phash",
-    "dedup_image_phash_append",
-    "audio_energy_fingerprints",
-    "dedup_audio_energy",
-    "stream_ivf_index_append",
-    "stream_minhash_index_append",
-    "stream_phash_index_append",
-    # -- 4 entries new in round 14
-    "video_keyframe_fingerprints",
-    "dedup_video_keyframe",
-    "tpch_q3_preagg",
-    "tpch_q10_preagg",
-    # -- rewritten this round (r13 ADVICE: URL parse edge semantics)
-    "dedup_url_canonical",
-    # -- the 37 entries last driver-checked in round 11
-    "asof_join_cogroup",
-    "cdc_incremental_rollup",
-    "cdc_merge_into",
-    "dedup_exact",
-    "dedup_incremental_disk",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "events_windows_showcase",
-    "maintenance_compact",
-    "maintenance_delete_mor",
-    "maintenance_delete_rows",
-    "maintenance_time_travel",
-    "pricing_summary",
-    "quality_expectations",
-    "sampling_decontaminated_mix",
-    "sampling_nucleus_topp",
-    "similarity_ann_ivf_disk_topk",
-    "similarity_ann_ivf_topk",
-    "similarity_ann_lsh_topk",
-    "similarity_cosine_topk",
-    "source_python_ledger",
-    "source_python_stream",
-    "stream_cdc_merge",
-    "stream_cdc_merge_bucketed",
-    "stream_content_dedup",
-    "stream_exact_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_stateful_counts",
-    "stream_static_enrich",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q6_clustered",
+    # -- the 41 entries last driver-checked in round 12
+    "aggregate_variants",
+    "approx_distinct",
+    "array_functions_showcase",
+    "asof_join_events_orders",
+    "correlated_subquery",
+    "cross_join_dims",
+    "cube_order_counts",
+    "curation_url_canonicalize",
+    "datetime_functions_showcase",
+    "dedup_incremental_append",
+    "dedup_simhash_neardup",
+    "grouping_sets_revenue",
+    "interval_join_events",
+    "json_extract_events",
+    "mapshed_suite",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "pandas_udf_showcase",
+    "pivot_event_counts",
+    "raster_grouped_count_nodata",
+    "rollup_revenue",
+    "sampling_corpus_mix_bpe",
+    "sampling_decontaminated_mix_disk",
+    "scalar_functions_showcase",
+    "search_bm25_disk_topk",
+    "search_bm25_index_append",
+    "search_bm25_index_compact",
+    "semi_anti_customers",
+    "set_ops_customers",
+    "similarity_ann_ivf_append",
+    "similarity_cosine_neardup",
+    "stream_index_append",
+    "string_agg_ordered",
+    "text_bpe_token_counts",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "top_customers_by_revenue",
+    "window_running_total",
+    "windows_showcase",
+    # -- round-13 frontier rows touched by this round's changes
+    "raster_grouped_count",
+    "raster_grouped_count_many",
+    "raster_grouped_average",
+    "raster_lines_join",
+    "raster_summary",
+    "multi_operation",
+    "similarity_ann_ivf_q8_topk",
+    "search_hybrid_rrf_topk",
+    "search_hybrid_rrf_ivf_topk",
 ]
 
 

@@ -61,12 +61,15 @@ _STORE_DIR = "/tmp/spark_graft_index_store"
 # (session id, table name) -> attached DataFrame (skip catalog chatter)
 _ATTACHED: dict[tuple[int, str], DataFrame] = {}
 
-# (session id, table name) -> wall-clock of the memo fill. Recorded
-# BEFORE the DataFrame is handed out (its file listing is computed
-# lazily, at first action — i.e. at or after this timestamp), so
-# ``attach time >= append-marker mtime`` proves the listing already
+# (session id, table name) -> wall-clock stamped at the START of the
+# memo fill, BEFORE any attach/refresh/read work. Spark's parquet file
+# listing is EAGER (InMemoryFileIndex during resolveRelation / table
+# analysis), so only a stamp that provably PRECEDES the listing makes
+# ``attach time > append-marker mtime`` prove the listing already
 # includes that append's files (markers commit strictly AFTER the
-# files are renamed in).
+# files are renamed in; an append landing DURING the listing has
+# marker mtime >= stamp and therefore triggers a refresh — ADVICE
+# r14's concurrent-appender race).
 _ATTACHED_AT: dict[tuple[int, str], float] = {}
 
 
@@ -188,10 +191,12 @@ def _refresh_attached(spark: SparkSession, tbl: str) -> None:
 def _refresh_attached_if_stale(spark: SparkSession, tbl: str, marker: str) -> None:
     """``append_once``'s idempotent no-op path (marker already present)
     only needs to drop this session's attachment when the attachment
-    could PREDATE the append — i.e. when the memo was filled before the
-    marker was committed. A memo filled after the marker's mtime
-    already lists the appended files (the commit renames files in
-    BEFORE writing the marker), and refreshing it anyway made every
+    could PREDATE the append — i.e. when the memo's stamp does not
+    strictly postdate the marker. The stamp is recorded BEFORE the
+    attach's eager file listing and the commit renames files in BEFORE
+    writing the marker, so ``stamp > marker mtime`` proves the listing
+    already includes the appended files; refreshing such memos anyway
+    made every
     re-entrant serving run pay catalog re-resolution + a fresh file
     listing per probe (optimization r14: measured 11-23 ms per no-op
     per index at sf0.1's 17-file layout — interleaved A/B in
@@ -208,7 +213,16 @@ def _refresh_attached_if_stale(spark: SparkSession, tbl: str, marker: str) -> No
         return
     if at is not None:
         try:
-            if at < os.path.getmtime(marker):
+            # <=, not <: ties refresh (ADVICE r14). The stamp precedes
+            # the attach's eager file listing and marker commits follow
+            # the file renames, so only ``marker mtime strictly before
+            # the stamp`` proves the listing saw the append; a tie (a
+            # backward clock step, coarse-mtime filesystem, or an
+            # append landing in the same tick as the attach) must pay
+            # the refresh — the no-op path is only an optimization.
+            # Same-filesystem/same-host clocks assumed (both sides are
+            # this host's wall clock).
+            if at <= os.path.getmtime(marker):
                 _refresh_attached(spark, tbl)
         except OSError:
             _refresh_attached(spark, tbl)
@@ -475,6 +489,15 @@ def get_or_build_index(
     memo = (id(spark), tbl)
     if memo in _ATTACHED:
         return _ATTACHED[memo]
+    # Stamp BEFORE any build/refresh/attach work (ADVICE r14): the
+    # attach paths below list files EAGERLY (refreshTable invalidates
+    # then re-lists at analysis; DataFrameReader.parquet resolves its
+    # InMemoryFileIndex inside load()), so a stamp taken AFTER them
+    # could postdate an append that the listing missed — making
+    # _refresh_attached_if_stale skip the refresh forever. Stamping
+    # first is conservative: an append committing during the attach has
+    # marker mtime >= this stamp and the next no-op re-entry refreshes.
+    attach_started = time.time()
 
     if not _complete(path):
         with _build_lock(path):
@@ -550,7 +573,7 @@ def get_or_build_index(
             out = spark.read.schema(_stored_schema(spark, path)).parquet(loc)
         else:
             out = spark.read.parquet(loc)
-    _ATTACHED_AT[memo] = time.time()
+    _ATTACHED_AT[memo] = attach_started
     _ATTACHED[memo] = out
     return out
 

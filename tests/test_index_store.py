@@ -384,6 +384,73 @@ def test_noop_reentry_keeps_fresh_attachment_refreshes_stale(spark):
     assert _served_rows(spark, name, fp) == want
 
 
+def test_noop_reentry_refreshes_on_stamp_marker_tie(spark):
+    """ADVICE r14 (low): a memo whose stamp exactly EQUALS the marker
+    mtime (coarse-mtime filesystem / backward clock step / append
+    landing in the attach's tick) cannot prove its listing saw the
+    append — the no-op path must pay the refresh on ties."""
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "noopties")
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _drop_df(spark), bucket_col="k", n_buckets=4
+    )
+    ixs.clear_index_store_cache()
+    ixs.get_or_build_index(
+        spark, name, fp, lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    tbl = ixs._table_name(name, fp, "k", 4)
+    memo = (id(spark), tbl)
+    marker = f"{ixs._STORE_DIR}/{tbl}.append_d1"
+    tie = ixs._ATTACHED_AT[memo]
+    os.utime(marker, (tie, tie))
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert memo not in ixs._ATTACHED, (
+        "stamp == marker mtime must refresh (tie is not proof of freshness)"
+    )
+
+
+def test_attach_stamp_precedes_the_listing(spark):
+    """ADVICE r14 (high): Spark's parquet listing is EAGER inside the
+    attach, so the freshness stamp must be recorded BEFORE the attach
+    starts — an append committing DURING the attach (marker mtime >=
+    stamp) must leave the memo classified stale. Simulated by bumping
+    the marker to a time strictly between attach start and attach end:
+    under the old post-attach stamping the memo would look fresh and
+    the pre-append listing would be served forever."""
+    import time as _time
+
+    from mmw_geoprocessing_spark.sources import index_store as ixs
+
+    name, fp = _mini_index(spark, "noopstamp")
+    assert ixs.append_once(
+        spark, name, fp, "d1", lambda: _drop_df(spark), bucket_col="k", n_buckets=4
+    )
+    ixs.clear_index_store_cache()
+    before = _time.time()
+    ixs.get_or_build_index(
+        spark, name, fp, lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    tbl = ixs._table_name(name, fp, "k", 4)
+    memo = (id(spark), tbl)
+    stamp = ixs._ATTACHED_AT[memo]
+    assert before <= stamp <= _time.time()
+    # an append that committed mid-attach: marker mtime just above the
+    # stamp (the listing may or may not have seen its files — only a
+    # refresh is safe)
+    marker = f"{ixs._STORE_DIR}/{tbl}.append_d1"
+    mid = stamp + 1e-4
+    os.utime(marker, (mid, mid))
+    assert not ixs.append_once(
+        spark, name, fp, "d1", lambda: _no_rebuild(), bucket_col="k", n_buckets=4
+    )
+    assert memo not in ixs._ATTACHED, (
+        "an append committing during the attach window must refresh"
+    )
+
+
 def test_ledger_precedes_marker_and_dedups_at_read(spark, tmp_path):
     """ADVICE r11 medium #2 end-to-end: kill the ingest between the
     totals-ledger write and the postings commit — the replay re-writes
