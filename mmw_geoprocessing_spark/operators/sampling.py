@@ -206,6 +206,14 @@ def corpus_mix(
             )
         ).alias("ord"),
     )
+    # Explicit join-key null filters (no-op on results: the inner join
+    # on (source, bucket) below drops null-keyed rows either way).
+    # Placed HERE so both join branches inherit them at the same plan
+    # position: the join's own inferred isnotnull(bucket) cannot push
+    # through the offsets window (bucket is an ORDER column of w_off,
+    # not a partition key), which left the two exchange subtrees
+    # differing by one scan filter and defeated ReusedExchange.
+    base = base.filter(F.col("source").isNotNull() & F.col("bucket").isNotNull())
     w_local = (
         Window.partitionBy("source", "bucket")
         .orderBy("ord", key_col)
@@ -217,9 +225,22 @@ def corpus_mix(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Bucket totals DERIVED FROM THE WINDOW OUTPUT (optimization r15,
+    # guide §2.4): n_tokens is non-negative (a token count), so the
+    # running sum is non-decreasing and MAX(local_cum) per
+    # (source, bucket) IS the bucket total the old plan recomputed with
+    # its own groupBy over a second scan of the corpus — which also
+    # re-evaluated the weight column (for corpus_mix_bpe, the
+    # subword-encode fold over every document — the most expensive
+    # expression in the family) a second time. Both consumers now share
+    # one identical Exchange→Sort→Window subtree, which the planner
+    # collapses via ReusedExchange: ONE scan, ONE weight evaluation,
+    # ONE wide shuffle; the offsets branch re-runs only the sort+window
+    # over the reused shuffle output before aggregating to
+    # (sources × buckets) rows.
     offsets = (
-        base.groupBy("source", "bucket")
-        .agg(F.sum("n_tokens").alias("btot"))
+        local.groupBy("source", "bucket")
+        .agg(F.max("local_cum").alias("btot"))
         .withColumn("offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
         .select("source", "bucket", "offset")
     )
