@@ -73,6 +73,8 @@ def main() -> None:
     sf_dir = os.environ.get("R15_AB_SF_DIR", crossover.DST)
     if sf_dir == crossover.DST:
         crossover.build_replica()
+    elif sf_dir == crossover.DST10:
+        crossover.build_replica(crossover.DST10, crossover.COPIES10)
 
     import __spark_entry__ as entrymod
     from mmw_geoprocessing_spark.session import get_spark
@@ -148,6 +150,22 @@ def main() -> None:
             lambda: qs["cdc_incremental_rollup"](spark, sf_dir),
             "cdc_incremental_rollup",
         ),
+        # r15 verdict #8 (preagg adjudication, sf10 tier): "old" = the
+        # raw 3-way-join query, "new" = the revenue-MV serving path the
+        # r14 build added to answer the r13 weak grading of q3/q10 —
+        # both Spark, same result rows; the DuckDB twin recomputes the
+        # full join every run (the serving-path-only basis, disclosed
+        # in bench.py).
+        "tpch_q3_preagg": (
+            lambda: qs["tpch_q3"](spark, sf_dir),
+            lambda: qs["tpch_q3_preagg"](spark, sf_dir),
+            "tpch_q3_preagg",
+        ),
+        "tpch_q10_preagg": (
+            lambda: qs["tpch_q10"](spark, sf_dir),
+            lambda: qs["tpch_q10_preagg"](spark, sf_dir),
+            "tpch_q10_preagg",
+        ),
     }
     wanted = sys.argv[1:] or list(cases)
 
@@ -211,7 +229,7 @@ def main() -> None:
                 round(min(news) / min(duck), 3) if duck else None
             ),
         }
-        results[name] = row
+        results[f"{name}@{os.path.basename(sf_dir.rstrip('/'))}"] = row
         print(json.dumps(row), flush=True)
     out = os.path.join(REPO, "plans", "r15", "scale_ab_results.json")
     existing = {}
