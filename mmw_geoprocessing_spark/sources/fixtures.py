@@ -347,6 +347,12 @@ _BUCKET_DIR = "/tmp/spark_graft_bucketed_fixtures"
 # a deployment knob (≈ cluster cores at 100 TB), not a constant. The
 # default stays 16 — the bench-comparable local layout; the tag
 # fingerprint below folds the value in, so changing it rebuilds.
+# MEASURED both ways in r15 (plans/r15/bucket_ab_*.json, interleaved
+# in-process): at sf0.1 16 beats 32 on every zonal row (sub-MB tasks —
+# scheduling overhead, not parallelism, is the binding cost), while at
+# the sf1~ replica the trade inverts (32 wins 5 of 7, mapshed
+# 11.6→10.3 s) — i.e. size the bucket count to per-bucket DATA, not to
+# a constant.
 _N_BUCKETS = int(os.environ.get("SPARK_GRAFT_FIXTURE_BUCKETS", "16"))
 
 

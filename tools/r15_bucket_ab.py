@@ -54,10 +54,13 @@ def main() -> None:
     spark = get_spark(app_name="r15_bucket_ab")
     spark.sparkContext.setLogLevel("ERROR")
     # bench.py's sf0.1 config — the layout question must be answered in
-    # the configuration the driver measures
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    # the configuration the driver measures. R15_BUCKET_BENCHCONF=0
+    # keeps the engine defaults instead (the replica-scale story, as in
+    # tools/crossover.py / r15_scale_ab.py).
+    if os.environ.get("R15_BUCKET_BENCHCONF", "1") == "1":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
     qs = entrymod.queries(prepared=False)
 
